@@ -1,0 +1,301 @@
+"""Deterministic synthetic transcript tables + golden outputs.
+
+The engine's authoritative input shape (BASELINE.json ``input_hint``):
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+This generator mirrors the reference's chat-transcript fixture
+``sample-data-chats.csv`` (headers chatId,userType,transcript,
+segmentId,segmentTimestamp — test/pipeline/CsvTokenizationAndOrdering
+PipelineTest.java:202) and its synthetic-data generators
+(test/testing/RandomGenericRecordGenerator.java, TestCsvFileGenerator),
+but is seed-fixed and plants PII spans at known offsets so golden
+tokenized outputs are computable without the engine.
+
+Everything is derived from ``seed`` + ``sf`` only — no wall clock, no
+environment — so regenerated files are value-identical across runs and
+machines (required for golden equality and the DuckDB oracle).
+
+Layout under ``data/<sf_name>/``:
+  transcripts.parquet        input table
+  tokenized_turns.parquet    golden: text→tokenized text (pure-Python oracle)
+  detections.parquet         golden: one row per detected span
+  token_dictionary.parquet   side stream for the stateful join (FIXTURES.md §2)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from auto_data_tokenize_spark.functions import detectors
+from auto_data_tokenize_spark.functions.tokenizer import DEFAULT_ROOT_KEY, Tokenizer
+
+DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+SEED = 42
+BASE_TS = pd.Timestamp("2026-01-05 08:00:00")  # naive UTC, matches testdata convention
+TURNS_PER_SF = 2_000_000  # sf0.01 → 20_000 turns; sf0.1 → 200_000
+HOT_CONVS = 3  # explicit skew: a few conversations own a large turn share
+HOT_SHARE = 0.02  # each hot conv ≈ 2% of all turns
+LATE_FRACTION = 0.02  # turns pushed >30 min into the past (watermark-drop tests)
+SESSION_GAP_MIN = 30  # idle gap that closes a session window
+
+_FIRST = ["alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi",
+          "ivan", "judy", "mallory", "niaj", "olivia", "peggy", "rupert", "sybil"]
+_DOM = ["example", "mail-example", "corp-example", "test-example"]
+_TLD = ["com", "org", "net", "io"]
+_TOOLS = ["crm_lookup", "order_status", "refund_api", "kb_search", "escalate"]
+
+_TEMPLATES_PII = [
+    "Hi, my email is {EMAIL} and I need help with my order.",
+    "Sure — you can reach me at {PHONE} after 5pm.",
+    "I paid with card {CC}, please check the charge.",
+    "My SSN is {SSN} for the identity verification step.",
+    "Contact: {EMAIL} or {PHONE}. Thanks!",
+    "Card on file {CC}; backup email {EMAIL}.",
+    "<span class=\"msg\">call {PHONE} re: case</span>",
+    "verify ssn {SSN} then email receipt to {EMAIL}",
+]
+_TEMPLATES_CLEAN = [
+    "Thanks for contacting support, how can I help you today?",
+    "Let me look into that for you right away.",
+    "The order shipped yesterday and should arrive within 3 business days.",
+    "Is there anything else I can help you with?",
+    "I have escalated this to our billing team.",
+    "<div>session resumed</div> please hold while I pull up the account.",
+    "Our records show the subscription renews on the 14th.",
+    "no PII here, just a plain status update turn number {N}.",
+]
+
+
+def _luhn_check_digit(partial: str) -> str:
+    total = 0
+    for i, ch in enumerate(reversed(partial)):
+        d = ord(ch) - 48
+        if i % 2 == 0:  # check digit will occupy position 0
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return str((10 - total % 10) % 10)
+
+
+def _mk_email(rng: np.random.Generator) -> str:
+    return (
+        f"{_FIRST[rng.integers(len(_FIRST))]}"
+        f"{rng.integers(1, 9999)}@{_DOM[rng.integers(len(_DOM))]}."
+        f"{_TLD[rng.integers(len(_TLD))]}"
+    )
+
+
+def _mk_phone(rng: np.random.Generator) -> str:
+    a = rng.integers(200, 990)
+    b = rng.integers(200, 990)
+    c = rng.integers(0, 10000)
+    style = rng.integers(4)
+    if style == 0:
+        return f"({a}) {b}-{c:04d}"
+    if style == 1:
+        return f"{a}-{b}-{c:04d}"
+    if style == 2:
+        return f"+1 {a}.{b}.{c:04d}"
+    return f"{a} {b} {c:04d}"
+
+
+def _mk_cc(rng: np.random.Generator) -> str:
+    n = 15 if rng.integers(4) == 0 else 16
+    partial = "".join(str(rng.integers(10)) for _ in range(n - 1))
+    digits = partial + _luhn_check_digit(partial)
+    style = rng.integers(3)
+    if style == 0:
+        return digits
+    sep = " " if style == 1 else "-"
+    return sep.join(digits[i : i + 4] for i in range(0, len(digits), 4))
+
+
+def _mk_ssn(rng: np.random.Generator) -> str:
+    area = rng.integers(1, 665)  # valid area: 001-665 (skip 666/000/900+)
+    group = rng.integers(1, 100)
+    serial = rng.integers(1, 10000)
+    return f"{area:03d}-{group:02d}-{serial:04d}"
+
+
+def gen_transcripts(sf: float, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic transcript table, ~``TURNS_PER_SF*sf`` turns."""
+    rng = np.random.default_rng([seed, int(sf * 1_000_000)])
+    n_turns = max(200, int(TURNS_PER_SF * sf))
+
+    # conversation sizes: a few hot keys + a long tail of 4-16 turn convs
+    sizes: list[int] = [max(40, int(n_turns * HOT_SHARE))] * HOT_CONVS
+    remaining = n_turns - sum(sizes)
+    while remaining > 0:
+        s = int(rng.integers(4, 17))
+        s = min(s, remaining)
+        sizes.append(s)
+        remaining -= s
+
+    rows_conv: list[str] = []
+    rows_turn: list[int] = []
+    rows_role: list[str] = []
+    rows_text: list[str] = []
+    rows_tool: list[str | None] = []
+    rows_ts: list[pd.Timestamp] = []
+
+    for c_idx, size in enumerate(sizes):
+        conv_id = (
+            f"conv_hot_{c_idx:04d}" if c_idx < HOT_CONVS else f"conv_{c_idx:06d}"
+        )
+        start = BASE_TS + pd.Timedelta(seconds=int(rng.integers(0, 6 * 3600)))
+        ts = start
+        for t in range(1, size + 1):
+            role = ["customer", "agent", "agent", "customer", "tool"][
+                int(rng.integers(5))
+            ]
+            has_pii = rng.random() < 0.55
+            if has_pii:
+                tpl = _TEMPLATES_PII[int(rng.integers(len(_TEMPLATES_PII)))]
+                text = tpl
+                if "{EMAIL}" in text:
+                    text = text.replace("{EMAIL}", _mk_email(rng), 1)
+                    if "{EMAIL}" in text:
+                        text = text.replace("{EMAIL}", _mk_email(rng), 1)
+                if "{PHONE}" in text:
+                    text = text.replace("{PHONE}", _mk_phone(rng), 1)
+                if "{CC}" in text:
+                    text = text.replace("{CC}", _mk_cc(rng), 1)
+                if "{SSN}" in text:
+                    text = text.replace("{SSN}", _mk_ssn(rng), 1)
+            else:
+                tpl = _TEMPLATES_CLEAN[int(rng.integers(len(_TEMPLATES_CLEAN)))]
+                text = tpl.replace("{N}", str(t))
+            tool = (
+                _TOOLS[int(rng.integers(len(_TOOLS)))]
+                if role in ("agent", "tool") and rng.random() < 0.2
+                else None
+            )
+            ts = ts + pd.Timedelta(seconds=int(rng.integers(5, 91)))
+            row_ts = ts
+            if rng.random() < LATE_FRACTION:
+                # late event: stamped 30-60 min before its arrival position
+                row_ts = ts - pd.Timedelta(seconds=int(rng.integers(1800, 3600)))
+            rows_conv.append(conv_id)
+            rows_turn.append(t)
+            rows_role.append(role)
+            rows_text.append(text)
+            rows_tool.append(tool)
+            rows_ts.append(row_ts)
+
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array(rows_conv, dtype="string"),
+            "turn_idx": pd.array(rows_turn, dtype="int32"),
+            "role": pd.array(rows_role, dtype="string"),
+            "text": pd.array(rows_text, dtype="string"),
+            "tool": pd.array(rows_tool, dtype="string"),
+            "ts": pd.Series(rows_ts).astype("datetime64[us]"),
+        }
+    )
+
+
+# --- golden oracle (pure Python; deliberately NOT the UDF layer) ---------
+
+
+def golden_tokenized(transcripts: pd.DataFrame, root_key: bytes = DEFAULT_ROOT_KEY) -> pd.DataFrame:
+    """Per-turn tokenized text, computed row-at-a-time (oracle path)."""
+    tok = Tokenizer(root_key)
+    out = transcripts.copy()
+    out["text_tok"] = [
+        tok.tokenize_text(c, t) for c, t in zip(out["conv_id"], out["text"])
+    ]
+    return out.drop(columns=["text"]).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def golden_detections(transcripts: pd.DataFrame, root_key: bytes = DEFAULT_ROOT_KEY) -> pd.DataFrame:
+    """One row per detected span: the oracle for identify/report queries."""
+    tok = Tokenizer(root_key)
+    recs = []
+    for conv_id, turn_idx, text, ts in zip(
+        transcripts["conv_id"], transcripts["turn_idx"], transcripts["text"], transcripts["ts"]
+    ):
+        for s in detectors.find_spans(text):
+            recs.append(
+                (
+                    conv_id,
+                    int(turn_idx),
+                    s.info_type,
+                    int(s.start),
+                    int(s.end),
+                    tok.token(conv_id, s.info_type, s.text),
+                    ts,
+                )
+            )
+    df = pd.DataFrame(
+        recs, columns=["conv_id", "turn_idx", "info_type", "start", "end", "token", "ts"]
+    )
+    return df.astype(
+        {"conv_id": "string", "turn_idx": "int32", "info_type": "string",
+         "start": "int32", "end": "int32", "token": "string"}
+    )
+
+
+def token_dictionary(detections: pd.DataFrame) -> pd.DataFrame:
+    """Side-stream table (FIXTURES.md §2): first occurrence of each token."""
+    d = detections.sort_values(["token", "ts", "turn_idx"]).drop_duplicates("token")
+    out = d[["token", "info_type", "conv_id", "ts"]].copy()
+    out["ts"] = out["ts"] + pd.Timedelta(seconds=1)  # dictionary lags detection
+    return out.sort_values(["conv_id", "ts"]).reset_index(drop=True)
+
+
+# --- materialization ------------------------------------------------------
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _write(df: pd.DataFrame, path: str, schema: pa.Schema | None = None) -> None:
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(table, path, compression="snappy")
+
+
+def sf_name_to_sf(sf_name: str) -> float:
+    return float(sf_name.removeprefix("sf"))
+
+
+def ensure_sf(sf_name: str, data_root: str = DATA_ROOT, force: bool = False) -> str:
+    """Idempotently materialize transcripts + goldens for one scale factor.
+
+    Returns the directory containing the four parquet files.
+    """
+    out_dir = os.path.join(data_root, sf_name)
+    marker = os.path.join(out_dir, "token_dictionary.parquet")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    sf = sf_name_to_sf(sf_name)
+    transcripts = gen_transcripts(sf)
+    _write(transcripts, os.path.join(out_dir, "transcripts.parquet"), _ARROW_SCHEMA)
+    det = golden_detections(transcripts)
+    _write(
+        golden_tokenized(transcripts), os.path.join(out_dir, "tokenized_turns.parquet")
+    )
+    _write(det, os.path.join(out_dir, "detections.parquet"))
+    _write(token_dictionary(det), os.path.join(out_dir, "token_dictionary.parquet"))
+    return out_dir
+
+
+def transcripts_path(sf_name: str, data_root: str = DATA_ROOT) -> str:
+    return os.path.join(ensure_sf(sf_name, data_root), "transcripts.parquet")
