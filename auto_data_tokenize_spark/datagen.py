@@ -240,7 +240,10 @@ def golden_detections(transcripts: pd.DataFrame, root_key: bytes = DEFAULT_ROOT_
     )
     return df.astype(
         {"conv_id": "string", "turn_idx": "int32", "info_type": "string",
-         "start": "int32", "end": "int32", "token": "string"}
+         "start": "int32", "end": "int32", "token": "string",
+         # micro (not nano) precision: Spark's parquet reader maps INT64
+         # TIMESTAMP(NANOS) to long, breaking TimestampType stream schemas
+         "ts": "datetime64[us]"}
     )
 
 
@@ -248,7 +251,7 @@ def token_dictionary(detections: pd.DataFrame) -> pd.DataFrame:
     """Side-stream table (FIXTURES.md §2): first occurrence of each token."""
     d = detections.sort_values(["token", "ts", "turn_idx"]).drop_duplicates("token")
     out = d[["token", "info_type", "conv_id", "ts"]].copy()
-    out["ts"] = out["ts"] + pd.Timedelta(seconds=1)  # dictionary lags detection
+    out["ts"] = (out["ts"] + pd.Timedelta(seconds=1)).astype("datetime64[us]")
     return out.sort_values(["conv_id", "ts"]).reset_index(drop=True)
 
 

@@ -1,0 +1,89 @@
+"""End-to-end streaming pipelines (the north_star CEP flow).
+
+    readStream(transcripts) ──► tokenize (Arrow UDF, narrow)
+                              ├─► exactly-once sink (tokenized turns)
+                              ├─► detections ──► tumbling freq aggregates
+                              ├─► detections ──► session reports (conv_id)
+                              └─► detections ⋈ token-dictionary stream
+
+Each runner takes explicit checkpoint + output locations so tests can
+kill and resume. All runners default to ``availableNow`` semantics via
+``process_all`` (drain the source, then stop) — production would leave
+the query running with a processingTime trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from auto_data_tokenize_spark.functions.tokenizer import DEFAULT_ROOT_KEY
+from auto_data_tokenize_spark.operators.identify import detections as detections_op
+from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
+from auto_data_tokenize_spark.operators.windows import (
+    infotype_frequencies,
+    session_reports,
+)
+from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+
+def run_to_sink(
+    stream_df: DataFrame,
+    sink: ExactlyOnceSink,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    query_name: str = "adt",
+) -> None:
+    """Start the query, drain everything available, stop."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.foreach_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # surface async failures (e.g. a UDF error inside a micro-batch)
+    if q.exception() is not None:
+        raise RuntimeError(str(q.exception()))
+
+
+def tokenize_stream(
+    transcripts: DataFrame, root_key: bytes = DEFAULT_ROOT_KEY
+) -> DataFrame:
+    """Streaming tokenize: identical plan to the batch operator —
+    narrow, stateless, no watermark needed."""
+    return tokenize_turns(transcripts, keep_original=False, root_key=root_key)
+
+
+def detections_stream(
+    transcripts: DataFrame, root_key: bytes = DEFAULT_ROOT_KEY
+) -> DataFrame:
+    return detections_op(transcripts, root_key=root_key)
+
+
+def infotype_freq_stream(
+    transcripts: DataFrame,
+    duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+    root_key: bytes = DEFAULT_ROOT_KEY,
+) -> DataFrame:
+    """State-store tumbling aggregate with late-data drop."""
+    return infotype_frequencies(
+        detections_stream(transcripts, root_key), duration, watermark=watermark
+    )
+
+
+def session_report_stream(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    root_key: bytes = DEFAULT_ROOT_KEY,
+) -> DataFrame:
+    """Per-conversation session reports; emits only watermark-closed
+    sessions (append mode)."""
+    return session_reports(
+        detections_stream(transcripts, root_key), gap, watermark=watermark
+    )

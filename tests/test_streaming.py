@@ -1,0 +1,206 @@
+"""Structured Streaming end-to-end tests: stream==batch equivalence,
+watermark late-data drop, checkpoint kill/resume exactly-once,
+stream-stream token-dictionary join."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark import datagen
+from auto_data_tokenize_spark.operators.identify import detections as detections_op
+from auto_data_tokenize_spark.operators.windows import infotype_frequencies
+from auto_data_tokenize_spark.streaming import pipeline, source
+from auto_data_tokenize_spark.streaming.join import token_dictionary_join
+from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+
+@pytest.fixture(scope="module")
+def stream_dir(sf_dir_small, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    return source.stage_stream_input(
+        f"{sf_dir_small}/transcripts.parquet", str(d), n_files=6
+    )
+
+
+def _run(spark, stream_df, tmp, name, mode="append"):
+    sink = ExactlyOnceSink(f"{tmp}/{name}_out")
+    pipeline.run_to_sink(stream_df, sink, f"{tmp}/{name}_ckpt", output_mode=mode)
+    return sink
+
+
+def test_stream_tokenize_equals_batch_golden(spark, stream_dir, sf_dir_small, tmp_path):
+    st = source.transcripts_stream(spark, stream_dir, max_files_per_trigger=2)
+    sink = _run(spark, pipeline.tokenize_stream(st), tmp_path, "tok")
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "turn_idx", "text_tok")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = pd.read_parquet(f"{sf_dir_small}/tokenized_turns.parquet")[
+        ["conv_id", "turn_idx", "text_tok"]
+    ].reset_index(drop=True)
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+    # multi-batch stream → multiple commits, lineage adds up
+    assert len(sink.committed_batches()) >= 2
+    assert sink.total_rows() == len(want)
+
+
+def test_exactly_once_redelivery_is_noop(spark, stream_dir, tmp_path):
+    st = source.transcripts_stream(spark, stream_dir)
+    sink = _run(spark, pipeline.tokenize_stream(st), tmp_path, "redeliver")
+    batches = sink.committed_batches()
+    rows_before = sink.total_rows()
+    # simulate Structured Streaming redelivering the last batch
+    df = sink.read_committed(spark)
+    sink.foreach_batch(df, batches[-1])
+    assert sink.total_rows() == rows_before
+    assert sink.committed_batches() == batches
+
+
+def test_checkpoint_kill_and_resume_no_dupes(spark, sf_dir_small, tmp_path):
+    """Feed half the files, run; add the rest; resume from the SAME
+    checkpoint into the SAME sink → no duplicates, full coverage."""
+    full = pd.read_parquet(f"{sf_dir_small}/transcripts.parquet")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    staged = source.stage_stream_input(
+        f"{sf_dir_small}/transcripts.parquet", str(tmp_path / "all"), n_files=6
+    )
+    chunks = sorted(glob.glob(f"{staged}/*.parquet"))
+    for c in chunks[:3]:
+        shutil.copy(c, in_dir)
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+
+    st = source.transcripts_stream(spark, in_dir, max_files_per_trigger=1)
+    pipeline.run_to_sink(pipeline.tokenize_stream(st), sink, ckpt)
+    mid_rows = sink.total_rows()
+    assert 0 < mid_rows < len(full)
+
+    # "restart": new query object, same checkpoint, more input
+    for c in chunks[3:]:
+        shutil.copy(c, in_dir)
+    st2 = source.transcripts_stream(spark, in_dir, max_files_per_trigger=1)
+    pipeline.run_to_sink(pipeline.tokenize_stream(st2), sink, ckpt)
+
+    out = sink.read_committed(spark)
+    assert out.count() == len(full)
+    dupes = (
+        out.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
+def test_watermark_drops_late_rows(spark, stream_dir, sf_dir_small, tmp_path):
+    """Multi-batch stream with a 10-min watermark: late rows (generated
+    30-60 min behind) are dropped from the state-store aggregate;
+    on-time windows match the batch computation exactly."""
+    st = source.transcripts_stream(spark, stream_dir, max_files_per_trigger=1)
+    sink = _run(
+        spark,
+        pipeline.infotype_freq_stream(st, "5 minutes", watermark="10 minutes"),
+        tmp_path,
+        "freq",
+    )
+    got = sink.read_committed(spark).toPandas()
+
+    batch_df = spark.read.parquet(f"{sf_dir_small}/transcripts.parquet")
+    want = infotype_frequencies(detections_op(batch_df), "5 minutes").toPandas()
+
+    key = ["window_start", "window_end", "info_type"]
+    merged = want.merge(got, on=key, how="left", suffixes=("_b", "_s"))
+    # streaming never exceeds batch counts and never invents windows
+    extra = got.merge(want, on=key, how="left", indicator=True)
+    assert (extra["_merge"] == "both").all()
+    assert (merged["n_s"].fillna(0) <= merged["n_b"]).all()
+    # late data existed → something was dropped
+    assert merged["n_s"].fillna(0).sum() < merged["n_b"].sum()
+    # but the overwhelming majority of mass is on time
+    assert merged["n_s"].fillna(0).sum() > 0.8 * merged["n_b"].sum()
+
+
+def test_session_stream_emits_closed_sessions(spark, stream_dir, tmp_path):
+    st = source.transcripts_stream(spark, stream_dir, max_files_per_trigger=2)
+    sink = _run(
+        spark,
+        pipeline.session_report_stream(st, gap="30 minutes", watermark="10 minutes"),
+        tmp_path,
+        "sess",
+    )
+    got = sink.read_committed(spark).toPandas()
+    assert len(got) > 0
+    assert (got["session_end"] > got["session_start"]).all()
+    assert (got["n_detections"] > 0).all()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir_small, tmp_path):
+    """Single-trigger stream-stream join == batch join (no state
+    eviction inside one micro-batch)."""
+    det_in = str(tmp_path / "det_in")
+    dict_in = str(tmp_path / "dict_in")
+    os.makedirs(det_in)
+    os.makedirs(dict_in)
+    det_pd = pd.read_parquet(f"{sf_dir_small}/detections.parquet")
+    det_pd[["conv_id", "turn_idx", "info_type", "token", "ts"]].to_parquet(
+        f"{det_in}/d.parquet", index=False
+    )
+    shutil.copy(f"{sf_dir_small}/token_dictionary.parquet", f"{dict_in}/t.parquet")
+
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    det_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("info_type", StringType()),
+            StructField("token", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    det_stream = spark.readStream.schema(det_schema).parquet(det_in)
+    dict_stream = source.token_dictionary_stream(spark, dict_in)
+
+    joined = token_dictionary_join(det_stream, dict_stream, interval="10 minutes")
+    sink = _run(spark, joined, tmp_path, "join")
+    got = (
+        sink.read_committed(spark)
+        .orderBy("conv_id", "turn_idx", "token", "dict_ts")
+        .toPandas()
+    )
+
+    det_b = spark.read.parquet(f"{det_in}/d.parquet")
+    dict_b = spark.read.parquet(f"{dict_in}/t.parquet")
+    want = (
+        token_dictionary_join(det_b, dict_b, interval="10 minutes")
+        .orderBy("conv_id", "turn_idx", "token", "dict_ts")
+        .toPandas()
+    )
+    assert len(want) > 0
+    pdt.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_metrics_listener_records_progress(spark, stream_dir, tmp_path):
+    from auto_data_tokenize_spark.streaming.listener import JsonlMetricsListener
+
+    listener = JsonlMetricsListener(str(tmp_path / "metrics"))
+    spark.streams.addListener(listener)
+    try:
+        st = source.transcripts_stream(spark, stream_dir, max_files_per_trigger=3)
+        _run(spark, pipeline.tokenize_stream(st), tmp_path, "metrics_run")
+    finally:
+        spark.streams.removeListener(listener)
+    with open(listener.path) as f:
+        lines = f.readlines()
+    assert any('"event": "progress"' in ln for ln in lines)
+    assert any('"num_input_rows"' in ln for ln in lines)
