@@ -28,9 +28,10 @@ def _sf_name(sf_dir: str) -> str:
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.sources.readers import read_transcripts
 
     d = datagen.ensure_sf(_sf_name(sf_dir))
-    return spark.read.parquet(os.path.join(d, "transcripts.parquet"))
+    return read_transcripts(spark, os.path.join(d, "transcripts.parquet"))
 
 
 def _detections(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Execution is forced with the noop datasource (full plan runs, nothing
+is collected to the driver) so timings measure the engine, not driver
+materialization. The streaming benchmark measures end-to-end
+detection-to-sink wall time through the exactly-once sink.
+
+Extra keys (informational, not part of the driver contract):
+  turns_per_sec      flagship tokenize throughput (batch)
+  stream_turns_per_sec, stream_sink_latency_sec
+  scaling            present when SPARK_GRAFT_SCALING=1: throughput at
+                     N and 4N cores + efficiency (north_rule evidence)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def run_batch_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    times: dict[str, float] = {}
+    for name, q in qs.items():
+        df = q(spark, sf_dir)
+        times[name] = _timed(lambda d=df: _force(d))
+    return times
+
+
+def bench_stream(spark, sf_dir: str) -> dict[str, float]:
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.streaming import pipeline, source
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    d = datagen.ensure_sf(sf_name)
+    base = tempfile.mkdtemp(prefix="adt_bench_stream_")
+    try:
+        staged = source.stage_stream_input(
+            f"{d}/transcripts.parquet", f"{base}/in", n_files=4 * CPUS
+        )
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(f"{d}/transcripts.parquet").num_rows
+        sink = ExactlyOnceSink(f"{base}/out")
+        st = source.transcripts_stream(spark, staged, max_files_per_trigger=CPUS)
+        t = _timed(
+            lambda: pipeline.run_to_sink(
+                pipeline.tokenize_stream(st), sink, f"{base}/ckpt"
+            )
+        )
+        n_batches = max(1, len(sink.committed_batches()))
+        return {
+            "stream_tokenize_sec": t,
+            "stream_turns_per_sec": round(n_rows / t, 1),
+            "stream_sink_latency_sec": round(t / n_batches, 3),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def tokenize_throughput(spark, sf_dir: str) -> tuple[float, float]:
+    import __spark_entry__ as em
+
+    df = em.q01_tokenize_turns(spark, sf_dir)
+    n = df.count()  # cheap: parquet footer count on the source + udf? no — see below
+    t = _timed(lambda: _force(df))
+    return round(t, 3), round(n / t, 1)
+
+
+def scaling_run(sf_dir: str, cores_small: int, cores_big: int) -> dict:
+    """Same tokenize job at N and 4N cores; efficiency = (T_N/T_4N)/4."""
+    from auto_data_tokenize_spark.session import get_spark
+
+    out = {}
+    for label, cores in (("small", cores_small), ("big", cores_big)):
+        spark = get_spark(f"adt-scale-{cores}", cores=cores, shuffle_partitions=cores)
+        try:
+            sec, tput = tokenize_throughput(spark, sf_dir)
+            out[label] = {"cores": cores, "sec": sec, "turns_per_sec": tput}
+        finally:
+            spark.stop()
+    speedup = out["small"]["sec"] / out["big"]["sec"]
+    out["speedup"] = round(speedup, 3)
+    out["efficiency"] = round(speedup / (cores_big / cores_small), 3)
+    return out
+
+
+def main() -> None:
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.session import get_spark
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    datagen.ensure_sf(sf_name)  # materialize inputs before the clock starts
+
+    spark = get_spark("adt-bench", cores=CPUS, shuffle_partitions=CPUS)
+    try:
+        # tiny warmup so JVM/Arrow startup doesn't pollute q01
+        import __spark_entry__ as em
+
+        _force(em.q01_tokenize_turns(spark, "/root/testdata/sf0.001"))
+
+        queries = run_batch_queries(spark, SF_DIR)
+        stream = bench_stream(spark, SF_DIR)
+        tok_sec, tok_tput = tokenize_throughput(spark, SF_DIR)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf_name.removeprefix("sf")),
+        "turns_per_sec": tok_tput,
+        **stream,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        result["scaling"] = scaling_run(SF_DIR, max(2, CPUS // 4), CPUS)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
