@@ -136,6 +136,97 @@ def q09_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+def q10_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.textstats import token_counts
+
+    return token_counts(_documents(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_ws_tokens", "n_bpeish_tokens"
+    )
+
+
+def q11_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.textstats import quality_features
+
+    return quality_features(_documents(spark, sf_dir)).select(
+        "doc_id", "n_stop_hits", "n_punct", "is_quality"
+    )
+
+
+def q12_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.textstats import language_id
+
+    return language_id(_documents(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def q13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.textstats import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q14_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_documents(spark, sf_dir))
+    # posexplode_outer, deliberately: plain posexplode makes Catalyst's
+    # InferFiltersFromGenerate synthesize `size(sig) > 0` below the
+    # exchange, re-evaluating the full 64-hash signature expression on
+    # the unparallelized scan (200s vs 6s at sf0.1). sig is always
+    # 64 elements, so _outer is semantically identical here.
+    return sig.select(
+        "doc_id", F.posexplode_outer("sig").alias("j", "minhash")
+    )
+
+
+def q15_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(_documents(spark, sf_dir))
+    return lsh_candidate_pairs(sig)
+
+
+def q16_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_documents(spark, sf_dir))
+
+
+def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries_df, k=10).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+def q18_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(emb, threshold=0.9, dim=64, n_planes=12)
+
+
+def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_documents(spark, sf_dir), max_hamming=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": q01_tokenize_turns,
@@ -147,12 +238,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_events_tumbling": q07_events_tumbling,
         "q08_events_sessionize": q08_events_sessionize,
         "q09_exact_dedup": q09_exact_dedup,
+        "q10_token_counts": q10_token_counts,
+        "q11_quality": q11_quality,
+        "q12_language_id": q12_language_id,
+        "q13_fingerprint": q13_fingerprint,
+        "q14_minhash_signatures": q14_minhash_signatures,
+        "q15_lsh_candidates": q15_lsh_candidates,
+        "q16_minhash_dedup": q16_minhash_dedup,
+        "q17_cosine_topk": q17_cosine_topk,
+        "q18_embedding_near_dups": q18_embedding_near_dups,
+        "q19_simhash_near_dups": q19_simhash_near_dups,
     }
 
 
 # --------------------------------------------------------------------------
 # oracles (DuckDB SQL)
 # --------------------------------------------------------------------------
+
+# shared DuckDB fragments (documents-table shingling/minhash, mirrors
+# auto_data_tokenize_spark/operators/dedup.py constructions exactly)
+_DUCK_SHINGLES = """
+  SELECT doc_id,
+         list_transform(range(0, greatest(length(w) - 5, 0) + 1),
+                        i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+"""
+_DUCK_SIG = f"""
+  SELECT doc_id,
+         list_transform(range(0, 64),
+                        j -> list_min(list_transform(shingles,
+                             s -> md5(j::VARCHAR || '|' || s)))) AS sig
+  FROM ({_DUCK_SHINGLES}) shx
+"""
+
+
+def _bpeish_duck() -> str:
+    from auto_data_tokenize_spark.operators.textstats import BPEISH_RE
+
+    return BPEISH_RE
+
+
+def _en_stop_duck() -> str:
+    from auto_data_tokenize_spark.operators.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+def _duck_lang_sql() -> str:
+    from auto_data_tokenize_spark.operators.textstats import duckdb_language_id_sql
+
+    return duckdb_language_id_sql("documents")
+
+
+_BPEISH = _bpeish_duck()
+_EN_STOP = _en_stop_duck()
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -245,4 +385,102 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                    COUNT(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "q10_token_counts": f"""
+            SELECT doc_id, length(text) AS n_chars,
+                   length(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+                   length(regexp_extract_all(text, '{_BPEISH}')) AS n_bpeish_tokens
+            FROM documents
+        """,
+        "q11_quality": f"""
+            SELECT doc_id,
+                   length(list_filter({_EN_STOP},
+                          w -> list_contains(string_split_regex(lower(text), '[^a-z]+'), w)))
+                     AS n_stop_hits,
+                   length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                   (length(string_split_regex(trim(text), '\\s+')) >= 5
+                    AND length(text) >= 20
+                    AND length(list_filter({_EN_STOP},
+                        w -> list_contains(string_split_regex(lower(text), '[^a-z]+'), w))) >= 1)
+                     AS is_quality
+            FROM documents
+        """,
+        "q12_language_id": _duck_lang_sql(),
+        "q13_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))
+                     AS fingerprint
+            FROM documents
+        """,
+        "q14_minhash_signatures": f"""
+            WITH sh AS ({_DUCK_SHINGLES})
+            SELECT doc_id, j,
+                   list_min(list_transform(shingles,
+                            s -> md5(j::VARCHAR || '|' || s))) AS minhash
+            FROM sh, (SELECT unnest(range(0, 64)) AS j) js
+        """,
+        "q15_lsh_candidates": f"""
+            WITH sig AS ({_DUCK_SIG}),
+            banded AS (
+              SELECT doc_id AS id, b AS band_idx,
+                     md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
+              FROM sig, (SELECT unnest(range(0, 16)) AS b) bs
+            ),
+            capped AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 64
+            )
+            SELECT DISTINCT x.id AS a, y.id AS b
+            FROM capped x JOIN capped y USING (band_idx, band_key)
+            WHERE x.id < y.id
+        """,
+        "q16_minhash_dedup": f"""
+            WITH sig AS ({_DUCK_SIG}),
+            banded AS (
+              SELECT doc_id AS id, b AS band_idx,
+                     md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
+              FROM sig, (SELECT unnest(range(0, 16)) AS b) bs
+            ),
+            capped AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 64
+            ),
+            pairs AS (
+              SELECT DISTINCT x.id AS a, y.id AS b
+              FROM capped x JOIN capped y USING (band_idx, band_key)
+              WHERE x.id < y.id
+            ),
+            gsets AS (
+              SELECT doc_id, list_distinct(shingles) AS g FROM ({_DUCK_SHINGLES}) t
+            ),
+            ver AS (
+              SELECT p.a, p.b,
+                     round(length(list_distinct(list_filter(sa.g, s -> list_contains(sb.g, s))))::DOUBLE
+                           / length(list_distinct(list_concat(sa.g, sb.g))), 6) AS j
+              FROM pairs p
+              JOIN gsets sa ON sa.doc_id = p.a
+              JOIN gsets sb ON sb.doc_id = p.b
+            ),
+            dup AS (SELECT b AS doc_id, min(a) AS dup_of FROM ver WHERE j >= 0.7 GROUP BY 1)
+            SELECT d.doc_id, dup.dup_of FROM documents d LEFT JOIN dup USING (doc_id)
+        """,
+        "q17_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+              FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+        # q18/q19: numpy-backed LSH/SimHash bucketing — not portably
+        # SQL-expressible; driver records rows-only, pytest holds the goldens.
     }

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k baseline + LSH-bucketed approximate variant.
+
+Scale design:
+- Brute force: queries are broadcast (small side), the corpus scan
+  stays partition-parallel; per-row dot products run JVM-side via
+  ``aggregate(zip_with(...))`` inside codegen — no Python, no shuffle
+  until top-k.
+- Top-k: two-phase (per-partition partial top-k, then global) so a
+  popular query id can't funnel the whole corpus through one reducer.
+- LSH (random hyperplanes, public SimHash-for-cosine construction):
+  deterministic signs from md5 of (plane, dim), signature = packed bit
+  string; bucket equi-join prunes the corpus before exact rescoring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def with_cosine(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "cosine"
+) -> DataFrame:
+    return df.withColumn(
+        out_col,
+        F.round(
+            F.expr(_dot_expr(a_col, b_col))
+            / (F.expr(_norm_expr(a_col)) * F.expr(_norm_expr(b_col))),
+            6,
+        ),
+    )
+
+
+def topk_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    tie_break: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Two-phase top-k per key: partial top-k within each partition,
+    then exact top-k over the ≤ k × n_partitions survivors. The final
+    window sees a tiny input, so per-key skew is bounded."""
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    tb = F.col(tie_break).asc()
+
+    w_local = Window.partitionBy(key, F.spark_partition_id()).orderBy(oc, tb)
+    partial = df.withColumn("_r", F.row_number().over(w_local)).filter(
+        F.col("_r") <= k
+    ).drop("_r")
+
+    w_global = Window.partitionBy(key).orderBy(oc, tb)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the queries, score
+    every (query, corpus) pair JVM-side, two-phase top-k.
+    Output: (query_id, vec_id, cosine, rank)."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = with_cosine(joined, vec_col, query_vec_col).select(
+        query_id_col, id_col, "cosine"
+    )
+    return topk_per_key(scored, query_id_col, "cosine", k, tie_break=id_col).select(
+        query_id_col, id_col, "cosine", "rank"
+    )
+
+
+def _plane_matrix(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from md5 (no RNG state, so every
+    executor/run regenerates identical planes)."""
+    signs = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        h = hashlib.md5(f"{seed}|plane|{p}".encode()).digest()
+        # expand to dim bytes deterministically
+        buf = b""
+        c = 0
+        while len(buf) < dim:
+            buf += hashlib.md5(h + c.to_bytes(4, "big")).digest()
+            c += 1
+        bits = np.frombuffer(buf[:dim], dtype=np.uint8)
+        signs[p] = np.where(bits & 1, 1.0, -1.0)
+    return signs
+
+
+def lsh_signature_udf(n_planes: int, dim: int, seed: int = 42):
+    planes = _plane_matrix(n_planes, dim, seed)  # small; ships in closure
+
+    @pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # (n, dim) one Arrow batch
+        proj = m @ planes.T  # (n, planes)
+        bits = (proj > 0).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        sig = (bits * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(sig, index=vecs.index)
+
+    return _sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, exact-rescore only same-bucket pairs. Recall < 1 by
+    construction; the scale path when the corpus no longer fits a
+    broadcast crossJoin."""
+    sig = lsh_signature_udf(n_planes, dim, seed)
+    c = corpus.withColumn("_sig", sig(F.col(vec_col)))
+    q = queries.withColumn("_sig", sig(F.col(query_vec_col)))
+    joined = c.join(F.broadcast(q), "_sig")
+    scored = with_cosine(joined, vec_col, query_vec_col).select(
+        query_id_col, id_col, "cosine"
+    )
+    return topk_per_key(scored, query_id_col, "cosine", k, tie_break=id_col).select(
+        query_id_col, id_col, "cosine", "rank"
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-bucketing:
+    (a, b, cosine) with cosine ≥ threshold, a < b."""
+    sig = lsh_signature_udf(n_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("_sig", sig(F.col("v")))
+    a = c.select("_sig", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = c.select("_sig", F.col("id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.join(b, "_sig").filter(F.col("a") < F.col("b"))
+    return (
+        with_cosine(pairs, "va", "vb")
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+No reference counterpart (auto-data-tokenize stops at PII); these are
+the large-scale corpus-prep operators the engine adds. Everything here
+is pure JVM-side expression (whole-stage codegen, no Python), built
+from SQL fragments that are *dialect-portable*: the same expression
+text runs on Spark and on the DuckDB oracle, so correctness checks are
+literal.
+
+Scale: all transforms are narrow (scan→project); aggregations happen
+downstream in whatever query composes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# A BPE-ish pre-tokenization: letter runs, digit runs, single
+# non-alphanumeric marks (GPT-2-style pre-split, simplified; public).
+BPEISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Spark SQL string literals eat single backslashes; DuckDB's don't.
+BPEISH_RE_SPARK_SQL = BPEISH_RE.replace("\\", "\\\\")
+
+# Small public stopword lists (top function words). zh is omitted:
+# whitespace tokenization cannot carry it (documented limitation).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "you", "that", "was",
+           "for", "on", "are", "as", "with", "they", "this", "have", "from"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "sie", "mit",
+           "ein", "eine", "auf", "den", "dem", "des", "zu", "im", "von"],
+    "es": ["el", "la", "los", "las", "de", "que", "en", "un", "una", "es",
+           "por", "con", "para", "su", "del", "se", "no", "como"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans",
+           "que", "qui", "sur", "au", "du", "des", "pas", "plus"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic tie-break order
+
+
+def _sql_list(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _sql_list_duck(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars, n_ws_tokens (whitespace), n_bpeish_tokens (regex
+    pre-tokenizer) — the unit-economics columns of a corpus pipeline."""
+    return (
+        df.withColumn("n_chars", F.length(text_col))
+        .withColumn(
+            "n_ws_tokens",
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+        )
+        .withColumn(
+            "n_bpeish_tokens",
+            F.size(
+                F.expr(f"regexp_extract_all({text_col}, '{BPEISH_RE_SPARK_SQL}', 0)")
+            ),
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality features + a boolean gate. Thresholds follow the
+    usual corpus-filtering heuristics (Gopher/C4-style, public)."""
+    en = _sql_list(STOPWORDS["en"])
+    out = (
+        token_counts(df, text_col)
+        .withColumn(
+            "n_stop_hits",
+            F.expr(
+                f"size(array_intersect(split(lower({text_col}), '[^a-z]+'), {en}))"
+            ),
+        )
+        .withColumn(
+            "n_punct",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[.,;:!?]', 0)")),
+        )
+    )
+    return out.withColumn(
+        "is_quality",
+        (F.col("n_ws_tokens") >= 5)
+        & (F.col("n_chars") >= 20)
+        & (F.col("n_stop_hits") >= 1),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: distinct-stopword hits per language,
+    argmax with fixed priority tie-break; zero hits → 'unknown'."""
+    out = df
+    for lang in LANG_PRIORITY:
+        out = out.withColumn(
+            f"_h_{lang}",
+            F.expr(
+                "size(array_distinct(array_intersect("
+                f"split(lower({text_col}), '[^a-z]+'), {_sql_list(STOPWORDS[lang])})))"
+            ),
+        )
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        others = [f"_h_{o}" for o in LANG_PRIORITY[i + 1 :]]
+        c = (F.col(f"_h_{lang}") > 0)
+        for o in others:
+            c = c & (F.col(f"_h_{lang}") >= F.col(o))
+        cases.append((c, lang))
+    expr = F.when(cases[0][0], cases[0][1])
+    for c, lang in cases[1:]:
+        expr = expr.when(c, lang)
+    expr = expr.otherwise("unknown")
+    return out.withColumn("pred_lang", expr).drop(
+        *[f"_h_{lang}" for lang in LANG_PRIORITY]
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text — the cheap exact-dup key. (Winnowing
+    fingerprints for partial overlap live in dedup.winnowing_fingerprints.)"""
+    return df.withColumn(
+        "fingerprint",
+        F.md5(F.concat_ws(" ", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))),
+    )
+
+
+# -- DuckDB oracle fragments (kept adjacent so the two dialects evolve
+#    together; used by __spark_entry__.oracle_sql) -------------------------
+
+
+def duckdb_language_id_sql(table: str, text_col: str = "text") -> str:
+    hits = ",\n".join(
+        f"length(list_distinct(list_filter(string_split_regex(lower({text_col}), '[^a-z]+'),"
+        f" w -> list_contains({_sql_list_duck(STOPWORDS[lang])}, w)))) AS _h_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        conds = [f"_h_{lang} > 0"] + [
+            f"_h_{lang} >= _h_{o}" for o in LANG_PRIORITY[i + 1 :]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+        WITH h AS (SELECT doc_id, {hits} FROM {table})
+        SELECT doc_id, CASE {' '.join(cases)} ELSE 'unknown' END AS pred_lang
+        FROM h
+    """

@@ -1,0 +1,98 @@
+"""Dedup operators: planted exact/near duplicates must be found;
+unrelated docs must not pair up."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old house near the river bank under a bright morning sky"
+)
+NEAR = BASE.replace("bright morning", "dark evening")  # small edit
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized operators reading parquet files from object "
+    "storage while optimizing shuffle exchanges and broadcast joins"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0
+        (3, OTHER),
+        (4, "tiny"),        # shorter than shingle width
+        (5, OTHER + " with an extra tail sentence appended for variety"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_signatures_shape_and_determinism(spark, docs):
+    a = dedup.minhash_signatures(docs).orderBy("doc_id").collect()
+    b = dedup.minhash_signatures(docs.repartition(3)).orderBy("doc_id").collect()
+    assert [r["sig"] for r in a] == [r["sig"] for r in b]
+    assert all(len(r["sig"]) == 64 for r in a)
+    # exact dups share full signatures
+    assert a[0]["sig"] == a[1]["sig"]
+    # near dups share most components
+    shared = sum(x == y for x, y in zip(a[0]["sig"], a[2]["sig"]))
+    assert shared > 32
+    # unrelated docs share almost none
+    shared_other = sum(x == y for x, y in zip(a[0]["sig"], a[3]["sig"]))
+    assert shared_other < 8
+
+
+def test_lsh_pairs_find_planted_dups(spark, docs):
+    sig = dedup.minhash_signatures(docs)
+    pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(sig).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_minhash_dedup_end_to_end(spark, docs):
+    out = {r["doc_id"]: r["dup_of"] for r in dedup.minhash_dedup(docs).collect()}
+    assert out[0] is None
+    assert out[1] == 0
+    assert out[2] == 0  # near dup at 0.7 shingle-jaccard
+    assert out[3] is None
+    assert out[4] is None
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "a long, b long")
+    j = {(r["a"], r["b"]): r["jaccard"] for r in
+         dedup.ngram_jaccard_pairs(docs, pairs, n=3).collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] == 0.0
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=6).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in got                    # identical text → hamming 0
+    ham = {(r["a"], r["b"]): r["hamming"] for r in pairs}
+    assert ham[(0, 1)] == 0
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_simhash_deterministic_across_partitionings(spark, docs):
+    a = dedup.simhash(docs).orderBy("doc_id").collect()
+    b = dedup.simhash(docs.repartition(4)).orderBy("doc_id").collect()
+    assert [r["simhash"] for r in a] == [r["simhash"] for r in b]
+
+
+def test_bucket_cap_bounds_pairs(spark):
+    # 100 identical docs → one bucket of 100 > max_bucket → pruned, no blowup
+    rows = [(i, BASE) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(df)
+    n = dedup.lsh_candidate_pairs(sig, max_bucket=64).count()
+    assert n == 0
+    n2 = dedup.lsh_candidate_pairs(sig, max_bucket=128).count()
+    assert n2 == 100 * 99 // 2

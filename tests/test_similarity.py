@@ -1,0 +1,93 @@
+"""Similarity search: exact brute-force top-k, LSH ANN recall,
+embedding near-dups."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators import similarity
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, DIM)).astype(np.float32)
+    vecs[5] = vecs[0] + rng.normal(scale=0.01, size=DIM).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    return (
+        corpus.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def test_exact_topk_self_is_rank1(spark, corpus, queries):
+    out = similarity.cosine_topk(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == q
+        assert rows[0]["cosine"] == 1.0
+        assert len(rows) == 5
+    # near-dup planted at 5 must be #2 for query 0
+    assert by_q[0][1]["vec_id"] == 5
+
+
+def test_topk_matches_numpy(spark, corpus, queries):
+    got = similarity.cosine_topk(corpus, queries, k=3).collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in corpus.collect()}
+    for q in range(3):
+        qv = emb[q]
+        sims = sorted(
+            ((round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), i)
+             for i, v in emb.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        want = [i for _, i in sims]
+        have = [r["vec_id"] for r in sorted(
+            (x for x in got if x["query_id"] == q), key=lambda r: r["rank"])]
+        assert have == want, q
+
+
+def test_lsh_ann_recall(spark, corpus, queries):
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+    approx = similarity.lsh_ann_topk(
+        corpus, queries, k=5, dim=DIM, n_planes=8
+    ).collect()
+    # every query finds itself (same bucket trivially)
+    self_hits = {r["query_id"] for r in approx if r["vec_id"] == r["query_id"]}
+    assert self_hits == {0, 1, 2}
+    # sane recall vs exact (same-bucket pruning loses some, not all)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(exact_set & approx_set) >= 3
+
+
+def test_embedding_near_dups(spark, corpus):
+    out = similarity.embedding_near_dups(
+        corpus, threshold=0.99, dim=DIM, n_planes=8
+    ).collect()
+    assert any((r["a"], r["b"]) == (0, 5) for r in out)
+    for r in out:
+        assert r["cosine"] >= 0.99
+
+
+def test_scoring_is_jvm_side(spark, corpus, queries):
+    plan = (
+        similarity.cosine_topk(corpus, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the scoring crossJoin stage must not invoke Python
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,67 @@
+"""Text-analysis operators: token counts, quality, language ID,
+fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The cat and the dog are in the house, it is warm."),
+        (1, "Der Hund und die Katze sind nicht in dem Haus."),
+        (2, "El perro y la gata es que no en una casa."),
+        (3, "Le chien et la chatte est dans les maisons pour un an."),
+        (4, "xyzzy qwerty plugh"),
+        (5, "  "),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark, docs):
+    out = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert out[0]["n_ws_tokens"] == 12
+    assert out[0]["n_chars"] == len("The cat and the dog are in the house, it is warm.")
+    # BPE-ish: words + comma + period
+    assert out[0]["n_bpeish_tokens"] == 14
+    assert out[6]["n_ws_tokens"] == 1
+
+
+def test_quality_gate(spark, docs):
+    out = {r["doc_id"]: r["is_quality"] for r in
+           textstats.quality_features(docs).collect()}
+    assert out[0] is True
+    assert out[4] is False   # no stopwords
+    assert out[6] is False   # too short
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in
+           textstats.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "fr"
+    assert out[4] == "unknown"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, " HELLO\tWORLD ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in
+           textstats.fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_all_jvm_side_no_python(spark, docs):
+    """These operators must stay in whole-stage codegen (no BatchEvalPython
+    / ArrowEvalPython in the plan)."""
+    for op in (textstats.token_counts, textstats.quality_features,
+               textstats.language_id, textstats.fingerprint):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, op.__name__
