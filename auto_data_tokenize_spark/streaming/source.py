@@ -63,15 +63,28 @@ def stage_stream_input(
     out_dir: str,
     n_files: int = 8,
     arrival_order: str = "ts",
+    replicate: int = 1,
 ) -> str:
     """Split one parquet into ``n_files`` chunks in arrival order.
 
     ``arrival_order='ts'`` sorts by event time (late rows in the
     generator keep their jittered-backward ts, so they *arrive* late
     relative to the watermark — they are late by generation, not by
-    file order)."""
+    file order).
+
+    ``replicate=k`` scales the stream k× by cloning rows under suffixed
+    conv_ids (deterministic; used by the scaling benchmark so compute
+    dominates fixed per-job overhead)."""
     os.makedirs(out_dir, exist_ok=True)
     df = pd.read_parquet(parquet_path)
+    if replicate > 1:
+        clones = []
+        for r in range(replicate):
+            c = df.copy()
+            if r > 0:
+                c["conv_id"] = c["conv_id"] + f"_r{r}"
+            clones.append(c)
+        df = pd.concat(clones, ignore_index=True)
     if arrival_order == "ts":
         # Arrival time = per-conversation running max of event time: a
         # late (backdated-ts) row still *arrives* where its neighbors

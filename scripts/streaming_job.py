@@ -31,6 +31,14 @@ def main() -> None:
                    choices=["tokenize", "freq", "sessions"])
     p.add_argument("--watermark", default="10 minutes")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--sink", default="table", choices=["table", "noop"],
+                   help="'table' = exactly-once commit-log sink (includes "
+                        "local-disk write, which saturates in this sandbox); "
+                        "'noop' = engine path only, isolates compute scaling")
+    p.add_argument("--warmup-input", default=None,
+                   help="small input dir run (untimed) first, so JVM JIT "
+                        "and Python worker spawn don't pollute the "
+                        "throughput measurement")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,6 +54,17 @@ def main() -> None:
     from auto_data_tokenize_spark.streaming.listener import JsonlMetricsListener
     from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
 
+    if args.warmup_input:
+        wsink = ExactlyOnceSink(f"{args.output}_warmup")
+        pipeline.run_to_sink(
+            pipeline.tokenize_stream(
+                source.transcripts_stream(spark, args.warmup_input)
+            ),
+            wsink,
+            f"{args.checkpoint}_warmup",
+        )
+
+    # listener attaches after warmup so _metrics carries only the timed run
     listener = JsonlMetricsListener(f"{args.output}/_metrics")
     spark.streams.addListener(listener)
 
@@ -59,12 +78,64 @@ def main() -> None:
     else:
         stream_df = pipeline.session_report_stream(st, watermark=args.watermark)
 
-    sink = ExactlyOnceSink(args.output)
-    t0 = time.perf_counter()
-    pipeline.run_to_sink(stream_df, sink, args.checkpoint)
-    elapsed = time.perf_counter() - t0
+    if args.sink == "noop":
+        t0 = time.perf_counter()
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", args.checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        elapsed = time.perf_counter() - t0
+        sink = None
+        rows = sum(
+            json.loads(ln).get("num_input_rows", 0)
+            for ln in open(listener.path)
+            if '"progress"' in ln
+        )
+    else:
+        sink = ExactlyOnceSink(args.output)
+        t0 = time.perf_counter()
+        pipeline.run_to_sink(stream_df, sink, args.checkpoint)
+        elapsed = time.perf_counter() - t0
+        rows = sink.total_rows()
 
-    rows = sink.total_rows()
+    # steady-state throughput: drop the first timed batch (python worker
+    # spawn + JIT land there); at 10^12-turn scale the stream runs for
+    # days and steady state IS the throughput.
+    steady = None
+    try:
+        progress = [
+            json.loads(ln)
+            for ln in open(listener.path)
+            if '"progress"' in ln
+        ]
+        if sink is not None:
+            lineage = {c["batch_id"]: c["row_count"] for c in sink.lineage()}
+        else:
+            lineage = {
+                p["batch_id"]: p["num_input_rows"]
+                for p in progress
+                if p.get("num_input_rows", 0) > 0
+            }
+        batches = [
+            (p["batch_id"], p["duration_ms"].get("triggerExecution", 0))
+            for p in progress
+            if p.get("num_input_rows", 0) > 0 and p["batch_id"] in lineage
+        ]
+        if len(batches) >= 2:
+            tail = batches[1:]
+            t_rows = sum(lineage[b] for b, _ in tail)
+            t_ms = sum(ms for _, ms in tail)
+            if t_ms > 0:
+                steady = round(t_rows / (t_ms / 1000.0), 1)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -73,7 +144,9 @@ def main() -> None:
                 "elapsed_sec": round(elapsed, 3),
                 "rows_committed": rows,
                 "rows_per_sec": round(rows / elapsed, 1),
-                "batches": len(sink.committed_batches()),
+                "steady_rows_per_sec": steady,
+                "sink": args.sink,
+                "batches": len(sink.committed_batches()) if sink else None,
             }
         ),
         file=sys.stdout,
