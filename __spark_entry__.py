@@ -227,6 +227,111 @@ def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_documents(spark, sf_dir), max_hamming=8)
 
 
+def q20_column_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-column tokenize → detokenize must reproduce the input
+    exactly (ValueTokenizer encrypt/decrypt contract) — the oracle is
+    simply the original columns."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        detokenize_columns,
+        tokenize_columns,
+    )
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    enc = tokenize_columns(cust, ["c_name", "c_acctbal"], scope_col="c_custkey")
+    return detokenize_columns(
+        enc,
+        ["c_name", "c_acctbal"],
+        original_types={"c_name": "string", "c_acctbal": "double"},
+        scope_col="c_custkey",
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def q21_infotype_freq_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.operators.windows import infotype_frequencies
+
+    return infotype_frequencies(
+        _detections(spark, sf_dir), "10 minutes", slide="5 minutes"
+    )
+
+
+def _run_stream_query(spark: SparkSession, sf_dir: str, mode: str):
+    """Single-trigger streaming run through the exactly-once sink; the
+    result is read back from committed batches. Single trigger ⇒ the
+    initial watermark is -inf, so no in-batch drops; append-mode output
+    is governed by the FINAL watermark = max(event ts) - delay, which
+    the oracle reproduces in SQL."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.streaming import pipeline, source
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    d = datagen.ensure_sf(_sf_name(sf_dir))
+    base = tempfile.mkdtemp(prefix=f"adt_stream_q_{mode}_")
+    staged = source.stage_stream_input(
+        os.path.join(d, "transcripts.parquet"), f"{base}/in", n_files=8
+    )
+    st = source.transcripts_stream(spark, staged)
+    if mode == "tokenize":
+        stream_df = pipeline.tokenize_stream(st)
+    else:
+        stream_df = pipeline.session_report_stream(
+            st, gap="30 minutes", watermark="10 minutes"
+        )
+    sink = ExactlyOnceSink(f"{base}/out")
+    pipeline.run_to_sink(stream_df, sink, f"{base}/ckpt")
+    out = sink.read_committed(spark)
+    # materialize before the tmp dir can disappear
+    import pandas as pd  # noqa: F401
+
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+def q22_stream_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch golden, reproduced through Structured Streaming +
+    the exactly-once sink (north_rule: same rows for the same input
+    stream + watermark)."""
+    return _run_stream_query(spark, sf_dir, "tokenize").select(
+        "conv_id", "turn_idx", "text_tok"
+    )
+
+
+def q23_stream_session_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-closed session reports from the state store (append
+    mode emits sessions with session_end <= max(ts) - delay, verified
+    empirically; the oracle applies the same filter in SQL)."""
+    return _run_stream_query(spark, sf_dir, "sessions").select(
+        "conv_id", "session_start", "session_end", "n_detections", "n_info_types"
+    )
+
+
+def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
+    from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
+
+    tok = tokenize_turns(_transcripts(spark, sf_dir))
+    return tok.select(
+        "conv_id",
+        "turn_idx",
+        detokenize_text_udf()(F.col("conv_id"), F.col("text_tok")).alias("text"),
+    )
+
+
+def q25_salted_infotype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase hot-key-proof aggregation (ShardAssigner semantics,
+    dlp/BatchAndDlpDeIdRecords.java:216-234) must agree with the plain
+    group-by; oracle = plain SQL count."""
+    from auto_data_tokenize_spark.operators.skew import salted_agg
+
+    det = _detections(spark, sf_dir)
+    return salted_agg(det, ["info_type"], {"n": "count"}, n_salts=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": q01_tokenize_turns,
@@ -248,6 +353,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_cosine_topk": q17_cosine_topk,
         "q18_embedding_near_dups": q18_embedding_near_dups,
         "q19_simhash_near_dups": q19_simhash_near_dups,
+        "q20_column_tokenize_roundtrip": q20_column_tokenize_roundtrip,
+        "q21_infotype_freq_sliding": q21_infotype_freq_sliding,
+        "q22_stream_tokenize": q22_stream_tokenize,
+        "q23_stream_session_reports": q23_stream_session_reports,
+        "q24_detokenize_roundtrip": q24_detokenize_roundtrip,
+        "q25_salted_infotype_counts": q25_salted_infotype_counts,
     }
 
 
@@ -483,4 +594,44 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         # q18/q19: numpy-backed LSH/SimHash bucketing — not portably
         # SQL-expressible; driver records rows-only, pytest holds the goldens.
+        "q20_column_tokenize_roundtrip": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+        """,
+        "q21_infotype_freq_sliding": f"""
+            SELECT make_timestamp(((epoch_us(ts) // 300000000) - o) * 300000000) AS window_start,
+                   make_timestamp(((epoch_us(ts) // 300000000) - o) * 300000000 + 600000000) AS window_end,
+                   info_type, COUNT(*) AS n
+            FROM {det}, (SELECT unnest([0, 1]) AS o) offs
+            GROUP BY 1, 2, 3
+        """,
+        "q22_stream_tokenize": f"""
+            SELECT conv_id, turn_idx, text_tok FROM {tok}
+        """,
+        "q23_stream_session_reports": f"""
+            WITH o AS (
+              SELECT conv_id, ts, info_type,
+                     CASE WHEN lag(ts) OVER (PARTITION BY conv_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts) > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM {det}
+            ), s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts) AS sess
+              FROM o
+            ), sessions AS (
+              SELECT conv_id,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_detections,
+                     COUNT(DISTINCT info_type) AS n_info_types
+              FROM s GROUP BY conv_id, sess
+            )
+            SELECT * FROM sessions
+            WHERE session_end <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM {det})
+        """,
+        "q24_detokenize_roundtrip": f"""
+            SELECT conv_id, turn_idx, text FROM {tr}
+        """,
+        "q25_salted_infotype_counts": f"""
+            SELECT info_type, COUNT(*) AS n FROM {det} GROUP BY 1
+        """,
     }

@@ -19,6 +19,7 @@ scan→project→write with zero exchanges.
 from __future__ import annotations
 
 import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -77,9 +78,63 @@ def tokenize_columns(
     scope; None → a single global key scope, like the reference's one
     keyset for the whole run.
     """
-    scope = F.col(scope_col) if scope_col else F.lit("")
+    scope = F.col(scope_col).cast("string") if scope_col else F.lit("")
     out = df
     for c in columns:
-        udf = _value_token_udf(root_key, f"COLUMN:{c}")
+        udf = _value_token_udf(root_key, _column_label(c))
         out = out.withColumn(f"encrypted_{c}", udf(scope, F.col(c).cast("string"))).drop(c)
+    return out
+
+
+def _column_label(c: str) -> str:
+    """Key-scope label for whole-column tokens; must stay within
+    TOKEN_RE's [A-Z_0-9] alphabet so tokens parse for detokenize."""
+    return "COL_" + "".join(ch if ch.isalnum() else "_" for ch in c).upper()
+
+
+def detokenize_columns(
+    df: DataFrame,
+    columns: list[str],
+    original_types: dict[str, str] | None = None,
+    scope_col: str | None = None,
+    root_key: bytes = DEFAULT_ROOT_KEY,
+) -> DataFrame:
+    """Inverse of :func:`tokenize_columns`: ``encrypted_<c>`` → ``<c>``,
+    restoring the original type via plan-time cast — semantics of the
+    reference's ValueTokenizer.decrypt + ORIGINAL_TYPE schema property
+    (encryptors/ValueTokenizer.java; DeIdentifiedRecordSchemaConverter.java:53,209).
+    """
+    from auto_data_tokenize_spark.functions.tokenizer import TOKEN_RE
+
+    scope = F.col(scope_col).cast("string") if scope_col else F.lit("")
+
+    def _make_detok(label: str):
+        @pandas_udf(StringType())
+        def _detok(s: pd.Series, v: pd.Series) -> pd.Series:
+            tok = _get_tokenizer(root_key)
+
+            def one(scope_v, tok_v):
+                if tok_v is None or tok_v != tok_v:
+                    return None
+                m = TOKEN_RE.fullmatch(tok_v)
+                if not m or m.group(1) != label:
+                    raise ValueError(f"not a {label} token: {tok_v[:40]!r}")
+                return tok.detoken(
+                    scope_v if scope_v is not None and scope_v == scope_v else "",
+                    label,
+                    m.group(2),
+                )
+
+            return pd.Series(
+                [one(a, b) for a, b in zip(s, v)], index=v.index, dtype=object
+            )
+
+        return _detok
+
+    out = df
+    for c in columns:
+        col = _make_detok(_column_label(c))(scope, F.col(f"encrypted_{c}"))
+        if original_types and c in original_types:
+            col = col.cast(original_types[c])
+        out = out.withColumn(c, col).drop(f"encrypted_{c}")
     return out

@@ -77,7 +77,20 @@ def test_tokenize_columns_whole_value(spark):
     assert set(out.columns) == {"conv_id", "n", "encrypted_email"}
     rows = {r["conv_id"]: r["encrypted_email"] for r in out.collect()}
     assert rows["c1"] != rows["c2"]
-    assert rows["c1"].startswith("[TOK:COLUMN:email:")
+    assert rows["c1"].startswith("[TOK:COL_EMAIL:")
+
+
+def test_tokenize_columns_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("c1", "bob@example.com", 7), ("c2", None, 8)],
+        "conv_id string, email string, n int",
+    )
+    enc = tokenize.tokenize_columns(df, ["email"], scope_col="conv_id")
+    dec = tokenize.detokenize_columns(
+        enc, ["email"], original_types={"email": "string"}, scope_col="conv_id"
+    )
+    got = {r["conv_id"]: r["email"] for r in dec.collect()}
+    assert got == {"c1": "bob@example.com", "c2": None}
 
 
 def test_deterministic_token_reuse_joinability(spark, transcripts_small):
