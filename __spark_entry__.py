@@ -332,6 +332,118 @@ def q25_salted_infotype_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_agg(det, ["info_type"], {"n": "count"}, n_salts=10)
 
 
+def q26_token_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream-stream join (detections × token dictionary) under
+    watermarks, single trigger; oracle = the equivalent batch time-range
+    join in SQL (TokenizedDataMerger's cross-stream analogue)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.streaming import pipeline as spipe, source
+    from auto_data_tokenize_spark.streaming.join import token_dictionary_join
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    d = datagen.ensure_sf(_sf_name(sf_dir))
+    base = tempfile.mkdtemp(prefix="adt_q26_")
+    det_in = f"{base}/det"
+    dict_in = f"{base}/dict"
+    os.makedirs(det_in)
+    os.makedirs(dict_in)
+    det_pd = pd.read_parquet(os.path.join(d, "detections.parquet"))
+    det_pd[["conv_id", "turn_idx", "info_type", "token", "ts"]].to_parquet(
+        f"{det_in}/d.parquet", index=False
+    )
+    shutil.copy(os.path.join(d, "token_dictionary.parquet"), f"{dict_in}/t.parquet")
+
+    det_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("info_type", StringType()),
+            StructField("token", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    det_stream = spark.readStream.schema(det_schema).parquet(det_in)
+    dict_stream = source.token_dictionary_stream(spark, dict_in)
+    joined = token_dictionary_join(det_stream, dict_stream, interval="10 minutes")
+    sink = ExactlyOnceSink(f"{base}/out")
+    spipe.run_to_sink(joined, sink, f"{base}/ckpt")
+    out = sink.read_committed(spark)
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result.select(
+        "conv_id", "turn_idx", "info_type", "token", "ts", "dict_ts"
+    )
+
+
+def q27_escalation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern (batch twin): alert at the event time a conversation
+    reaches 3 distinct infoTypes."""
+    from auto_data_tokenize_spark.streaming.cep import escalation_alerts_batch
+
+    return escalation_alerts_batch(_detections(spark, sf_dir), min_distinct=3)
+
+
+def q28_stream_escalation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pattern through applyInPandasWithState on the detection
+    stream (custom stateful operator), single trigger — must equal the
+    batch twin and thus the same SQL oracle."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.streaming import pipeline as spipe
+    from auto_data_tokenize_spark.streaming.cep import escalation_alerts_stream
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    import pandas as pd
+
+    d = datagen.ensure_sf(_sf_name(sf_dir))
+    base = tempfile.mkdtemp(prefix="adt_q28_")
+    det_in = f"{base}/det"
+    os.makedirs(det_in)
+    det_pd = pd.read_parquet(os.path.join(d, "detections.parquet"))
+    det_pd.to_parquet(f"{det_in}/d.parquet", index=False)
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("info_type", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("token", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    st = spark.readStream.schema(schema).parquet(det_in)
+    alerts = escalation_alerts_stream(st, min_distinct=3)
+    sink = ExactlyOnceSink(f"{base}/out")
+    spipe.run_to_sink(alerts, sink, f"{base}/ckpt")
+    out = sink.read_committed(spark)
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": q01_tokenize_turns,
@@ -359,6 +471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_stream_session_reports": q23_stream_session_reports,
         "q24_detokenize_roundtrip": q24_detokenize_roundtrip,
         "q25_salted_infotype_counts": q25_salted_infotype_counts,
+        "q26_token_dictionary_join": q26_token_dictionary_join,
+        "q27_escalation_alerts": q27_escalation_alerts,
+        "q28_stream_escalation_alerts": q28_stream_escalation_alerts,
     }
 
 
@@ -407,10 +522,10 @@ _EN_STOP = _en_stop_duck()
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
-    d = f"{REPO}/data/{sf_name}"
-    tr = f"read_parquet('{d}/transcripts.parquet')"
-    det = f"read_parquet('{d}/detections.parquet')"
-    tok = f"read_parquet('{d}/tokenized_turns.parquet')"
+    dd = f"{REPO}/data/{sf_name}"
+    tr = f"read_parquet('{dd}/transcripts.parquet')"
+    det = f"read_parquet('{dd}/detections.parquet')"
+    tok = f"read_parquet('{dd}/tokenized_turns.parquet')"
 
     return {
         "q01_tokenize_turns": f"""
@@ -633,5 +748,38 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         "q25_salted_infotype_counts": f"""
             SELECT info_type, COUNT(*) AS n FROM {det} GROUP BY 1
+        """,
+        "q26_token_dictionary_join": f"""
+            SELECT d.conv_id, d.turn_idx, d.info_type, d.token, d.ts,
+                   t.ts AS dict_ts
+            FROM {det} d
+            JOIN read_parquet('{dd}/token_dictionary.parquet') t
+              ON d.token = t.token
+             AND t.ts BETWEEN d.ts - INTERVAL 10 MINUTE
+                          AND d.ts + INTERVAL 10 MINUTE
+        """,
+        "q27_escalation_alerts": f"""
+            WITH fs AS (
+              SELECT conv_id, info_type, MIN(ts) AS first_ts
+              FROM {det} GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY first_ts, info_type) AS rk
+              FROM fs
+            )
+            SELECT conv_id, first_ts AS alert_ts, 3 AS n_info_types
+            FROM r WHERE rk = 3
+        """,
+        "q28_stream_escalation_alerts": f"""
+            WITH fs AS (
+              SELECT conv_id, info_type, MIN(ts) AS first_ts
+              FROM {det} GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY first_ts, info_type) AS rk
+              FROM fs
+            )
+            SELECT conv_id, first_ts AS alert_ts, 3 AS n_info_types
+            FROM r WHERE rk = 3
         """,
     }

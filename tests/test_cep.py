@@ -1,0 +1,115 @@
+"""CEP escalation operator: applyInPandasWithState streaming twin must
+match the declarative batch plan."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.streaming import cep, pipeline, source
+from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+
+@pytest.fixture(scope="module")
+def det_small(spark, sf_dir_small):
+    return spark.read.parquet(f"{sf_dir_small}/detections.parquet")
+
+
+def test_batch_alert_semantics(spark):
+    rows = [
+        ("c1", "EMAIL_ADDRESS", "2026-01-01 00:00:00"),
+        ("c1", "EMAIL_ADDRESS", "2026-01-01 00:01:00"),
+        ("c1", "PHONE_NUMBER", "2026-01-01 00:02:00"),
+        ("c1", "CREDIT_CARD_NUMBER", "2026-01-01 00:05:00"),  # 3rd distinct → alert
+        ("c1", "US_SOCIAL_SECURITY_NUMBER", "2026-01-01 00:06:00"),
+        ("c2", "EMAIL_ADDRESS", "2026-01-01 00:00:00"),       # never reaches 3
+        ("c2", "PHONE_NUMBER", "2026-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, info_type string, s string")
+    df = df.withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    out = cep.escalation_alerts_batch(df, min_distinct=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["conv_id"] == "c1"
+    assert str(r["alert_ts"]) == "2026-01-01 00:05:00"
+    assert r["n_info_types"] == 3
+
+
+def test_stream_matches_batch_single_trigger(spark, det_small, tmp_path):
+    det_in = str(tmp_path / "in")
+    os.makedirs(det_in)
+    src = det_small.toPandas()
+    src["ts"] = src["ts"].astype("datetime64[us]")
+    src.to_parquet(f"{det_in}/d.parquet", index=False)
+
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("info_type", StringType()),
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("token", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    st = spark.readStream.schema(schema).parquet(det_in)
+    alerts = cep.escalation_alerts_stream(st, min_distinct=3)
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    pipeline.run_to_sink(alerts, sink, str(tmp_path / "ckpt"), output_mode="append")
+    got = (
+        sink.read_committed(spark).orderBy("conv_id").toPandas()
+    )
+    want = (
+        cep.escalation_alerts_batch(det_small, min_distinct=3)
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[sorted(got.columns)],
+        want.reset_index(drop=True)[sorted(want.columns)],
+        check_dtype=False,
+    )
+
+
+def test_stream_fires_once_across_batches(spark, tmp_path):
+    """A conversation crossing the threshold in batch 1 must not
+    re-alert when more detections arrive in batch 2."""
+    import glob
+    in_dir = str(tmp_path / "in2")
+    os.makedirs(in_dir)
+    b1 = pd.DataFrame(
+        {
+            "conv_id": ["x"] * 3,
+            "info_type": ["EMAIL_ADDRESS", "PHONE_NUMBER", "CREDIT_CARD_NUMBER"],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:01:00", "2026-01-01 00:02:00"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out2"))
+    ckpt = str(tmp_path / "ckpt2")
+    schema = "conv_id string, info_type string, ts timestamp"
+
+    b1.to_parquet(f"{in_dir}/b1.parquet", index=False)
+    st = spark.readStream.schema(schema).parquet(in_dir)
+    pipeline.run_to_sink(
+        cep.escalation_alerts_stream(st, min_distinct=3), sink, ckpt
+    )
+    assert sink.read_committed(spark).count() == 1
+
+    b2 = b1.copy()
+    b2["info_type"] = "US_SOCIAL_SECURITY_NUMBER"
+    b2["ts"] = (b2["ts"] + pd.Timedelta(minutes=5)).astype("datetime64[us]")
+    b2.to_parquet(f"{in_dir}/b2.parquet", index=False)
+    st2 = spark.readStream.schema(schema).parquet(in_dir)
+    pipeline.run_to_sink(
+        cep.escalation_alerts_stream(st2, min_distinct=3), sink, ckpt
+    )
+    out = sink.read_committed(spark).toPandas()
+    assert len(out) == 1  # still exactly one alert for conv x
