@@ -51,10 +51,20 @@ def read_source(
         header = options.pop("header", True)
         sep = options.pop("delimiter", ",")
         schema = options.pop("schema", None)
+        # RFC 4180 doubled-quote escaping (the Commons-CSV default the
+        # reference uses, common/CsvIO.java:94-124) — Spark defaults to
+        # backslash escape, which mangles quoted free text
+        options.setdefault("escape", '"')
         reader = spark.read.options(**options)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.csv(path, header=header, sep=sep)
+        df = reader.csv(path, header=header, sep=sep)
+        if not header and schema is None:
+            # headerless CSV: synthesize col_N names, parity with
+            # common/CsvIO.java:481-492
+            for i, c in enumerate(df.columns):
+                df = df.withColumnRenamed(c, f"col_{i}")
+        return df
     if st in ("JSON", "JSON_FILE", "JSONL"):
         return spark.read.options(**options).json(path)
     if st in ("JDBC_TABLE", "JDBC_QUERY"):

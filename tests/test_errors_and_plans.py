@@ -1,0 +1,84 @@
+"""Error-split operator + plan-quality assertions (pushdown, pruning,
+codegen) — the .explain-driven guarantees the 100 TB story rests on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators import errors
+from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
+
+
+def test_split_errors(spark):
+    rows = [
+        ("c1", 1, "ok text", "2026-01-01 00:00:00"),
+        (None, 2, "no conv", "2026-01-01 00:00:00"),
+        ("c3", 0, "bad idx", "2026-01-01 00:00:00"),
+        ("c4", 4, "no ts", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, s string")
+    df = df.withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    good, bad = errors.split_errors(df, errors.transcript_validity_checks(df))
+    assert good.count() == 1
+    got = {r["conv_id"]: r["error"] for r in bad.collect()}
+    assert got == {None: "null_conv_id", "c3": "bad_turn_idx", "c4": "null_ts"}
+    assert "_error" not in good.columns
+
+
+def test_error_reason_is_first_failing_check(spark):
+    df = spark.createDataFrame([(None, 0, "x", None)],
+                               "conv_id string, turn_idx int, text string, ts timestamp")
+    _, bad = errors.split_errors(df, errors.transcript_validity_checks(df))
+    assert bad.collect()[0]["error"] == "null_conv_id"
+
+
+# --- plan quality ----------------------------------------------------------
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir_small):
+    df = spark.read.parquet(f"{sf_dir_small}/transcripts.parquet")
+    plan = _executed(df.filter(F.col("conv_id") == "conv_000042").select("turn_idx"))
+    assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,conv_000042)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir_small):
+    df = spark.read.parquet(f"{sf_dir_small}/transcripts.parquet")
+    plan = _executed(tokenize_turns(df).select("conv_id", "turn_idx", "text_tok"))
+    # only the three needed input columns are read, not role/tool/ts
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" in plan
+
+
+def test_tokenize_plan_shape(spark, sf_dir_small):
+    """The 100 TB tokenize pass: scan → ArrowEvalPython → project.
+    No exchange, no sort, no join."""
+    df = spark.read.parquet(f"{sf_dir_small}/transcripts.parquet")
+    plan = _executed(tokenize_turns(df))
+    assert "ArrowEvalPython" in plan
+    for bad in ("Exchange", "Sort", "Join"):
+        assert bad not in plan, bad
+
+
+def test_textstats_whole_stage_codegen(spark, sf_dir_small):
+    from auto_data_tokenize_spark.operators.textstats import quality_features
+
+    df = spark.read.parquet(f"{sf_dir_small}/transcripts.parquet").withColumnRenamed(
+        "text", "t"
+    ).withColumnRenamed("conv_id", "doc")
+    plan = _executed(quality_features(df, text_col="t"))
+    # "*(n)" prefixes mark whole-stage-codegen spans in the compact form
+    assert "*(1)" in plan
+    assert "Python" not in plan
+
+
+def test_broadcast_join_for_small_queries(spark, sf_dir_small):
+    from auto_data_tokenize_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _executed(cosine_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
