@@ -20,6 +20,34 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in __import__("sys").path:
+    __import__("sys").path.insert(0, REPO)
+
+_PREPPED: set[str] = set()
+
+
+def _prep(spark: SparkSession) -> None:
+    """Make the package importable on executors regardless of the
+    harness's cwd/session: ship it once per session via addPyFile
+    (the in-session analogue of `spark-submit --py-files`)."""
+    import zipfile
+
+    sid = spark.sparkContext.applicationId
+    if sid in _PREPPED:
+        return
+    zip_path = os.path.join("/tmp", "adt_pkg_for_executors.zip")
+    if not _PREPPED:  # rebuild once per process so edits aren't shadowed
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            pkg = os.path.join(REPO, "auto_data_tokenize_spark")
+            for root, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        z.write(p, os.path.relpath(p, REPO))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _PREPPED.add(sid)
 
 
 def _sf_name(sf_dir: str) -> str:
@@ -47,6 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from auto_data_tokenize_spark.operators.ordering import globally_sorted
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
 
+    _prep(spark)
     df = _transcripts(spark, "/root/testdata/sf0.001")
     return globally_sorted(
         tokenize_turns(df).select("conv_id", "turn_idx", "role", "text_tok", "ts")
@@ -444,36 +473,45 @@ def q28_stream_escalation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _with_prep(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q01_tokenize_turns": q01_tokenize_turns,
-        "q02_detections": q02_detections,
-        "q03_column_infotype_counts": q03_column_infotype_counts,
-        "q04_infotype_freq_tumbling": q04_infotype_freq_tumbling,
-        "q05_session_reports": q05_session_reports,
-        "q06_sample_per_column": q06_sample_per_column,
-        "q07_events_tumbling": q07_events_tumbling,
-        "q08_events_sessionize": q08_events_sessionize,
-        "q09_exact_dedup": q09_exact_dedup,
-        "q10_token_counts": q10_token_counts,
-        "q11_quality": q11_quality,
-        "q12_language_id": q12_language_id,
-        "q13_fingerprint": q13_fingerprint,
-        "q14_minhash_signatures": q14_minhash_signatures,
-        "q15_lsh_candidates": q15_lsh_candidates,
-        "q16_minhash_dedup": q16_minhash_dedup,
-        "q17_cosine_topk": q17_cosine_topk,
-        "q18_embedding_near_dups": q18_embedding_near_dups,
-        "q19_simhash_near_dups": q19_simhash_near_dups,
-        "q20_column_tokenize_roundtrip": q20_column_tokenize_roundtrip,
-        "q21_infotype_freq_sliding": q21_infotype_freq_sliding,
-        "q22_stream_tokenize": q22_stream_tokenize,
-        "q23_stream_session_reports": q23_stream_session_reports,
-        "q24_detokenize_roundtrip": q24_detokenize_roundtrip,
-        "q25_salted_infotype_counts": q25_salted_infotype_counts,
-        "q26_token_dictionary_join": q26_token_dictionary_join,
-        "q27_escalation_alerts": q27_escalation_alerts,
-        "q28_stream_escalation_alerts": q28_stream_escalation_alerts,
+        "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
+        "q02_detections": _with_prep(q02_detections),
+        "q03_column_infotype_counts": _with_prep(q03_column_infotype_counts),
+        "q04_infotype_freq_tumbling": _with_prep(q04_infotype_freq_tumbling),
+        "q05_session_reports": _with_prep(q05_session_reports),
+        "q06_sample_per_column": _with_prep(q06_sample_per_column),
+        "q07_events_tumbling": _with_prep(q07_events_tumbling),
+        "q08_events_sessionize": _with_prep(q08_events_sessionize),
+        "q09_exact_dedup": _with_prep(q09_exact_dedup),
+        "q10_token_counts": _with_prep(q10_token_counts),
+        "q11_quality": _with_prep(q11_quality),
+        "q12_language_id": _with_prep(q12_language_id),
+        "q13_fingerprint": _with_prep(q13_fingerprint),
+        "q14_minhash_signatures": _with_prep(q14_minhash_signatures),
+        "q15_lsh_candidates": _with_prep(q15_lsh_candidates),
+        "q16_minhash_dedup": _with_prep(q16_minhash_dedup),
+        "q17_cosine_topk": _with_prep(q17_cosine_topk),
+        "q18_embedding_near_dups": _with_prep(q18_embedding_near_dups),
+        "q19_simhash_near_dups": _with_prep(q19_simhash_near_dups),
+        "q20_column_tokenize_roundtrip": _with_prep(q20_column_tokenize_roundtrip),
+        "q21_infotype_freq_sliding": _with_prep(q21_infotype_freq_sliding),
+        "q22_stream_tokenize": _with_prep(q22_stream_tokenize),
+        "q23_stream_session_reports": _with_prep(q23_stream_session_reports),
+        "q24_detokenize_roundtrip": _with_prep(q24_detokenize_roundtrip),
+        "q25_salted_infotype_counts": _with_prep(q25_salted_infotype_counts),
+        "q26_token_dictionary_join": _with_prep(q26_token_dictionary_join),
+        "q27_escalation_alerts": _with_prep(q27_escalation_alerts),
+        "q28_stream_escalation_alerts": _with_prep(q28_stream_escalation_alerts),
     }
 
 
