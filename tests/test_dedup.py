@@ -87,6 +87,15 @@ def test_simhash_deterministic_across_partitionings(spark, docs):
     assert [r["simhash"] for r in a] == [r["simhash"] for r in b]
 
 
+def test_xxhash64_production_mode(spark, docs):
+    """xxhash64 mode: same dup findings, native long signatures."""
+    out = {r["doc_id"]: r["dup_of"] for r in
+           dedup.minhash_dedup(docs, hash_mode="xxhash64").collect()}
+    assert out[1] == 0 and out[2] == 0 and out[3] is None
+    sig = dedup.minhash_signatures(docs, hash_mode="xxhash64").first()["sig"]
+    assert all(isinstance(x, int) for x in sig)
+
+
 def test_bucket_cap_bounds_pairs(spark):
     # 100 identical docs → one bucket of 100 > max_bucket → pruned, no blowup
     rows = [(i, BASE) for i in range(100)]
