@@ -243,14 +243,50 @@ def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's embeddings are i.i.d. random (max pairwise cosine
+    ≈ 0.60 at sf0.1) — near-dup queries over them alone are vacuous
+    0-row checks. Augment with deterministic, SQL-expressible planted
+    near-copies: for vec_id < 50, v' = v + c·reverse(v) at
+    vec_id + 1_000_000, with c = 0.3 (cos ≈ 0.95-0.96, kept at the 0.9
+    threshold) for vec_id < 25 and c = 0.55 (cos ≈ 0.86-0.92,
+    straddling the threshold) otherwise. The q18 oracle recomputes the
+    identical augmentation in DuckDB, so both engines score the same
+    corpus with real pairs on both sides of the cut."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "zip_with(v, reverse(v), (x, y) -> x +"
+            " if(vec_id < 25, cast(0.3 as double), cast(0.55 as double)) * y)"
+        ).alias("v"),
+    )
+    return base.unionByName(planted)
+
+
 def q18_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs (cosine ≥ 0.9) found through multi-table
+    LSH candidates + exact rescore; recall 1.0 at these parameters on
+    this corpus is pinned by tests/test_similarity.py, which is what
+    lets the exact brute-force SQL oracle apply."""
     from auto_data_tokenize_spark.operators.similarity import embedding_near_dups
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dups(emb, threshold=0.9, dim=64, n_planes=12)
+    aug = _augmented_embeddings(spark, sf_dir)
+    return embedding_near_dups(
+        aug, threshold=0.9, dim=64, n_planes=6, n_tables=16, vec_col="v"
+    )
 
 
 def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs with SimHash Hamming distance ≤ 8 — exact by the
+    pigeonhole block guarantee (n_blocks defaults to max_hamming + 1;
+    the round-1 n_blocks=4 recall hole is structurally closed), and the
+    signature itself is a pure JVM expression the DuckDB oracle
+    recomputes verbatim."""
     from auto_data_tokenize_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(_documents(spark, sf_dir), max_hamming=8)
@@ -269,11 +305,10 @@ def q20_column_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_custkey", "c_name", "c_acctbal"
     )
     enc = tokenize_columns(cust, ["c_name", "c_acctbal"], scope_col="c_custkey")
+    # no original_types dict: restoration flows through the
+    # ORIGINAL_TYPE column metadata tokenize_columns stamped
     return detokenize_columns(
-        enc,
-        ["c_name", "c_acctbal"],
-        original_types={"c_name": "string", "c_acctbal": "double"},
-        scope_col="c_custkey",
+        enc, ["c_name", "c_acctbal"], scope_col="c_custkey"
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
@@ -555,6 +590,12 @@ def _duck_lang_sql() -> str:
     return duckdb_language_id_sql("documents")
 
 
+def _duck_simhash_sql() -> str:
+    from auto_data_tokenize_spark.operators.dedup import duckdb_simhash_sql
+
+    return duckdb_simhash_sql("documents")
+
+
 _BPEISH = _bpeish_duck()
 _EN_STOP = _en_stop_duck()
 
@@ -745,8 +786,41 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 10
         """,
-        # q18/q19: numpy-backed LSH/SimHash bucketing — not portably
-        # SQL-expressible; driver records rows-only, pytest holds the goldens.
+        "q18_embedding_near_dups": """
+            WITH base AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            planted AS (
+              SELECT vec_id + 1000000 AS pvec_id,
+                     list_transform(range(1, len(v) + 1),
+                       i -> v[i] + (CASE WHEN vec_id < 25 THEN 0.3 ELSE 0.55 END)
+                                   * v[len(v) + 1 - i]) AS v
+              FROM base WHERE vec_id < 50
+            ),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT pvec_id, v FROM planted
+            ),
+            scored AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+              FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+            )
+            SELECT a, b, cosine FROM scored WHERE cosine >= 0.9
+        """,
+        "q19_simhash_near_dups": f"""
+            WITH s AS ({_duck_simhash_sql()})
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   (bit_count(xor(x.sig_hi, y.sig_hi))
+                    + bit_count(xor(x.sig_lo, y.sig_lo)))::INTEGER AS hamming
+            FROM s x JOIN s y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.sig_hi, y.sig_hi))
+                  + bit_count(xor(x.sig_lo, y.sig_lo)) <= 8
+        """,
         "q20_column_tokenize_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
         """,

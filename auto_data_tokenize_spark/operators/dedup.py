@@ -229,9 +229,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def _distinct_words_expr(text_col: str) -> str:
+    """Distinct non-empty whitespace tokens of lowercased text — the
+    SimHash feature set (mirrors Python ``set(text.lower().split())``)."""
+    return (
+        f"filter(array_distinct(split(lower(trim({text_col})), '\\\\s+')),"
+        " w -> w <> '')"
+    )
+
+
+def simhash_cols(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash computed *fully JVM-side* (whole-stage codegen,
+    zero Python): per distinct word, h = first 16 hex chars of md5 as a
+    big-endian uint64, carried as two 32-bit halves (``simhash_hi`` =
+    bits 63..32, ``simhash_lo`` = bits 31..0) to stay inside signed
+    64-bit arithmetic portably. Signature bit b is set iff more than
+    half the words have bit b set. ``simhash_hex`` is the 16-hex
+    big-endian rendering used for substring blocking.
+
+    Bit-for-bit identical to ``simhash_udf`` (pinned by
+    tests/test_dedup.py) and expressible verbatim in DuckDB — the q19
+    oracle recomputes it in SQL, making the whole near-dup pipeline
+    cross-engine checkable.
+
+    The repartition is the house materialization barrier: without it
+    CollapseProject inlines the word-hash array into both signature
+    aggregates and the md5 work doubles (documented Catalyst trap)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    hs = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({_distinct_words_expr(text_col)}, w -> named_struct("
+            "'hi', cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint),"
+            " 'lo', cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)))"
+        ).alias("_hs"),
+    ).repartition(parallelism, F.col(id_col))
+
+    def sig(half: str) -> str:
+        # bit b of this 32-bit half: majority vote over word hashes
+        return (
+            "aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + "
+            f"if(2 * size(filter(_hs, h -> (shiftrightunsigned(h.{half}, b) & 1) = 1))"
+            " > size(_hs), shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+        )
+
+    return hs.select(
+        F.col(id_col),
+        F.expr(sig("hi")).alias("simhash_hi"),
+        F.expr(sig("lo")).alias("simhash_lo"),
+        F.lower(
+            F.concat(
+                F.lpad(F.expr(f"hex({sig('hi')})"), 8, "0"),
+                F.lpad(F.expr(f"hex({sig('lo')})"), 8, "0"),
+            )
+        ).alias("simhash_hex"),
+    )
+
+
+def duckdb_simhash_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of ``simhash_cols`` (same md5/bit conventions) —
+    returns (id, sig_hi, sig_lo). Used by the q19 oracle."""
+    return f"""
+      WITH w AS (
+        SELECT {id_col},
+               list_filter(list_distinct(string_split_regex(trim(lower({text_col})), '\\s+')),
+                           x -> x <> '') words
+        FROM {table}
+      ), h AS (
+        SELECT {id_col},
+               list_transform(words, x -> {{hi: ('0x' || substr(md5(x), 1, 8))::BIGINT,
+                                            lo: ('0x' || substr(md5(x), 9, 8))::BIGINT}}) hs
+        FROM w
+      )
+      SELECT {id_col},
+             coalesce(list_sum(list_transform(range(0, 32),
+               b -> CASE WHEN 2 * len(list_filter(hs, e -> ((e.hi >> b) & 1) = 1)) > len(hs)
+                         THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT, 0) AS sig_hi,
+             coalesce(list_sum(list_transform(range(0, 32),
+               b -> CASE WHEN 2 * len(list_filter(hs, e -> ((e.lo >> b) & 1) = 1)) > len(hs)
+                         THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT, 0) AS sig_lo
+      FROM h
+    """
+
+
 def simhash_udf(n_bits: int = 64):
-    """64-bit SimHash over word md5s — vectorized numpy inside an Arrow
-    batch (bit twiddling is not portably expressible in SQL)."""
+    """64-bit SimHash over word md5s — the original vectorized-Arrow
+    reference implementation, kept as the independent cross-check for
+    ``simhash_cols`` (tests assert exact agreement); the JVM expression
+    path is the production mode."""
 
     @pandas_udf(LongType())
     def _simhash(text: pd.Series) -> pd.Series:
@@ -263,7 +350,13 @@ def simhash_udf(n_bits: int = 64):
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(id_col, simhash_udf()(F.col(text_col)).alias("simhash"))
+    """(id, simhash) with the signature packed into one signed int64 —
+    JVM expression path (``simhash_cols``); equals the historical
+    ``simhash_udf`` output bit-for-bit."""
+    return simhash_cols(df, id_col, text_col).select(
+        id_col,
+        F.expr("shiftleft(simhash_hi, 32) | simhash_lo").alias("simhash"),
+    )
 
 
 def simhash_near_dups(
@@ -271,38 +364,75 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Hamming-ball near-dups via the block trick (public: Manku et al.,
-    WWW'07 'Detecting Near-Duplicates for Web Crawling'): split the
-    64-bit simhash into ``n_blocks`` 16-bit blocks; any pair within
-    hamming ≤ n_blocks-1 shares ≥ 1 exact block → equi-join per block,
-    verify popcount. One shuffle per block on uniform 16-bit keys."""
-    s = simhash(df, id_col, text_col)
-    parts = []
-    for b in range(n_blocks):
-        shift = b * (64 // n_blocks)
-        mask = (1 << (64 // n_blocks)) - 1
-        block = s.select(
-            F.col(id_col).alias("id"),
-            F.col("simhash"),
-            (F.shiftrightunsigned("simhash", shift).bitwiseAND(F.lit(mask))).alias(
-                "block_key"
-            ),
-            F.lit(b).alias("block_idx"),
+    """ALL pairs with hamming(simhash_a, simhash_b) ≤ ``max_hamming``
+    — exact, via the block trick (public: Manku et al., WWW'07
+    'Detecting Near-Duplicates for Web Crawling'): split the 16-hex
+    signature into ``n_blocks`` substring blocks (default
+    ``max_hamming + 1``); by pigeonhole any pair within the Hamming
+    budget agrees on ≥ 1 whole block → equi-join per block, verify
+    popcount. One shuffle on the (block_idx, block_key) composite.
+
+    Completeness REQUIRES ``n_blocks > max_hamming`` (enforced) — a
+    smaller block count silently loses recall for distances ≥
+    n_blocks (the round-1 bug this guard pins down).
+
+    Scale note: key entropy per block is 64/n_blocks bits, so large
+    Hamming budgets (small blocks) make hot buckets at web scale; the
+    standard remedies are a wider fingerprint (128-bit SimHash) or
+    combination blocking (match on r-of-n block combos). For the
+    defaults (max_hamming ≤ 3, 16-bit blocks) buckets stay uniform."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not (0 <= max_hamming < n_blocks):
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole completeness guarantee"
         )
-        parts.append(block)
-    blocked = parts[0]
-    for p in parts[1:]:
-        blocked = blocked.unionByName(p)
-    a = blocked.select("block_idx", "block_key", F.col("id").alias("a"), F.col("simhash").alias("sh_a"))
-    b2 = blocked.select("block_idx", "block_key", F.col("id").alias("b"), F.col("simhash").alias("sh_b"))
-    pairs = (
+    if n_blocks > 16:
+        raise ValueError("n_blocks > 16: only 16 hex chars to split")
+    base, rem = divmod(16, n_blocks)
+    lens = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    starts = [1 + sum(lens[:i]) for i in range(n_blocks)]
+
+    s = simhash_cols(df, id_col, text_col)
+    blocks_expr = "array(" + ", ".join(
+        f"named_struct('block_idx', {i},"
+        f" 'block_key', substring(simhash_hex, {starts[i]}, {lens[i]}))"
+        for i in range(n_blocks)
+    ) + ")"
+    # explode_outer per house rule (InferFiltersFromGenerate trap); the
+    # block array is a constant-length literal construction, never empty
+    blocked = s.select(
+        F.col(id_col).alias("id"),
+        "simhash_hi",
+        "simhash_lo",
+        F.explode_outer(F.expr(blocks_expr)).alias("bk"),
+    ).select("id", "simhash_hi", "simhash_lo", "bk.block_idx", "bk.block_key")
+
+    a = blocked.select(
+        "block_idx",
+        "block_key",
+        F.col("id").alias("a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+    )
+    b2 = blocked.select(
+        "block_idx",
+        "block_key",
+        F.col("id").alias("b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+    )
+    return (
         a.join(b2, ["block_idx", "block_key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
+        .withColumn(
+            "hamming",
+            (F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
         .distinct()
     )
-    return pairs.withColumn(
-        "hamming", F.bit_count(F.expr("sh_a ^ sh_b"))
-    ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")

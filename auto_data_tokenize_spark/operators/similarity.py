@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot_expr(a: str, b: str) -> str:
@@ -132,12 +132,51 @@ def lsh_signature_udf(n_planes: int, dim: int, seed: int = 42):
     return _sig
 
 
+def lsh_signatures_udf(n_planes: int, dim: int, n_tables: int, seed: int = 42):
+    """All ``n_tables`` hyperplane signatures in ONE Arrow pass
+    (one matmul against the stacked (n_tables·n_planes, dim) plane
+    matrix) — OR-amplification without multiplying the Python-UDF
+    scans. Returns array<long> of length n_tables."""
+    planes = _plane_matrix(n_planes * n_tables, dim, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = m @ planes.T  # (n, n_tables*n_planes)
+        bits = (proj > 0).astype(np.uint64).reshape(len(m), n_tables, n_planes)
+        weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+        sig = (bits * weights).sum(axis=2).astype(np.int64)  # (n, n_tables)
+        return pd.Series(list(sig), index=vecs.index)
+
+    return _sigs
+
+
+def _exploded_sigs(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """Adds (_tbl, _sig) — one row per (input row, hash table).
+    posexplode_outer per house rule (InferFiltersFromGenerate trap);
+    the signature array is always n_tables long."""
+    sigs = lsh_signatures_udf(n_planes, dim, n_tables, seed)
+    return df.withColumn("_sigs", sigs(F.col(vec_col))).select(
+        "*", F.posexplode_outer("_sigs").alias("_tbl", "_sig")
+    ).drop("_sigs")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     dim: int = 64,
     n_planes: int = 16,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -145,13 +184,15 @@ def lsh_ann_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane
-    signature, exact-rescore only same-bucket pairs. Recall < 1 by
-    construction; the scale path when the corpus no longer fits a
-    broadcast crossJoin."""
-    sig = lsh_signature_udf(n_planes, dim, seed)
-    c = corpus.withColumn("_sig", sig(F.col(vec_col)))
-    q = queries.withColumn("_sig", sig(F.col(query_vec_col)))
-    joined = c.join(F.broadcast(q), "_sig")
+    signature in ``n_tables`` independent tables (OR-amplification),
+    union + dedupe candidates, exact-rescore same-bucket pairs only.
+    Per-pair recall 1-(1-p^b)^K for bit-agreement prob p — the scale
+    path when the corpus no longer fits a broadcast crossJoin."""
+    c = _exploded_sigs(corpus, vec_col, dim, n_planes, n_tables, seed)
+    q = _exploded_sigs(queries, query_vec_col, dim, n_planes, n_tables, seed)
+    joined = c.join(F.broadcast(q), ["_tbl", "_sig"]).dropDuplicates(
+        [query_id_col, id_col]
+    )
     scored = with_cosine(joined, vec_col, query_vec_col).select(
         query_id_col, id_col, "cosine"
     )
@@ -165,21 +206,48 @@ def embedding_near_dups(
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 16,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-bucketing:
-    (a, b, cosine) with cosine ≥ threshold, a < b."""
-    sig = lsh_signature_udf(n_planes, dim, seed)
-    c = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("_sig", sig(F.col("v")))
-    a = c.select("_sig", F.col("id").alias("a"), F.col("v").alias("va"))
-    b = c.select("_sig", F.col("id").alias("b"), F.col("v").alias("vb"))
-    pairs = a.join(b, "_sig").filter(F.col("a") < F.col("b"))
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with
+    cosine ≥ threshold, a < b.
+
+    Multi-table LSH (OR-amplification): ``n_tables`` independent
+    ``n_planes``-bit hyperplane signatures; a pair is a candidate if it
+    collides in ANY table; candidates are deduped on (a, b) ids, then
+    vectors are joined back and exact cosine filters the output — so
+    precision is exact and only recall depends on (n_planes, n_tables).
+    Per-pair recall = 1-(1-p^b)^K with p = 1-θ/π; e.g. cos=0.9
+    (p≈0.857): one 12-plane table finds 16%, 16 tables of 6 planes
+    find 99.98%. tests/test_similarity.py pins measured recall vs
+    brute force. Shuffles: one per-table-keyed candidate join (single
+    exchange on (_tbl, _sig)), one dedupe, two id-keyed vector
+    fetch-backs — no all-pairs stage anywhere.
+
+    Scale note: n_planes sets bucket granularity (~n/2^b rows per
+    bucket) and must grow with log2(corpus) while n_tables buys the
+    recall back; the defaults favor small corpora."""
+    c = _exploded_sigs(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", dim, n_planes, n_tables, seed,
+    ).select("_tbl", "_sig", "id")
+    a = c.select("_tbl", "_sig", F.col("id").alias("a"))
+    b = c.select("_tbl", "_sig", F.col("id").alias("b"))
+    pairs = (
+        a.join(b, ["_tbl", "_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    rejoined = (
+        pairs.join(vecs.withColumnRenamed("_vid", "a").withColumnRenamed("_v", "va"), "a")
+        .join(vecs.withColumnRenamed("_vid", "b").withColumnRenamed("_v", "vb"), "b")
+    )
     return (
-        with_cosine(pairs, "va", "vb")
+        with_cosine(rejoined, "va", "vb")
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -82,7 +82,16 @@ def tokenize_columns(
     out = df
     for c in columns:
         udf = _value_token_udf(root_key, _column_label(c))
-        out = out.withColumn(f"encrypted_{c}", udf(scope, F.col(c).cast("string"))).drop(c)
+        original_type = df.schema[c].dataType.simpleString()
+        out = (
+            out.withColumn(f"encrypted_{c}", udf(scope, F.col(c).cast("string")))
+            .drop(c)
+            # ORIGINAL_TYPE as column metadata, the reference's schema
+            # property (DeIdentifiedRecordSchemaConverter.java:53,209);
+            # Spark persists StructField metadata through parquet, so a
+            # later detokenize run recovers the type with no side channel
+            .withMetadata(f"encrypted_{c}", {"original_type": original_type})
+        )
     return out
 
 
@@ -103,6 +112,11 @@ def detokenize_columns(
     restoring the original type via plan-time cast — semantics of the
     reference's ValueTokenizer.decrypt + ORIGINAL_TYPE schema property
     (encryptors/ValueTokenizer.java; DeIdentifiedRecordSchemaConverter.java:53,209).
+
+    The type comes from the ``original_type`` column metadata that
+    :func:`tokenize_columns` stamped (persisted through parquet), so no
+    side channel is needed; ``original_types`` remains as an explicit
+    per-column override.
     """
     from auto_data_tokenize_spark.functions.tokenizer import TOKEN_RE
 
@@ -134,7 +148,10 @@ def detokenize_columns(
     out = df
     for c in columns:
         col = _make_detok(_column_label(c))(scope, F.col(f"encrypted_{c}"))
-        if original_types and c in original_types:
-            col = col.cast(original_types[c])
+        restore_type = (original_types or {}).get(c) or df.schema[
+            f"encrypted_{c}"
+        ].metadata.get("original_type")
+        if restore_type:
+            col = col.cast(restore_type)
         out = out.withColumn(c, col).drop(f"encrypted_{c}")
     return out

@@ -16,9 +16,10 @@ Two implementations with identical semantics:
 - ``escalation_alerts_stream``: ``applyInPandasWithState`` over the
   detection stream — state = set of infoTypes seen + whether the alert
   already fired; emits exactly one row per conversation when the
-  threshold crosses. State is keyed by conv_id and capped (≤ 4
-  infoTypes), so state size is O(active conversations) regardless of
-  turn volume.
+  threshold crosses. State is keyed by conv_id, capped (≤ min_distinct
+  infoTypes), and EXPIRED by event-time timeout once a conversation
+  has been idle for the retention period — so the state store is
+  O(recently active conversations), bounded even at 10^12 turns.
 """
 
 from __future__ import annotations
@@ -77,16 +78,30 @@ def escalation_alerts_stream(
     detections: DataFrame,
     min_distinct: int = 3,
     watermark: str = "10 minutes",
+    retention: str = "1 hour",
 ) -> DataFrame:
-    """Streaming twin via applyInPandasWithState. Emits append-mode
-    alert rows; state clears nothing (fired flag prevents re-emission;
-    a production deployment would add an event-time timeout to expire
-    idle conversations — wired here via GroupStateTimeout, trivially
-    enabled when retention policy is chosen)."""
+    """Streaming twin via applyInPandasWithState with EVENT-TIME state
+    expiry: a conversation's state is dropped once the watermark passes
+    (last activity + ``retention``), so the state store is O(recently
+    active conversations), not O(every conversation ever seen).
+
+    Expiry semantics (tests/test_cep.py): a conversation idle past the
+    retention loses its seen-infoType set — a much-later detection
+    starts a fresh count rather than completing the old one, and a
+    conversation that already fired cannot double-fire within the
+    retention horizon (the fired flag lives exactly as long as the
+    state). Re-fires after a full retention of silence are inherent to
+    ANY bounded-state design; size ``retention`` to the maximum
+    plausible conversation gap."""
+    retention_ms = _duration_ms(retention)
 
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last-activity + retention: drop state
+            state.remove()
+            return
         (conv_id,) = key
         if state.exists:
             seen, fired = state.get
@@ -94,11 +109,11 @@ def escalation_alerts_stream(
         else:
             seen, fired = [], False
         out = []
+        # collect (ts, info_type); sorted by event time for determinism
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts"], pdf["info_type"]))
         if not fired:
-            # collect (ts, info_type) sorted by event time for determinism
-            rows = []
-            for pdf in pdfs:
-                rows.extend(zip(pdf["ts"], pdf["info_type"]))
             rows.sort(key=lambda r: (r[0], r[1]))
             for ts, it in rows:
                 if it not in seen:
@@ -107,10 +122,11 @@ def escalation_alerts_stream(
                         fired = True
                         out.append((conv_id, ts, len(seen)))
                         break
-        else:
-            for _ in pdfs:  # drain
-                pass
         state.update((seen, fired))
+        if rows:
+            last_ms = max(int(ts.value) // 1_000_000 for ts, _ in rows)
+            # > watermark by construction: late rows were already dropped
+            state.setTimeoutTimestamp(last_ms + retention_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=["conv_id", "alert_ts", "n_info_types"]
@@ -126,6 +142,15 @@ def escalation_alerts_stream(
             outputStructType=ALERT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _duration_ms(text: str) -> int:
+    """'1 hour' / '30 minutes' / '45 seconds' → milliseconds."""
+    qty, unit = text.split()
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[
+        unit.rstrip("s")
+    ]
+    return int(qty) * mult

@@ -77,6 +77,60 @@ def test_stream_matches_batch_single_trigger(spark, det_small, tmp_path):
     )
 
 
+def test_stream_state_expires_after_retention(spark, tmp_path):
+    """Event-time state expiry: a conversation idle past
+    last-activity + retention loses its seen-infoType set (a later
+    detection starts a FRESH count), while recently-active state is
+    kept. Four micro-batch runs against one checkpoint:
+
+      b1: conv a sees 2 distinct infoTypes; conv wm drives watermark
+      b2/b3: only wm activity 5h later → watermark passes a's
+             (last activity + 1h) → a's state is dropped in b3
+      b4: a's 3rd distinct infoType arrives → does NOT complete the
+          stale pair (fresh count = 1, no alert)
+      b5: a gets 2 more distinct infoTypes quickly → fresh count
+          reaches 3 → exactly one alert, at the b5 crossing time
+          (proves b4's state was fresh AND was retained into b5)
+    """
+    in_dir = str(tmp_path / "in3")
+    os.makedirs(in_dir)
+    sink = ExactlyOnceSink(str(tmp_path / "out3"))
+    ckpt = str(tmp_path / "ckpt3")
+    schema = "conv_id string, info_type string, ts timestamp"
+
+    def run_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "info_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(f"{in_dir}/{name}.parquet", index=False)
+        st = spark.readStream.schema(schema).parquet(in_dir)
+        pipeline.run_to_sink(
+            cep.escalation_alerts_stream(
+                st, min_distinct=3, watermark="10 minutes", retention="1 hour"
+            ),
+            sink,
+            ckpt,
+        )
+
+    run_batch("b1", [
+        ("a", "EMAIL_ADDRESS", "2026-01-01 00:00:00"),
+        ("a", "PHONE_NUMBER", "2026-01-01 00:01:00"),
+        ("wm", "EMAIL_ADDRESS", "2026-01-01 00:00:00"),
+    ])
+    run_batch("b2", [("wm", "EMAIL_ADDRESS", "2026-01-01 05:00:00")])
+    run_batch("b3", [("wm", "EMAIL_ADDRESS", "2026-01-01 05:01:00")])
+    run_batch("b4", [("a", "US_SOCIAL_SECURITY_NUMBER", "2026-01-01 06:00:00")])
+    assert sink.read_committed(spark).count() == 0  # stale pair NOT completed
+
+    run_batch("b5", [
+        ("a", "EMAIL_ADDRESS", "2026-01-01 06:01:00"),
+        ("a", "PHONE_NUMBER", "2026-01-01 06:02:00"),
+    ])
+    out = sink.read_committed(spark).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["conv_id"] == "a"
+    assert str(out.iloc[0]["alert_ts"]) == "2026-01-01 06:02:00"
+
+
 def test_stream_fires_once_across_batches(spark, tmp_path):
     """A conversation crossing the threshold in batch 1 must not
     re-alert when more detections arrive in batch 2."""

@@ -96,6 +96,60 @@ def test_xxhash64_production_mode(spark, docs):
     assert all(isinstance(x, int) for x in sig)
 
 
+def test_simhash_expr_matches_udf(spark, docs):
+    """The JVM expression path (simhash_cols) must be bit-for-bit the
+    vectorized-Arrow reference implementation (simhash_udf)."""
+    expr = dedup.simhash(docs).orderBy("doc_id").collect()
+    udf = (
+        docs.select("doc_id", dedup.simhash_udf()(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["simhash"] for r in expr] == [r["simhash"] for r in udf]
+
+
+def test_simhash_hex_matches_packed(spark, docs):
+    for r in dedup.simhash_cols(docs).collect():
+        packed = ((r["simhash_hi"] << 32) | r["simhash_lo"]) & ((1 << 64) - 1)
+        assert r["simhash_hex"] == format(packed, "016x")
+
+
+def test_simhash_near_dups_complete_vs_bruteforce(spark, docs):
+    """Block-trick output == brute-force Hamming ball — the round-1
+    recall-bug regression test (max_hamming=8 requires 9 blocks; the
+    old fixed n_blocks=4 silently lost pairs at hamming 4-8)."""
+    sig = {
+        r["doc_id"]: ((r["simhash_hi"] << 32) | r["simhash_lo"]) & ((1 << 64) - 1)
+        for r in dedup.simhash_cols(docs).collect()
+    }
+    for mh in (3, 8):
+        want = {
+            (a, b, bin(sig[a] ^ sig[b]).count("1"))
+            for a in sig
+            for b in sig
+            if a < b and bin(sig[a] ^ sig[b]).count("1") <= mh
+        }
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_near_dups(docs, max_hamming=mh).collect()
+        }
+        assert got == want, mh
+
+
+def test_simhash_near_dups_rejects_lossy_blocking(spark, docs):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dups(docs, max_hamming=8, n_blocks=4)
+
+
+def test_simhash_is_jvm_side(spark, docs):
+    """Production simhash path must not invoke Python at all."""
+    plan = (
+        dedup.simhash_near_dups(docs, max_hamming=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bucket_cap_bounds_pairs(spark):
     # 100 identical docs → one bucket of 100 > max_bucket → pruned, no blowup
     rows = [(i, BASE) for i in range(100)]

@@ -84,6 +84,56 @@ def test_embedding_near_dups(spark, corpus):
         assert r["cosine"] >= 0.99
 
 
+def test_q18_multi_table_lsh_recall_is_exact(spark):
+    """At the q18 parameters (16 tables × 6 planes, threshold 0.9) the
+    LSH near-dup pipeline must find EXACTLY the brute-force pairs on
+    the sf0.01 corpus — this measured-recall=1.0 property is what
+    licenses q18's exact SQL oracle."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as em
+
+    aug = em._augmented_embeddings(spark, sf)
+    a = aug.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = aug.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    brute = {
+        (r["a"], r["b"])
+        for r in similarity.with_cosine(
+            a.crossJoin(b).filter(F.col("a") < F.col("b")), "va", "vb"
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in em.q18_embedding_near_dups(spark, sf).collect()
+    }
+    assert len(brute) >= 20  # the planted pairs exist
+    assert lsh == brute      # recall 1.0, precision exact
+
+
+def test_multi_table_beats_single_table_recall(spark, corpus):
+    """OR-amplification sanity: with few planes per table, adding
+    tables can only add candidate pairs (superset recall)."""
+    single = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dups(
+            corpus, threshold=0.9, dim=DIM, n_planes=6, n_tables=1
+        ).collect()
+    }
+    multi = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dups(
+            corpus, threshold=0.9, dim=DIM, n_planes=6, n_tables=8
+        ).collect()
+    }
+    assert single <= multi
+    assert (0, 5) in multi  # the planted near-dup
+
+
 def test_scoring_is_jvm_side(spark, corpus, queries):
     plan = (
         similarity.cosine_topk(corpus, queries, k=3)
