@@ -292,6 +292,14 @@ def q19_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_documents(spark, sf_dir), max_hamming=8)
 
 
+def q29_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD'03) partial-overlap fingerprints per doc —
+    pure JVM expressions, recomputed verbatim by the DuckDB oracle."""
+    from auto_data_tokenize_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(_documents(spark, sf_dir))
+
+
 def q20_column_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-column tokenize → detokenize must reproduce the input
     exactly (ValueTokenizer encrypt/decrypt contract) — the oracle is
@@ -547,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_token_dictionary_join": _with_prep(q26_token_dictionary_join),
         "q27_escalation_alerts": _with_prep(q27_escalation_alerts),
         "q28_stream_escalation_alerts": _with_prep(q28_stream_escalation_alerts),
+        "q29_winnowing_fingerprints": _with_prep(q29_winnowing_fingerprints),
     }
 
 
@@ -594,6 +603,12 @@ def _duck_simhash_sql() -> str:
     from auto_data_tokenize_spark.operators.dedup import duckdb_simhash_sql
 
     return duckdb_simhash_sql("documents")
+
+
+def _duck_winnowing_sql() -> str:
+    from auto_data_tokenize_spark.operators.textstats import duckdb_winnowing_sql
+
+    return duckdb_winnowing_sql("documents")
 
 
 _BPEISH = _bpeish_duck()
@@ -894,4 +909,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT conv_id, first_ts AS alert_ts, 3 AS n_info_types
             FROM r WHERE rk = 3
         """,
+        "q29_winnowing_fingerprints": _duck_winnowing_sql(),
     }

@@ -39,8 +39,44 @@ from auto_data_tokenize_spark.functions import detectors
 # Associated data stamp — mirrors DaeadEncryptingValueTokenizer.java:32.
 ASSOCIATED_DATA = b"AutoDLP"
 
-# Dev/test root key; production passes its own 32-byte secret.
+# Dev/test root key — publicly derivable from this source file, so any
+# token minted under it is reversible by anyone with the repo. The
+# reference never has this failure mode (its keyset is mandatory and
+# KMS-wrapped, EncryptionPipeline.java:104-118); here the guard is
+# ``resolve_root_key``: production entry points resolve the key from
+# the ADT_ROOT_KEY_HEX environment variable, and every Tokenizer built
+# on the dev default warns loudly.
 DEFAULT_ROOT_KEY = hashlib.sha256(b"auto-data-tokenize-spark/dev-root-key").digest()
+
+
+def resolve_root_key(root_key: bytes | None = None) -> bytes:
+    """Explicit key > ``ADT_ROOT_KEY_HEX`` env (64 hex chars) > dev
+    default (with a loud warning). Call this at pipeline entry points
+    so omitting the key is a visible decision, not a silent one."""
+    import os
+
+    if root_key is not None:
+        return root_key
+    env = os.environ.get("ADT_ROOT_KEY_HEX")
+    if env:
+        key = bytes.fromhex(env)
+        if len(key) != 32:
+            raise ValueError("ADT_ROOT_KEY_HEX must decode to 32 bytes")
+        return key
+    _warn_dev_key()
+    return DEFAULT_ROOT_KEY
+
+
+def _warn_dev_key() -> None:
+    import warnings
+
+    warnings.warn(
+        "using the publicly-known dev root key: tokens are reversible by "
+        "anyone with this repo. Pass root_key= or set ADT_ROOT_KEY_HEX "
+        "for production runs.",
+        UserWarning,
+        stacklevel=3,
+    )
 
 TOKEN_RE = re.compile(r"\[TOK:([A-Z_0-9]+):([A-Za-z0-9_\-]+=*)\]")
 

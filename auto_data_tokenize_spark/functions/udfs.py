@@ -12,9 +12,14 @@ else stays JVM-side (built-in ``pyspark.sql.functions``). Design rules:
   objects and derived keys are created lazily inside the worker and
   cached across batches; key material crosses the driver→executor
   boundary once, inside the (tiny) closure — never through a shuffle.
-- Inside a batch, rows are grouped by ``conv_id`` so the per-span
-  replacement runs as one vectorized ``Series.str.replace`` per
-  conversation group with a cached per-conversation cipher.
+- Inside a batch, each row gets one compiled-regex detection pass and
+  per-span replacement with a cached per-(conv, infoType) cipher. (A
+  per-conversation ``groupby`` + ``Series.str.replace`` variant was
+  measured ~4× slower at transcript cardinalities — see
+  ``tokenize_text_udf``.)
+- Root keys resolve through ``tokenizer.resolve_root_key``: explicit
+  argument > ``ADT_ROOT_KEY_HEX`` env > dev default with a loud
+  warning (the dev key is public — see tokenizer.py).
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ from pyspark.sql.types import (
 )
 
 from auto_data_tokenize_spark.functions import detectors
-from auto_data_tokenize_spark.functions.tokenizer import DEFAULT_ROOT_KEY, Tokenizer
+from auto_data_tokenize_spark.functions.tokenizer import Tokenizer, resolve_root_key
 
 # executor-local singletons keyed by root key (DoFn-@Setup analogue)
 _TOKENIZERS: dict[bytes, Tokenizer] = {}
@@ -45,7 +50,7 @@ def _get_tokenizer(root_key: bytes) -> Tokenizer:
     return t
 
 
-def tokenize_text_udf(root_key: bytes = DEFAULT_ROOT_KEY):
+def tokenize_text_udf(root_key: bytes | None = None):
     """(conv_id, text) -> tokenized text. Free-form span tokenization
     (semantics of EncryptingFlatRecordTokenizer.java:75-118 +
     free_form_column=true, csv_dlp_tokenize_config.json:1-21).
@@ -55,6 +60,7 @@ def tokenize_text_udf(root_key: bytes = DEFAULT_ROOT_KEY):
     — a per-conversation ``groupby`` + ``Series.str.replace`` variant
     was ~4× slower at transcript cardinalities (thousands of 10-row
     groups per batch drown in pandas group/concat overhead)."""
+    root_key = resolve_root_key(root_key)
 
     @pandas_udf(StringType())
     def _tokenize(conv: pd.Series, text: pd.Series) -> pd.Series:
@@ -72,9 +78,10 @@ def tokenize_text_udf(root_key: bytes = DEFAULT_ROOT_KEY):
     return _tokenize
 
 
-def detokenize_text_udf(root_key: bytes = DEFAULT_ROOT_KEY):
+def detokenize_text_udf(root_key: bytes | None = None):
     """(conv_id, tokenized_text) -> original text (ValueTokenizer.decrypt
     analogue, encryptors/ValueTokenizer.java)."""
+    root_key = resolve_root_key(root_key)
 
     @pandas_udf(StringType())
     def _detokenize(conv: pd.Series, text: pd.Series) -> pd.Series:
@@ -104,12 +111,13 @@ SPAN_SCHEMA = ArrayType(
 )
 
 
-def detect_spans_udf(root_key: bytes = DEFAULT_ROOT_KEY):
+def detect_spans_udf(root_key: bytes | None = None):
     """(conv_id, text) -> array<struct<info_type,start,end,token>>.
 
     The local analogue of dlp.inspectContent findings
     (dlp/DlpBatchInspect.java:114-136), plus the deterministic token each
     span would map to (so detections can join the token dictionary)."""
+    root_key = resolve_root_key(root_key)
 
     @pandas_udf(SPAN_SCHEMA)
     def _detect(conv: pd.Series, text: pd.Series) -> pd.Series:
@@ -155,7 +163,7 @@ def with_tokenized_text(
     conv_col: str = "conv_id",
     text_col: str = "text",
     out_col: str = "text_tok",
-    root_key: bytes = DEFAULT_ROOT_KEY,
+    root_key: bytes | None = None,
 ):
     """Plan helper: add the tokenized-text column (narrow, no shuffle)."""
     return df.withColumn(out_col, tokenize_text_udf(root_key)(F.col(conv_col), F.col(text_col)))

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from auto_data_tokenize_spark.functions.tokenizer import DEFAULT_ROOT_KEY
 from auto_data_tokenize_spark.functions.udfs import detect_spans_udf, info_types_udf
 
 
@@ -25,7 +24,7 @@ def detections(
     conv_col: str = "conv_id",
     text_col: str = "text",
     extra_cols: tuple[str, ...] = ("turn_idx", "ts"),
-    root_key: bytes = DEFAULT_ROOT_KEY,
+    root_key: bytes | None = None,
 ) -> DataFrame:
     """One row per detected span: (conv_id, *extra, info_type, start,
     end, token). The detection *event stream* that feeds windowed
@@ -69,7 +68,7 @@ def unpivot_columns(df: DataFrame, columns: list[str], schema_prefix: str = "$")
 
 
 def column_infotype_counts(
-    df: DataFrame, columns: list[str], root_key: bytes = DEFAULT_ROOT_KEY
+    df: DataFrame, columns: list[str], root_key: bytes | None = None
 ) -> DataFrame:
     """Per-(column, infoType) finding counts
     (dlp/DlpIdentify.java:114-128 semantics: Count.perElement)."""

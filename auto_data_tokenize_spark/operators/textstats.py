@@ -119,11 +119,86 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text — the cheap exact-dup key. (Winnowing
-    fingerprints for partial overlap live in dedup.winnowing_fingerprints.)"""
+    fingerprints for partial overlap: :func:`winnowing_fingerprints`.)"""
     return df.withColumn(
         "fingerprint",
         F.md5(F.concat_ws(" ", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))),
     )
+
+
+_NORM = "concat_ws(' ', split(lower(trim({t})), '\\\\s+'))"
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (public: Schleimer, Wilkerson,
+    Aiken, SIGMOD'03 'Winnowing: Local Algorithms for Document
+    Fingerprinting'): hash every k-char gram of the normalized text
+    (lowercased, whitespace-collapsed), slide a window of ``w``
+    consecutive gram hashes, keep the minimum of each window, dedupe.
+    Guarantee: two documents sharing a substring of ≥ w + k - 1
+    normalized chars share ≥ 1 fingerprint — the partial-overlap
+    detector exact/minhash dedup can't provide.
+
+    Pure whole-stage-codegen expressions (md5 → 32-bit ints), zero
+    Python, and portable verbatim to DuckDB (q29's oracle recomputes
+    it). Output: (id, fp) exploded rows, distinct per doc — ready for
+    a fingerprint-equality self-join at corpus scale (one shuffle on
+    uniform 32-bit keys)."""
+    norm = _NORM.format(t=text_col)
+    grams = (
+        f"(if(length(_n) >= {k}, transform(sequence(1, length(_n) - {k} + 1),"
+        f" i -> cast(conv(substring(md5(substring(_n, i, {k})), 1, 8), 16, 10) as bigint)),"
+        " array()))"
+    )
+    wins = (
+        f"(if(size(_g) >= {w}, array_distinct(transform(sequence(1, size(_g) - {w} + 1),"
+        f" j -> array_min(slice(_g, j, {w})))), array()))"
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # house materialization barriers: keep Catalyst from inlining the
+    # gram-hash array into the window lambda (w× md5 recompute)
+    staged = (
+        df.select(F.col(id_col), F.expr(norm).alias("_n"))
+        .repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col), F.expr(grams).alias("_g"))
+        .select(F.col(id_col), F.expr(wins).alias("_f"))
+    )
+    return (
+        staged.select(F.col(id_col), F.explode_outer("_f").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def duckdb_winnowing_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, w: int = 4,
+) -> str:
+    """DuckDB twin of :func:`winnowing_fingerprints` (q29 oracle)."""
+    return f"""
+      WITH n AS (
+        SELECT {id_col},
+               array_to_string(string_split_regex(trim(lower({text_col})), '\\s+'), ' ') AS _n
+        FROM {table}
+      ), g AS (
+        SELECT {id_col},
+               CASE WHEN length(_n) >= {k}
+                 THEN list_transform(range(1, length(_n) - {k} + 2),
+                      i -> ('0x' || substr(md5(substr(_n, i::INTEGER, {k})), 1, 8))::BIGINT)
+                 ELSE [] END AS _g
+        FROM n
+      ), f AS (
+        SELECT {id_col},
+               CASE WHEN len(_g) >= {w}
+                 THEN list_distinct(list_transform(range(1, len(_g) - {w} + 2),
+                      j -> list_min(_g[j:j + {w} - 1])))
+                 ELSE [] END AS _f
+        FROM g
+      )
+      SELECT {id_col}, unnest(_f) AS fp FROM f
+    """
 
 
 # -- DuckDB oracle fragments (kept adjacent so the two dialects evolve

@@ -22,9 +22,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
-from auto_data_tokenize_spark.functions.tokenizer import DEFAULT_ROOT_KEY
+from auto_data_tokenize_spark.functions.tokenizer import resolve_root_key
 from auto_data_tokenize_spark.functions.udfs import _get_tokenizer, tokenize_text_udf
 
 
@@ -34,7 +34,7 @@ def tokenize_turns(
     text_col: str = "text",
     out_col: str = "text_tok",
     keep_original: bool = False,
-    root_key: bytes = DEFAULT_ROOT_KEY,
+    root_key: bytes | None = None,
 ) -> DataFrame:
     """Transcript free-form tokenization: ``text`` → ``text_tok``."""
     out = df.withColumn(
@@ -45,8 +45,9 @@ def tokenize_turns(
     return out
 
 
-def _value_token_udf(root_key: bytes, label: str):
+def _value_token_udf(root_key: bytes | None, label: str):
     """(scope, value) -> base64 token of the whole cell value."""
+    root_key = resolve_root_key(root_key)
 
     @pandas_udf(StringType())
     def _tok(scope: pd.Series, value: pd.Series) -> pd.Series:
@@ -67,7 +68,7 @@ def tokenize_columns(
     df: DataFrame,
     columns: list[str],
     scope_col: str | None = None,
-    root_key: bytes = DEFAULT_ROOT_KEY,
+    root_key: bytes | None = None,
 ) -> DataFrame:
     """Whole-column tokenization with ``encrypted_<name>`` renaming.
 
@@ -101,12 +102,311 @@ def _column_label(c: str) -> str:
     return "COL_" + "".join(ch if ch.isalnum() else "_" for ch in c).upper()
 
 
+def _array_token_udf(root_key: bytes | None, label: str):
+    """(scope, array<string>) -> array<string>: per-element tokens for
+    array leaves (one Arrow batch carries whole arrays)."""
+    root_key = resolve_root_key(root_key)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _tok(scope: pd.Series, values: pd.Series) -> pd.Series:
+        tok = _get_tokenizer(root_key)
+
+        def row(s, vs):
+            if vs is None:
+                return None
+            s = s if s is not None and s == s else ""
+            return [None if v is None else tok.token(s, label, str(v)) for v in vs]
+
+        return pd.Series(
+            [row(s, v) for s, v in zip(scope, values)],
+            index=values.index,
+            dtype=object,
+        )
+
+    return _tok
+
+
+def _parse_schema_key(key: str) -> list[str]:
+    parts = (key[2:] if key.startswith("$.") else key).split(".")
+    if any(("[" in p) or (not p) for p in parts):
+        raise ValueError(
+            f"schema key {key!r}: use index-free schema keys ($.arr.f, "
+            "not $.arr[3].f) — every array element is tokenized"
+        )
+    return parts
+
+
+def _locate_array(schema, parts: list[str]):
+    """Walk the path; return (array_segment_index | None, leaf_type).
+    At most one array segment is supported (the reference's flat-key
+    space is likewise one index deep per leaf in practice)."""
+    from pyspark.sql.types import ArrayType as _Arr, StructType as _Struct
+
+    arr_idx = None
+    cur = schema[parts[0]].dataType
+    for i, p in enumerate(parts):
+        if i > 0:
+            if not isinstance(cur, _Struct):
+                raise ValueError(f"{'.'.join(parts)}: {parts[i-1]} is not a struct")
+            cur = cur[p].dataType
+        if isinstance(cur, _Arr):
+            if arr_idx is not None:
+                raise ValueError(
+                    f"{'.'.join(parts)}: at most one array segment supported"
+                )
+            arr_idx = i
+            cur = cur.elementType
+    return arr_idx, cur
+
+
+def _rebuild_with_leaf(top_expr, top_type, parts, arr_idx, leaf_col, new_leaf_name):
+    """Copy the nested column, replacing the leaf at ``parts`` with
+    ``leaf_col`` renamed ``new_leaf_name``. ``leaf_col`` is scalar when
+    the path has no array (or the leaf IS the array field, replaced
+    whole); otherwise it's an array aligned element-wise with the array
+    segment and spliced back via ``zip_with`` — all JVM-side."""
+    from pyspark.sql.types import ArrayType as _Arr
+
+    def build_elem(e, stype, rel, t):
+        fields = []
+        for f in stype.fields:
+            fe = e.getField(f.name)
+            if f.name != rel[0]:
+                fields.append(fe.alias(f.name))
+            elif len(rel) == 1:
+                fields.append(t.alias(new_leaf_name))
+            else:
+                fields.append(build_elem(fe, f.dataType, rel[1:], t).alias(f.name))
+        return F.struct(*fields)
+
+    def build(expr, stype, rel, depth):
+        fields = []
+        for f in stype.fields:
+            fe = expr.getField(f.name)
+            if f.name != rel[0]:
+                fields.append(fe.alias(f.name))
+            elif len(rel) == 1:
+                fields.append(leaf_col.alias(new_leaf_name))
+            elif isinstance(f.dataType, _Arr):
+                elem_t = f.dataType.elementType
+                fields.append(
+                    F.zip_with(
+                        fe, leaf_col,
+                        lambda e, t, et=elem_t, r=rel[1:]: build_elem(e, et, r, t),
+                    ).alias(f.name)
+                )
+            else:
+                fields.append(build(fe, f.dataType, rel[1:], depth + 1).alias(f.name))
+        return F.struct(*fields)
+
+    if arr_idx == 0 and len(parts) > 1:
+        elem_t = top_type.elementType
+        return F.zip_with(
+            top_expr, leaf_col,
+            lambda e, t: build_elem(e, elem_t, parts[1:], t),
+        )
+    return build(top_expr, top_type, parts[1:], 1)
+
+
+def tokenize_nested(
+    df: DataFrame,
+    schema_keys: list[str],
+    scope_col: str | None = None,
+    root_key: bytes | None = None,
+) -> DataFrame:
+    """Tokenize nested struct / array<struct> leaves named by
+    index-free schema keys ('$.a.b.c', '$.contacts.contact.number');
+    one path segment may be an array — every element is tokenized.
+
+    The leaf field is renamed ``encrypted_<name>`` in place inside its
+    struct and the leaf's ORIGINAL_TYPE is recorded in the top-level
+    column's metadata, keyed by schema key — the reference's
+    TokenizeColumnNameUpdater.java:98-123 rename rules +
+    DeIdentifiedRecordSchemaConverter.java:53,209 type property,
+    restated as ONE narrow projection per key: field extraction maps
+    through the array (``col('contacts.number')`` → array<string>),
+    one Arrow UDF tokenizes it, ``zip_with`` splices tokens back
+    element-aligned. No explode, no shuffle, no row ids."""
+    root_key = resolve_root_key(root_key)
+    scope = F.col(scope_col).cast("string") if scope_col else F.lit("")
+    out = df
+    for key in schema_keys:
+        parts = _parse_schema_key(key)
+        top = parts[0]
+        if len(parts) == 1:
+            # only array leaves belong here at the top level (per-element
+            # tokens); scalars are tokenize_columns' job
+            dtype = out.schema[top].dataType
+            if not isinstance(dtype, ArrayType):
+                raise ValueError(f"{key}: top-level scalar — use tokenize_columns")
+            label = _column_label(top)
+            tok = _array_token_udf(root_key, label)(
+                scope, F.col(top).cast("array<string>")
+            )
+            out = (
+                out.withColumn(f"encrypted_{top}", tok)
+                .drop(top)
+                .withMetadata(
+                    f"encrypted_{top}",
+                    {f"original_type.{key}": dtype.elementType.simpleString()},
+                )
+            )
+            continue
+        arr_idx, leaf_type = _locate_array(out.schema, parts)
+        label = _column_label("_".join(parts))
+        dotted = ".".join(parts)
+        if arr_idx is None or arr_idx == len(parts) - 1:
+            # scalar leaf, or the leaf field IS the array: token(s) drop
+            # in as one replacement value
+            if arr_idx == len(parts) - 1 and arr_idx is not None:
+                leaf_col = _array_token_udf(root_key, label)(
+                    scope, F.col(dotted).cast("array<string>")
+                )
+            else:
+                leaf_col = _value_token_udf(root_key, label)(
+                    scope, F.col(dotted).cast("string")
+                )
+        else:
+            leaf_col = _array_token_udf(root_key, label)(
+                scope, F.col(dotted).cast("array<string>")
+            )
+        rebuilt = _rebuild_with_leaf(
+            F.col(top), out.schema[top].dataType, parts, arr_idx,
+            leaf_col, f"encrypted_{parts[-1]}",
+        )
+        meta = dict(out.schema[top].metadata)
+        meta[f"original_type.{key}"] = leaf_type.simpleString()
+        out = out.withColumn(top, rebuilt).withMetadata(top, meta)
+    return out
+
+
+def detokenize_nested(
+    df: DataFrame,
+    schema_keys: list[str],
+    scope_col: str | None = None,
+    root_key: bytes | None = None,
+) -> DataFrame:
+    """Inverse of :func:`tokenize_nested`: pass the SAME schema keys
+    (original leaf names); finds ``encrypted_<leaf>`` at each path,
+    decrypts, renames back, and restores the leaf type from the
+    top-level column's metadata."""
+    root_key = resolve_root_key(root_key)
+    scope = F.col(scope_col).cast("string") if scope_col else F.lit("")
+    out = df
+    for key in schema_keys:
+        parts = _parse_schema_key(key)
+        top = parts[0]
+        leaf = parts[-1]
+        if len(parts) == 1:
+            enc_name = f"encrypted_{top}"
+            label = _column_label(top)
+            restore = out.schema[enc_name].metadata.get(f"original_type.{key}")
+            detok = _array_detok_udf(root_key, label)(scope, F.col(enc_name))
+            if restore:
+                detok = detok.cast(f"array<{restore}>")
+            out = out.withColumn(top, detok).drop(enc_name)
+            continue
+        enc_parts = parts[:-1] + [f"encrypted_{leaf}"]
+        arr_idx, _ = _locate_array(out.schema, enc_parts)
+        label = _column_label("_".join(parts))
+        dotted = ".".join(enc_parts)
+        restore = out.schema[top].metadata.get(f"original_type.{key}")
+        if arr_idx is None or arr_idx == len(parts) - 1:
+            if arr_idx == len(parts) - 1 and arr_idx is not None:
+                leaf_col = _array_detok_udf(root_key, label)(scope, F.col(dotted))
+                if restore:
+                    leaf_col = leaf_col.cast(restore)
+            else:
+                leaf_col = _value_detok_udf(root_key, label)(scope, F.col(dotted))
+                if restore:
+                    leaf_col = leaf_col.cast(restore)
+        else:
+            leaf_col = _array_detok_udf(root_key, label)(scope, F.col(dotted))
+            if restore:
+                # element type restoration: cast the aligned array
+                leaf_col = leaf_col.cast(f"array<{restore}>")
+        rebuilt = _rebuild_with_leaf(
+            F.col(top), out.schema[top].dataType, enc_parts, arr_idx,
+            leaf_col, leaf,
+        )
+        meta = {
+            k: v
+            for k, v in out.schema[top].metadata.items()
+            if k != f"original_type.{key}"
+        }
+        out = out.withColumn(top, rebuilt).withMetadata(top, meta)
+    return out
+
+
+def _array_detok_udf(root_key: bytes | None, label: str):
+    """(scope, array<string tokens>) -> array<string plaintexts>."""
+    from auto_data_tokenize_spark.functions.tokenizer import TOKEN_RE
+
+    root_key = resolve_root_key(root_key)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _detok(scope: pd.Series, values: pd.Series) -> pd.Series:
+        tok = _get_tokenizer(root_key)
+
+        def one(s, v):
+            if v is None:
+                return None
+            m = TOKEN_RE.fullmatch(v)
+            if not m or m.group(1) != label:
+                raise ValueError(f"not a {label} token: {v[:40]!r}")
+            return tok.detoken(s, label, m.group(2))
+
+        def row(s, vs):
+            if vs is None:
+                return None
+            s = s if s is not None and s == s else ""
+            return [one(s, v) for v in vs]
+
+        return pd.Series(
+            [row(s, v) for s, v in zip(scope, values)],
+            index=values.index,
+            dtype=object,
+        )
+
+    return _detok
+
+
+def _value_detok_udf(root_key: bytes | None, label: str):
+    """(scope, token) -> plaintext string; shared by flat and nested
+    detokenize paths."""
+    from auto_data_tokenize_spark.functions.tokenizer import TOKEN_RE
+
+    root_key = resolve_root_key(root_key)
+
+    @pandas_udf(StringType())
+    def _detok(s: pd.Series, v: pd.Series) -> pd.Series:
+        tok = _get_tokenizer(root_key)
+
+        def one(scope_v, tok_v):
+            if tok_v is None or tok_v != tok_v:
+                return None
+            m = TOKEN_RE.fullmatch(tok_v)
+            if not m or m.group(1) != label:
+                raise ValueError(f"not a {label} token: {tok_v[:40]!r}")
+            return tok.detoken(
+                scope_v if scope_v is not None and scope_v == scope_v else "",
+                label,
+                m.group(2),
+            )
+
+        return pd.Series(
+            [one(a, b) for a, b in zip(s, v)], index=v.index, dtype=object
+        )
+
+    return _detok
+
+
 def detokenize_columns(
     df: DataFrame,
     columns: list[str],
     original_types: dict[str, str] | None = None,
     scope_col: str | None = None,
-    root_key: bytes = DEFAULT_ROOT_KEY,
+    root_key: bytes | None = None,
 ) -> DataFrame:
     """Inverse of :func:`tokenize_columns`: ``encrypted_<c>`` → ``<c>``,
     restoring the original type via plan-time cast — semantics of the
@@ -118,36 +418,14 @@ def detokenize_columns(
     side channel is needed; ``original_types`` remains as an explicit
     per-column override.
     """
-    from auto_data_tokenize_spark.functions.tokenizer import TOKEN_RE
-
+    root_key = resolve_root_key(root_key)
     scope = F.col(scope_col).cast("string") if scope_col else F.lit("")
-
-    def _make_detok(label: str):
-        @pandas_udf(StringType())
-        def _detok(s: pd.Series, v: pd.Series) -> pd.Series:
-            tok = _get_tokenizer(root_key)
-
-            def one(scope_v, tok_v):
-                if tok_v is None or tok_v != tok_v:
-                    return None
-                m = TOKEN_RE.fullmatch(tok_v)
-                if not m or m.group(1) != label:
-                    raise ValueError(f"not a {label} token: {tok_v[:40]!r}")
-                return tok.detoken(
-                    scope_v if scope_v is not None and scope_v == scope_v else "",
-                    label,
-                    m.group(2),
-                )
-
-            return pd.Series(
-                [one(a, b) for a, b in zip(s, v)], index=v.index, dtype=object
-            )
-
-        return _detok
 
     out = df
     for c in columns:
-        col = _make_detok(_column_label(c))(scope, F.col(f"encrypted_{c}"))
+        col = _value_detok_udf(root_key, _column_label(c))(
+            scope, F.col(f"encrypted_{c}")
+        )
         restore_type = (original_types or {}).get(c) or df.schema[
             f"encrypted_{c}"
         ].metadata.get("original_type")

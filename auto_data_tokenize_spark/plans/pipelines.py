@@ -19,7 +19,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from auto_data_tokenize_spark.functions.tokenizer import DEFAULT_ROOT_KEY
 from auto_data_tokenize_spark.operators import identify, ordering, sampler, tokenize
 
 
@@ -61,7 +60,7 @@ class EncryptConfig:
     free_form_columns: list[str] = field(default_factory=list)
     tokenize_columns: list[str] = field(default_factory=list)
     scope_col: str | None = "conv_id"
-    root_key: bytes = DEFAULT_ROOT_KEY
+    root_key: bytes | None = None
 
 
 def encrypt(df: DataFrame, cfg: EncryptConfig) -> DataFrame:

@@ -86,12 +86,7 @@ def read_jdbc(
     semantics of TransformingReader.java:256-310 (query builder 301-309).
     Spark pushes filters on ``dbtable`` reads anyway; ``filter_clause``
     keeps parity with the reference's explicit ``WHERE``."""
-    if (table is None) == (query is None):
-        raise ValueError("exactly one of table/query")
-    if query is None:
-        query = f"SELECT * FROM {table}"
-        if filter_clause:
-            query += f" WHERE {filter_clause}"
+    query = build_jdbc_query(table, query, filter_clause)
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -103,3 +98,27 @@ def read_jdbc(
             "numPartitions", num_partitions
         )
     return reader.load()
+
+
+def build_jdbc_query(
+    table: str | None,
+    query: str | None,
+    filter_clause: str | None = None,
+) -> str:
+    """Pure source-SQL builder (TransformingReader.java:301-309
+    semantics): exactly one of table/query; ``filter_clause`` becomes a
+    WHERE on table reads and is rejected alongside an explicit query
+    (the reference's query mode likewise owns its own WHERE)."""
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table/query must be given")
+    if query is not None:
+        if filter_clause:
+            raise ValueError(
+                "filter_clause only applies to table reads; fold the "
+                "predicate into the explicit query"
+            )
+        return query
+    out = f"SELECT * FROM {table}"
+    if filter_clause:
+        out += f" WHERE {filter_clause}"
+    return out

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from auto_data_tokenize_spark.functions.tokenizer import DEFAULT_ROOT_KEY
 from auto_data_tokenize_spark.operators.identify import detections as detections_op
 from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
 from auto_data_tokenize_spark.operators.windows import (
@@ -51,7 +50,7 @@ def run_to_sink(
 
 
 def tokenize_stream(
-    transcripts: DataFrame, root_key: bytes = DEFAULT_ROOT_KEY
+    transcripts: DataFrame, root_key: bytes | None = None
 ) -> DataFrame:
     """Streaming tokenize: identical plan to the batch operator —
     narrow, stateless, no watermark needed."""
@@ -59,7 +58,7 @@ def tokenize_stream(
 
 
 def detections_stream(
-    transcripts: DataFrame, root_key: bytes = DEFAULT_ROOT_KEY
+    transcripts: DataFrame, root_key: bytes | None = None
 ) -> DataFrame:
     return detections_op(transcripts, root_key=root_key)
 
@@ -68,7 +67,7 @@ def infotype_freq_stream(
     transcripts: DataFrame,
     duration: str = "5 minutes",
     watermark: str = "10 minutes",
-    root_key: bytes = DEFAULT_ROOT_KEY,
+    root_key: bytes | None = None,
 ) -> DataFrame:
     """State-store tumbling aggregate with late-data drop."""
     return infotype_frequencies(
@@ -80,7 +79,7 @@ def session_report_stream(
     transcripts: DataFrame,
     gap: str = "30 minutes",
     watermark: str = "10 minutes",
-    root_key: bytes = DEFAULT_ROOT_KEY,
+    root_key: bytes | None = None,
 ) -> DataFrame:
     """Per-conversation session reports; emits only watermark-closed
     sessions (append mode)."""

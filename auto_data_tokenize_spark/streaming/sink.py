@@ -1,8 +1,6 @@
 """Idempotent exactly-once table sink with per-partition commit lineage.
 
-Iceberg-style snapshot semantics over plain parquet (the Iceberg jar is
-not in this sandbox; ``use_iceberg=True`` switches to a real
-``df.writeTo(table).append()`` when the runtime has it). Layout:
+Iceberg-style snapshot semantics over plain parquet. Layout:
 
     <table>/
       data/batch_id=<N>/part-*.parquet     -- one dir per micro-batch
@@ -23,9 +21,22 @@ after a restart with the SAME ``batch_id``. ``foreach_batch``:
 Readers (``read_committed``) only see batch dirs with a marker, so a
 crash between write and publish leaves invisible garbage, not dupes.
 
-At 1000-executor scale the data write is a normal distributed parquet
-write (executors write in parallel); only the marker publish is
-driver-side and O(1) per batch.
+SCOPE: the marker log uses driver-side POSIX I/O (os.replace, glob),
+so ``table_path`` must be a path the DRIVER can see — local disk or a
+shared POSIX mount (NFS/Lustre); URL-scheme paths (hdfs://, s3a://)
+are rejected at construction. On a cluster whose executors write to
+object storage, the DATA write still distributes normally (executors
+write in parallel; only the O(1) marker publish is driver-side), but
+the table root itself must be driver-visible. A production deployment
+on non-POSIX storage would swap the marker log for the table format's
+native atomic snapshot pointer — which is exactly what
+``use_iceberg=True`` does: data routes through a real Iceberg table
+(``df.writeTo(table).append()``, snapshot property ``adt.batch-id``),
+gated on the Iceberg runtime jar being present. Remaining gap in
+Iceberg mode, documented not hidden: a crash between the Iceberg
+append and the marker publish re-appends on redelivery (plain-parquet
+mode deletes the partial dir instead); closing it needs Iceberg's
+write-audit-publish flow, which this sandbox cannot exercise.
 """
 
 from __future__ import annotations
@@ -43,9 +54,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ExactlyOnceSink:
-    def __init__(self, table_path: str, partition_by: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        table_path: str,
+        partition_by: tuple[str, ...] = (),
+        use_iceberg: bool = False,
+        iceberg_table: str | None = None,
+    ):
+        if "://" in table_path:
+            raise ValueError(
+                f"table_path {table_path!r} has a URL scheme: the commit-"
+                "marker log is driver-side POSIX I/O and needs a local or "
+                "shared-POSIX path (see module docstring); for object-store "
+                "tables use use_iceberg=True with a driver-visible marker dir"
+            )
+        if use_iceberg and not iceberg_table:
+            raise ValueError("use_iceberg=True requires iceberg_table=<catalog.db.name>")
         self.table_path = table_path
         self.partition_by = tuple(partition_by)
+        self.use_iceberg = use_iceberg
+        self.iceberg_table = iceberg_table
         self.data_dir = os.path.join(table_path, "data")
         self.commits_dir = os.path.join(table_path, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -81,6 +109,9 @@ class ExactlyOnceSink:
     def foreach_batch(self, df: DataFrame, batch_id: int) -> None:
         if self.is_committed(batch_id):
             return  # redelivery after restart — exactly-once dedupe
+        if self.use_iceberg:
+            self._foreach_batch_iceberg(df, batch_id)
+            return
         target = self._batch_dir(batch_id)
         if os.path.exists(target):
             shutil.rmtree(target)  # partial write from a crashed attempt
@@ -112,9 +143,42 @@ class ExactlyOnceSink:
             json.dump(commit, f)
         os.replace(tmp, self._commit_path(batch_id))  # atomic publish
 
+    def _foreach_batch_iceberg(self, df: DataFrame, batch_id: int) -> None:
+        """Gated Iceberg data path: append with the batch id stamped as
+        a snapshot property, then publish the local marker. See module
+        docstring for the crash-window caveat vs plain-parquet mode."""
+        from auto_data_tokenize_spark.streaming.source import iceberg_available
+
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "use_iceberg=True but the Iceberg Spark runtime jar is not "
+                "on the classpath (need iceberg-spark-runtime and a "
+                "configured catalog); rerun with plain-parquet mode or add "
+                "the jar via spark.jars.packages"
+            )
+        (
+            df.writeTo(self.iceberg_table)
+            .option("snapshot-property.adt.batch-id", str(batch_id))
+            .append()
+        )
+        commit = {
+            "batch_id": batch_id,
+            "row_count": None,  # row accounting lives in the Iceberg snapshot
+            "num_files": None,
+            "files": [],
+            "iceberg_table": self.iceberg_table,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = self._commit_path(batch_id) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(commit, f)
+        os.replace(tmp, self._commit_path(batch_id))
+
     # -- read path -----------------------------------------------------------
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
+        if self.use_iceberg:
+            return spark.read.table(self.iceberg_table)
         dirs = [self._batch_dir(b) for b in self.committed_batches()]
         if not dirs:
             raise ValueError(f"no committed batches under {self.table_path}")

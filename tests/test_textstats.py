@@ -65,3 +65,58 @@ def test_all_jvm_side_no_python(spark, docs):
                textstats.language_id, textstats.fingerprint):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, op.__name__
+
+
+def _winnow_python(text, k=8, w=4):
+    """Independent pure-Python winnowing (Schleimer et al. fig. 5
+    semantics with min-per-window selection) for cross-checking."""
+    import hashlib
+    import re as _re
+
+    n = " ".join(_re.split(r"\s+", text.strip().lower()))
+    grams = [
+        int(hashlib.md5(n[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(n) - k + 1)
+    ]
+    if len(grams) < w:
+        return set()
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+def test_winnowing_matches_pure_python(spark, docs):
+    got = {}
+    for r in textstats.winnowing_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for r in docs.collect():
+        want = _winnow_python(r["text"])
+        assert got.get(r["doc_id"], set()) == want, r["doc_id"]
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Docs sharing a substring of >= w + k - 1 = 11 normalized chars
+    must share >= 1 fingerprint (the SIGMOD'03 winnowing guarantee);
+    disjoint-alphabet docs share none; sub-k docs yield no rows."""
+    shared = "zqxjkvbwpyg"  # 11 chars, appears verbatim in 0 and 1
+    df = spark.createDataFrame(
+        [
+            (0, f"aaaa {shared} bbbb"),
+            (1, f"cccc dddd {shared}"),
+            (2, "eeee ffff gggg hhhh"),
+            (3, "hi"),  # shorter than k -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in textstats.winnowing_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    assert 3 not in fps
+
+
+def test_winnowing_is_jvm_side(spark, docs):
+    plan = (
+        textstats.winnowing_fingerprints(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
