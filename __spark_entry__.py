@@ -300,6 +300,45 @@ def q29_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_documents(spark, sf_dir))
 
 
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
+    d = datagen.ensure_media(_sf_name(sf_dir))
+    return ensure_parallelism(spark.read.parquet(os.path.join(d, "media.parquet")))
+
+
+def q30_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary media columns
+    (mapInPandas plumbing with the deterministic fake decoder); the
+    oracle is an INDEPENDENT pure-Python reimplementation of the
+    decode spec materialized as golden parquet (datagen)."""
+    from auto_data_tokenize_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media(spark, sf_dir), dim=16)
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        F.round(
+            F.expr(
+                "aggregate(transform(feature, x -> cast(x as double)),"
+                " cast(0.0 as double), (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("feat_sum"),
+    )
+
+
+def q31_video_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling fan-out (one row per sampled timestamp) folded
+    back to per-video counts — a pure-SQL-checkable property of the
+    UDTF-shaped mapInPandas stage."""
+    from auto_data_tokenize_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_media(spark, sf_dir), every_ms=1000)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
 def q20_column_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-column tokenize → detokenize must reproduce the input
     exactly (ValueTokenizer encrypt/decrypt contract) — the oracle is
@@ -349,6 +388,8 @@ def _run_stream_query(spark: SparkSession, sf_dir: str, mode: str):
     st = source.transcripts_stream(spark, staged)
     if mode == "tokenize":
         stream_df = pipeline.tokenize_stream(st)
+    elif mode == "dedup":
+        stream_df = pipeline.dedup_stream(st, window="1 hour", watermark="10 minutes")
     else:
         stream_df = pipeline.session_report_stream(
             st, gap="30 minutes", watermark="10 minutes"
@@ -379,6 +420,16 @@ def q23_stream_session_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirically; the oracle applies the same filter in SQL)."""
     return _run_stream_query(spark, sf_dir, "sessions").select(
         "conv_id", "session_start", "session_end", "n_detections", "n_info_types"
+    )
+
+
+def q32_stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (q09's streaming twin): per (hour window,
+    text hash) first occurrence + copy count through the exactly-once
+    sink; append mode emits only watermark-closed windows, which
+    the oracle reproduces with the same final-watermark filter."""
+    return _run_stream_query(spark, sf_dir, "dedup").select(
+        "window_start", "text_hash", "first_conv_id", "first_turn_idx", "n_copies"
     )
 
 
@@ -556,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_escalation_alerts": _with_prep(q27_escalation_alerts),
         "q28_stream_escalation_alerts": _with_prep(q28_stream_escalation_alerts),
         "q29_winnowing_fingerprints": _with_prep(q29_winnowing_fingerprints),
+        "q30_media_features": _with_prep(q30_media_features),
+        "q31_video_frame_counts": _with_prep(q31_video_frame_counts),
+        "q32_stream_dedup_first": _with_prep(q32_stream_dedup_first),
     }
 
 
@@ -910,4 +964,31 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM r WHERE rk = 3
         """,
         "q29_winnowing_fingerprints": _duck_winnowing_sql(),
+        "q30_media_features": f"""
+            SELECT media_id, feat_dim, feat_sum
+            FROM read_parquet('{dd}/media_features.parquet')
+        """,
+        "q31_video_frame_counts": f"""
+            SELECT media_id, CAST(ceil(duration_ms / 1000.0) AS BIGINT) AS n_frames
+            FROM read_parquet('{dd}/media.parquet')
+            WHERE duration_ms > 0
+        """,
+        "q32_stream_dedup_first": f"""
+            WITH b AS (
+              SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+                     md5(text) AS text_hash, ts, conv_id, turn_idx
+              FROM {tr}
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY window_start, text_hash
+                                        ORDER BY ts, conv_id, turn_idx) AS rn,
+                     count(*) OVER (PARTITION BY window_start, text_hash) AS n_copies
+              FROM b
+            )
+            SELECT window_start, text_hash, conv_id AS first_conv_id,
+                   turn_idx AS first_turn_idx, n_copies
+            FROM r
+            WHERE rn = 1
+              AND window_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM {tr})
+        """,
     }

@@ -302,3 +302,88 @@ def ensure_sf(sf_name: str, data_root: str = DATA_ROOT, force: bool = False) -> 
 
 def transcripts_path(sf_name: str, data_root: str = DATA_ROOT) -> str:
     return os.path.join(ensure_sf(sf_name, data_root), "transcripts.parquet")
+
+
+# -- multimodal fixture ------------------------------------------------------
+
+_MEDIA_ARROW = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+_MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def gen_media(sf: float, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic synthetic media table (binary payloads + typed
+    metadata) — the multimodal-plumbing input (operators/multimodal.py).
+    Videos get 1-9 s durations so frame sampling has varied fan-out."""
+    rng = np.random.default_rng(seed + 7)
+    n = max(30, int(3000 * sf))
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                kind,
+                _MIMES[kind],
+                64,
+                48,
+                1000 * (1 + i % 9) if kind == "video" else 0,
+                payload,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "mime", "width", "height", "duration_ms", "payload"],
+    )
+
+
+def golden_media_features(media: pd.DataFrame, dim: int = 16) -> pd.DataFrame:
+    """INDEPENDENT re-implementation of the deterministic fake decoder
+    spec (sha256-seeded feature stream, operators/multimodal.py
+    ``_fake_decode``) — written separately on purpose so the q30 oracle
+    cross-checks the operator rather than sharing its code path.
+    feat_sum = sequential float64 sum of the float32 features, round 6
+    (matches Spark's left-to-right ``aggregate`` exactly)."""
+    import hashlib
+
+    out = []
+    for mid, payload in zip(media["media_id"], media["payload"]):
+        h = hashlib.sha256(payload or b"").digest()
+        buf = b""
+        c = 0
+        while len(buf) < 4 * dim:
+            buf += hashlib.sha256(h + c.to_bytes(4, "big")).digest()
+            c += 1
+        feats = (
+            np.frombuffer(buf[: 4 * dim], dtype=np.uint32).astype(np.float64)
+            / 2**32
+        ).astype(np.float32)
+        s = 0.0
+        for v in feats:
+            s += float(v)
+        out.append((mid, dim, round(s, 6)))
+    return pd.DataFrame(out, columns=["media_id", "feat_dim", "feat_sum"])
+
+
+def ensure_media(sf_name: str, data_root: str = DATA_ROOT, force: bool = False) -> str:
+    """Idempotently add media.parquet + media_features.parquet (golden)
+    next to the transcript fixtures."""
+    out_dir = ensure_sf(sf_name, data_root)
+    marker = os.path.join(out_dir, "media_features.parquet")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    media = gen_media(sf_name_to_sf(sf_name))
+    _write(media, os.path.join(out_dir, "media.parquet"), _MEDIA_ARROW)
+    _write(golden_media_features(media), marker)
+    return out_dir

@@ -60,34 +60,37 @@ def minhash_signatures(
     the DuckDB oracle verbatim (lowercase fixed-width hex orders like
     the integer), used by the correctness gate.
     ``hash_mode='xxhash64'``: native 64-bit longs via Spark's
-    xxhash64 — ~3× faster (no hex materialization), the production
-    mode when cross-engine reproducibility isn't required.
+    xxhash64 — faster (no hex materialization), the production mode
+    when cross-engine reproducibility isn't required.
     Same LSH banding works on either (band key md5s the slice).
 
-    The repartition between shingling and hashing is a deliberate
-    materialization barrier: without it Catalyst's CollapseProject
-    inlines the shingles expression into the 64-way signature lambda
-    and recomputes the split/slice work per hash (64× blowup). It also
-    spreads the md5-heavy stage across all cores when the input scan
-    has few splits."""
-    with_sh = word_shingles(df, text_col, k).select(id_col, "shingles")
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    # hash (not round-robin) partitioning: deterministic exchanges are
-    # eligible for ReusedExchange when the signature subtree fans out
-    # (LSH banding consumes it three times)
-    with_sh = with_sh.repartition(parallelism, F.col(id_col))
+    Shape: explode shingles → ``n_hashes`` min-aggregates per doc →
+    reassemble the sig array. Chosen over a higher-order-function
+    (transform/array_min lambda) formulation for the same two measured
+    reasons as ``simhash_cols``: HOF lambdas are interpreted (never
+    codegen'd), and Catalyst's InferFiltersFromConstraints derives
+    isnotnull(<join key>) and pushes the FULL inlined signature
+    expression below repartitions onto the unparallelized scan (a
+    repartition is not a pushdown barrier; a HashAggregate is). min()
+    is duplicate-insensitive, so exploding the shingle multiset
+    preserves the exact minima the DuckDB oracle recomputes."""
+    sh = word_shingles(df, text_col, k).select(
+        F.col(id_col), F.explode_outer("shingles").alias("_s")
+    )
     if hash_mode == "md5":
-        h = "md5(concat(cast(j as string), '|', s))"
+        def h(j: int):
+            return F.md5(F.concat(F.lit(f"{j}|"), F.col("_s")))
     elif hash_mode == "xxhash64":
-        h = "xxhash64(j, s)"
+        def h(j: int):
+            return F.xxhash64(F.lit(j), F.col("_s"))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    return with_sh.select(
+    g = sh.groupBy(id_col).agg(
+        *[F.min(h(j)).alias(f"_m{j}") for j in range(n_hashes)]
+    )
+    return g.select(
         F.col(id_col),
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}),"
-            f" j -> array_min(transform(shingles, s -> {h})))"
-        ).alias("sig"),
+        F.array(*[F.col(f"_m{j}") for j in range(n_hashes)]).alias("sig"),
     )
 
 
@@ -254,35 +257,56 @@ def simhash_cols(
     oracle recomputes it in SQL, making the whole near-dup pipeline
     cross-engine checkable.
 
-    The repartition is the house materialization barrier: without it
-    CollapseProject inlines the word-hash array into both signature
-    aggregates and the md5 work doubles (documented Catalyst trap)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    hs = df.select(
+    Shape: explode distinct words → 64 per-bit flag columns → one
+    hash aggregation per doc, then the signature as plain arithmetic
+    over the bit counts. Chosen over a higher-order-function (array
+    lambda) formulation for two measured reasons:
+    1. HOF lambdas are interpreted, not codegen'd — the explode/agg
+       form is whole-stage-codegen int ops end to end;
+    2. Catalyst's InferFiltersFromConstraints derives
+       isnotnull(<join key>) from downstream joins and pushes the
+       FULL inlined signature expression below every deterministic
+       projection/repartition — onto the unparallelized scan, one
+       task, 30 s at sf0.1 (the round-1/round-2 trap family). A real
+       HashAggregate is a structural pushdown barrier: inferred
+       filters stay above it and evaluate on aggregated rows.
+    Map-side partial aggregation keeps the shuffle at one row per doc
+    (65 longs), independent of document length — the correct 100 TB
+    shape."""
+    words = df.select(
         F.col(id_col),
-        F.expr(
-            f"transform({_distinct_words_expr(text_col)}, w -> named_struct("
-            "'hi', cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint),"
-            " 'lo', cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint)))"
-        ).alias("_hs"),
-    ).repartition(parallelism, F.col(id_col))
-
-    def sig(half: str) -> str:
-        # bit b of this 32-bit half: majority vote over word hashes
-        return (
-            "aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc + "
-            f"if(2 * size(filter(_hs, h -> (shiftrightunsigned(h.{half}, b) & 1) = 1))"
-            " > size(_hs), shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
+        F.explode_outer(F.expr(_distinct_words_expr(text_col))).alias("_w"),
+    )
+    hashed = words.select(
+        id_col,
+        F.expr("cast(conv(substring(md5(_w), 1, 8), 16, 10) as bigint)").alias("_hi"),
+        F.expr("cast(conv(substring(md5(_w), 9, 8), 16, 10) as bigint)").alias("_lo"),
+    )
+    aggs = [F.count("_hi").alias("_n")]
+    for b in range(32):
+        aggs.append(
+            F.expr(f"sum(coalesce(shiftrightunsigned(_hi, {b}) & 1, 0))").alias(f"_h{b}")
         )
-
-    return hs.select(
+        aggs.append(
+            F.expr(f"sum(coalesce(shiftrightunsigned(_lo, {b}) & 1, 0))").alias(f"_l{b}")
+        )
+    g = hashed.groupBy(id_col).agg(*aggs)
+    sig_hi = " + ".join(
+        f"if(2 * _h{b} > _n, cast({1 << b} as bigint), cast(0 as bigint))"
+        for b in range(32)
+    )
+    sig_lo = " + ".join(
+        f"if(2 * _l{b} > _n, cast({1 << b} as bigint), cast(0 as bigint))"
+        for b in range(32)
+    )
+    return g.select(
         F.col(id_col),
-        F.expr(sig("hi")).alias("simhash_hi"),
-        F.expr(sig("lo")).alias("simhash_lo"),
+        F.expr(sig_hi).alias("simhash_hi"),
+        F.expr(sig_lo).alias("simhash_lo"),
         F.lower(
             F.concat(
-                F.lpad(F.expr(f"hex({sig('hi')})"), 8, "0"),
-                F.lpad(F.expr(f"hex({sig('lo')})"), 8, "0"),
+                F.lpad(F.expr(f"hex({sig_hi})"), 8, "0"),
+                F.lpad(F.expr(f"hex({sig_lo})"), 8, "0"),
             )
         ).alias("simhash_hex"),
     )
@@ -397,9 +421,11 @@ def simhash_near_dups(
     starts = [1 + sum(lens[:i]) for i in range(n_blocks)]
 
     s = simhash_cols(df, id_col, text_col)
+    # integer block keys (value of the hex-substring block): no strings
+    # ever enter the join stream
     blocks_expr = "array(" + ", ".join(
-        f"named_struct('block_idx', {i},"
-        f" 'block_key', substring(simhash_hex, {starts[i]}, {lens[i]}))"
+        f"named_struct('block_idx', {i}, 'block_key',"
+        f" cast(conv(substring(simhash_hex, {starts[i]}, {lens[i]}), 16, 10) as bigint))"
         for i in range(n_blocks)
     ) + ")"
     # explode_outer per house rule (InferFiltersFromGenerate trap); the
@@ -410,6 +436,15 @@ def simhash_near_dups(
         "simhash_lo",
         F.explode_outer(F.expr(blocks_expr)).alias("bk"),
     ).select("id", "simhash_hi", "simhash_lo", "bk.block_idx", "bk.block_key")
+    # explicit hash repartition on the join keys: the join INPUT is tiny
+    # (n_docs × n_blocks rows) so AQE would coalesce it to ~1 partition
+    # — but the join OUTPUT is the quadratic candidate stream (46 M rows
+    # at sf0.1), which must expand across all cores, not in one task.
+    # User-specified repartitioning is exempt from AQE coalescing, and
+    # both self-join sides inherit the same partitioning → no further
+    # exchange.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    blocked = blocked.repartition(parallelism, "block_idx", "block_key")
 
     a = blocked.select(
         "block_idx",
@@ -425,14 +460,48 @@ def simhash_near_dups(
         F.col("simhash_hi").alias("hi_b"),
         F.col("simhash_lo").alias("lo_b"),
     )
+
+    # per-block bit masks over the (hi, lo) halves (a block may straddle
+    # the boundary when n_blocks does not divide 16)
+    mhis, mlos = [], []
+    for i in range(n_blocks):
+        mhi = mlo = 0
+        for p in range(starts[i], starts[i] + lens[i]):  # 1-based hex char pos
+            if p <= 8:
+                mhi |= 0xF << ((8 - p) * 4)
+            else:
+                mlo |= 0xF << ((16 - p) * 4)
+        mhis.append(mhi)
+        mlos.append(mlo)
+
+    # The candidate stream is the scale hot spot (46 M rows at sf0.1 —
+    # templated corpora cluster simhash bits, so buckets are fat and
+    # the TRUE answer is itself ~2 M pairs). Keep its per-row work
+    # integer-only, in conjunct order:
+    #   1. hamming from two xors + bit_counts (cheap; kills most rows),
+    #   2. first-match-only emission (Manku et al.'s duplicate-
+    #      elimination refinement): eqmask = bitmask of blocks where
+    #      the pair agrees; emit only from the LOWEST agreeing block
+    #      (eqmask & (2^block_idx - 1) = 0). Each surviving pair is
+    #      emitted exactly once, so there is NO post-join distinct()
+    #      exchange over the inflated candidate stream.
+    eqmask = " + ".join(
+        f"if(((_xh & cast({mhis[j]} as bigint)) | (_xl & cast({mlos[j]} as bigint)))"
+        f" = 0, {1 << j}, 0)"
+        for j in range(n_blocks)
+    )
     return (
         a.join(b2, ["block_idx", "block_key"])
         .filter(F.col("a") < F.col("b"))
+        .withColumn("_xh", F.expr("hi_a ^ hi_b"))
+        .withColumn("_xl", F.expr("lo_a ^ lo_b"))
         .withColumn(
             "hamming",
-            (F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))).cast("int"),
+            (F.bit_count(F.col("_xh")) + F.bit_count(F.col("_xl"))).cast("int"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(
+            (F.col("hamming") <= max_hamming)
+            & F.expr(f"((({eqmask}) & (shiftleft(1, block_idx) - 1)) = 0)")
+        )
         .select("a", "b", "hamming")
-        .distinct()
     )

@@ -201,6 +201,107 @@ def lsh_ann_topk(
     )
 
 
+def _argmin_cells_udf(centroids: np.ndarray, n: int = 1):
+    """vec → the ``n`` nearest centroid ids (squared-L2 argmin, one
+    matmul per Arrow batch). n=1 → int cell; n>1 → array of cells."""
+    c = centroids.astype(np.float64)
+    c_norms = (c * c).sum(axis=1)
+
+    from pyspark.sql.types import IntegerType as _I
+
+    ret = _I() if n == 1 else ArrayType(_I())
+
+    @pandas_udf(ret)
+    def _a(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32" if n == 1 else "object")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = c_norms[None, :] - 2.0 * (m @ c.T)  # ||x||² constant per row
+        if n == 1:
+            out = d2.argmin(axis=1).astype("int32")
+            return pd.Series(out, index=vecs.index)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n]
+        return pd.Series([[int(x) for x in row] for row in idx], index=vecs.index)
+
+    return _a
+
+
+def ivf_index(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) coarse quantizer: ``nlist`` centroids from
+    ``iters`` Lloyd iterations, deterministically seeded by md5 order
+    of ids (no RNG state — every run/executor rebuilds the same index).
+
+    Scale shape: the assign step is one Arrow matmul pass over the
+    corpus (distributed); the centroid update is posexplode →
+    (cell, dim) partial-avg aggregation — the only driver-side data is
+    the (nlist × dim) centroid matrix itself. Returns (assigned_df
+    with an int ``_cell`` column, centroids ndarray)."""
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .withColumn(
+            "_r", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+        )
+        .orderBy("_r", id_col)
+        .limit(nlist)
+        .collect()
+    )
+    cents = np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assigned = corpus.withColumn(
+            "_cell", _argmin_cells_udf(cents)(F.col(vec_col))
+        )
+        means = (
+            assigned.select("_cell", F.posexplode_outer(vec_col).alias("_d", "_x"))
+            .groupBy("_cell", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        for r in means:
+            cents[r["_cell"]][r["_d"]] = r["_m"]
+    assigned = corpus.withColumn("_cell", _argmin_cells_udf(cents)(F.col(vec_col)))
+    return assigned, cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k (the FAISS-style alternative to hyperplane LSH):
+    assign the corpus to ``nlist`` centroid cells, probe each query's
+    ``nprobe`` nearest cells, exact-rescore only those cells' vectors.
+    Candidate fraction ≈ nprobe/nlist of the corpus per query; recall
+    vs brute force is pinned by tests/test_similarity.py. The probed
+    queries are broadcast; the corpus-side join key is the int cell id,
+    so the scan stays partition-parallel with one equi-join."""
+    assigned, cents = ivf_index(corpus, nlist, iters, id_col, vec_col, seed)
+    q = queries.withColumn(
+        "_cells", _argmin_cells_udf(cents, n=nprobe)(F.col(query_vec_col))
+    ).select("*", F.explode_outer("_cells").alias("_cell")).drop("_cells")
+    joined = assigned.join(F.broadcast(q), "_cell")
+    scored = with_cosine(joined, vec_col, query_vec_col).select(
+        query_id_col, id_col, "cosine"
+    )
+    return topk_per_key(scored, query_id_col, "cosine", k, tie_break=id_col).select(
+        query_id_col, id_col, "cosine", "rank"
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -14,7 +14,7 @@ the query running with a processingTime trigger.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from auto_data_tokenize_spark.operators.identify import detections as detections_op
 from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -85,4 +85,41 @@ def session_report_stream(
     sessions (append mode)."""
     return session_reports(
         detections_stream(transcripts, root_key), gap, watermark=watermark
+    )
+
+
+def dedup_stream(
+    transcripts: DataFrame,
+    window: str = "1 day",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact-dedup: per (event-time window, md5(text)) emit
+    the FIRST occurrence and the copy count, append mode, state bounded
+    by the watermark (windows close and their dedup state drops).
+
+    Deliberately a stateful aggregation with min(struct(ts, keys)), NOT
+    ``dropDuplicates``: dropDuplicates keeps whichever replica a
+    partition saw first (processing order — nondeterministic across
+    runs/cluster layouts), while min-struct first-occurrence is a pure
+    event-time property the DuckDB oracle reproduces exactly. This is
+    the streaming twin of q09's batch exact-dedup — the shape a 10^12-
+    turn ingest pipeline runs continuously."""
+    d = transcripts.withWatermark("ts", watermark)
+    return (
+        d.groupBy(
+            F.window("ts", window).alias("w"),
+            F.md5(text_col).alias("text_hash"),
+        )
+        .agg(
+            F.min(F.struct("ts", "conv_id", "turn_idx")).alias("first"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "text_hash",
+            F.col("first.conv_id").alias("first_conv_id"),
+            F.col("first.turn_idx").alias("first_turn_idx"),
+            "n_copies",
+        )
     )

@@ -56,3 +56,36 @@ def test_binary_column_pruned_before_python(spark, media):
     )
     map_line = next(ln for ln in plan.splitlines() if "MapInPandas" in ln)
     assert "mime" not in map_line and "duration_ms" not in map_line
+
+
+def test_fake_decode_matches_independent_golden(spark):
+    """datagen.golden_media_features re-implements the decode spec
+    separately (different code path, same sha256-seeded definition) —
+    the q30 oracle's independence rests on this agreement."""
+    from pyspark.sql import functions as F
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.multimodal import extract_features
+
+    media_pd = datagen.gen_media(0.001)
+    golden = datagen.golden_media_features(media_pd, dim=16)
+    media = spark.createDataFrame(media_pd)
+    got = (
+        extract_features(media, dim=16)
+        .select(
+            "media_id",
+            "feat_dim",
+            F.round(
+                F.expr(
+                    "aggregate(transform(feature, x -> cast(x as double)),"
+                    " cast(0.0 as double), (a, v) -> a + v)"
+                ),
+                6,
+            ).alias("feat_sum"),
+        )
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    want = golden.sort_values("media_id").reset_index(drop=True).astype(got.dtypes)
+    assert got.equals(want)

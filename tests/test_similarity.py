@@ -134,6 +134,27 @@ def test_multi_table_beats_single_table_recall(spark, corpus):
     assert (0, 5) in multi  # the planted near-dup
 
 
+def test_ivf_topk_self_and_planted_recall(spark, corpus, queries):
+    """IVF ANN: every query's own vector lands in its nearest-centroid
+    cell (self always found); the planted near-dup of 0 shares 0's
+    neighborhood; results are deterministic (md5-seeded Lloyd)."""
+    rows = similarity.ivf_topk(corpus, queries, k=5, nlist=8, nprobe=3).collect()
+    self_hits = {r["query_id"] for r in rows if r["vec_id"] == r["query_id"]}
+    assert self_hits == {0, 1, 2}
+    q0 = [r["vec_id"] for r in sorted(
+        (x for x in rows if x["query_id"] == 0), key=lambda r: r["rank"])]
+    assert q0[0] == 0 and 5 in q0  # planted near-dup found
+
+    exact = similarity.cosine_topk(corpus, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.3  # sanity floor
+
+    again = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+             similarity.ivf_topk(corpus, queries, k=5, nlist=8, nprobe=3).collect()}
+    assert again == {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}
+
+
 def test_scoring_is_jvm_side(spark, corpus, queries):
     plan = (
         similarity.cosine_topk(corpus, queries, k=3)
