@@ -51,7 +51,7 @@ run() {
     --input "$WORK/in" --output "$WORK/out_$tag" \
     --checkpoint "$WORK/ckpt_$tag" --mode tokenize --sink "$sink" \
     --warmup-input "$WORK/warm" \
-    --max-files-per-trigger 16 2>/dev/null | tail -1
+    --max-files-per-trigger "${TRIGGER:-16}" 2>/dev/null | tail -1
 }
 
 echo "== N=$SMALL cores, engine path (noop sink) =="
