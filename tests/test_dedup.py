@@ -159,3 +159,30 @@ def test_bucket_cap_bounds_pairs(spark):
     assert n == 0
     n2 = dedup.lsh_candidate_pairs(sig, max_bucket=128).count()
     assert n2 == 100 * 99 // 2
+
+
+def test_simhash_pushdown_trap_regression(spark, docs):
+    """InferFiltersFromConstraints once pushed isnotnull(<join key>)
+    with the FULL inlined signature expression below the repartitions
+    onto the 1-task scan (30 s single-task stage at sf0.1). The fix is
+    structural — signatures are built above a HashAggregate — so no
+    Filter node may re-evaluate the word-hash expression."""
+    plan = (
+        dedup.simhash_near_dups(docs, max_hamming=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+    for line in plan.splitlines():
+        if "Filter" in line.split("(")[0] or line.lstrip().startswith(("+- Filter", ": +- Filter", ":- Filter")):
+            assert "conv(substring(md5(" not in line, line[:300]
+
+
+def test_minhash_signature_is_aggregate_shaped(spark, docs):
+    """Same trap class: minhash minima must come from a real aggregate
+    node (pushdown barrier + map-side partial agg), not interpreted
+    array lambdas. String min() buffers pick ObjectHashAggregate."""
+    plan = (
+        dedup.minhash_signatures(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Aggregate" in plan  # ObjectHash/Hash/Sort variant all barrier
