@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) over the pure-Python cores —
+no SparkSession, so hundreds of examples run in seconds.
+
+Mirrors the reference's unit-test layer for the crypto/detection cores
+(DaeadEncryptingValueTokenizerTest, DlpBatchInspectTest): the Spark
+operators are thin plans over exactly these functions, so core
+properties + the oracle gate together cover the operator surface.
+"""
+
+import re
+
+from hypothesis import assume, given, settings, strategies as st
+
+from auto_data_tokenize_spark.functions import detectors
+from auto_data_tokenize_spark.functions.tokenizer import (
+    DEFAULT_ROOT_KEY,
+    TOKEN_RE,
+    Tokenizer,
+)
+
+_TOK = Tokenizer(DEFAULT_ROOT_KEY)
+
+# printable-ish text including unicode, newlines, digits that may or
+# may not form valid PII
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+conv_ids = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=20
+)
+
+
+@given(conv_ids, texts)
+@settings(max_examples=300, deadline=None)
+def test_tokenize_detokenize_roundtrip(conv_id, text):
+    # a literal token marker in the INPUT is indistinguishable from a
+    # real surrogate — same caveat as the reference's DLP surrogates
+    assume("[TOK:" not in text)
+    tok = _TOK.tokenize_text(conv_id, text)
+    assert _TOK.detokenize_text(conv_id, tok) == text
+
+
+@given(conv_ids, texts)
+@settings(max_examples=300, deadline=None)
+def test_tokenize_deterministic(conv_id, text):
+    assert _TOK.tokenize_text(conv_id, text) == _TOK.tokenize_text(conv_id, text)
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_spans_sorted_disjoint_in_bounds(text):
+    spans = detectors.find_spans(text)
+    prev_end = 0
+    for sp in spans:
+        assert 0 <= sp.start < sp.end <= len(text)
+        assert sp.start >= prev_end  # sorted and non-overlapping
+        assert text[sp.start : sp.end] == sp.text
+        prev_end = sp.end
+
+
+_PII_SAMPLES = [
+    "jane.doe@example.com",
+    "support_42@mail.example.org",
+    "(212) 555-0184",
+    "+1 415 555 0132",
+    "4539 1488 0343 6467",  # Luhn-valid
+    "371449635398431",      # Luhn-valid amex shape
+    "212-55-6789",
+]
+_pad = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           blacklist_characters="[@0123456789"),
+    max_size=60,
+)
+
+
+@given(conv_ids, _pad, st.sampled_from(_PII_SAMPLES), _pad)
+@settings(max_examples=200, deadline=None)
+def test_tokens_parse_and_hide_plaintext(conv_id, prefix, pii, suffix):
+    text = f"{prefix} {pii} {suffix}"
+    spans = detectors.find_spans(text)
+    assume(spans)
+    tok = _TOK.tokenize_text(conv_id, text)
+    # every produced marker parses under the wire-format regex
+    markers = TOKEN_RE.findall(tok)
+    assert len(markers) == len(spans)
+    # no detected plaintext survives (8+ char spans can't be substrings
+    # of the base64 body by accident at any plausible rate)
+    for sp in spans:
+        if len(sp.text) >= 8:
+            assert sp.text not in tok
+
+
+@given(conv_ids, st.text(min_size=0, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_value_token_roundtrip(scope, value):
+    t = _TOK.token(scope, "COL_X", value)
+    m = re.fullmatch(r"\[TOK:COL_X:([A-Za-z0-9_\-]+=*)\]", t)
+    assert m, t
+    assert _TOK.detoken(scope, "COL_X", m.group(1)) == value
+
+
+@given(conv_ids, conv_ids, st.text(min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_scope_isolation(scope_a, scope_b, value):
+    """Tokens are scope-bound: the same value under different scopes
+    yields different tokens (blast-radius bounding of the key
+    hierarchy)."""
+    assume(scope_a != scope_b)
+    ta = _TOK.token(scope_a, "COL_X", value)
+    tb = _TOK.token(scope_b, "COL_X", value)
+    assert ta != tb

@@ -85,7 +85,7 @@ def test_embedding_near_dups(spark, corpus):
 
 
 def test_q18_multi_table_lsh_recall_is_exact(spark):
-    """At the q18 parameters (16 tables × 6 planes, threshold 0.9) the
+    """At the q18 parameters (24 tables × 10 planes, threshold 0.9) the
     LSH near-dup pipeline must find EXACTLY the brute-force pairs on
     the sf0.01 corpus — this measured-recall=1.0 property is what
     licenses q18's exact SQL oracle."""
