@@ -435,6 +435,30 @@ def q32_stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the user's LATEST view
+    event at-or-before the purchase time — the operator Spark lacks
+    natively (DuckDB has ASOF JOIN, which is the oracle), built as
+    union + one last-non-null window pass: a single shuffle on the
+    key, vs a range join's two shuffles + full candidate-pair blowup."""
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    return asof_join(
+        purchases, views, on="user_id", right_cols=["view_id"]
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_asof").alias("view_ts"),
+        F.col("view_id_asof").alias("view_id"),
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -612,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_media_features": _with_prep(q30_media_features),
         "q31_video_frame_counts": _with_prep(q31_video_frame_counts),
         "q32_stream_dedup_first": _with_prep(q32_stream_dedup_first),
+        "q33_asof_purchase_attribution": _with_prep(q33_asof_purchase_attribution),
     }
 
 
@@ -974,6 +999,13 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT media_id, CAST(ceil(duration_ms / 1000.0) AS BIGINT) AS n_frames
             FROM read_parquet('{dd}/media.parquet')
             WHERE duration_ms > 0
+        """,
+        "q33_asof_purchase_attribution": """
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   v.ts AS view_ts, v.event_id AS view_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "q32_stream_dedup_first": f"""
             WITH b AS (

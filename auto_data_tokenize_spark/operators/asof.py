@@ -1,0 +1,90 @@
+"""As-of join — for each left row, the single most recent right row
+with ``right.ts <= left.ts`` per key. Spark has no native ASOF JOIN
+(DuckDB does, which is exactly what makes the q33 oracle literal), so
+this is the classic composition:
+
+    union(tagged left ∪ right) → one window pass per key ordered by
+    (ts, right-first) → last_value(right cols, ignoreNulls) → keep
+    left rows.
+
+Cost shape: ONE shuffle on the key (the window exchange) and one
+per-partition sort — strictly better than the naive range-join +
+row_number (which shuffles both sides AND materializes every candidate
+pair in the range). Ties at equal ts resolve to the right row
+(at-or-before semantics), matching DuckDB's ``ON l.ts >= r.ts``.
+
+Skew note: the window is per key; a pathologically hot key serializes
+in one task. For hot keys, pre-bucket by time range (the same salting
+playbook as operators/skew.py) — not needed for token-cardinality
+keys, which are ~unique by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    how: str = "inner",
+) -> DataFrame:
+    """Left rows + the latest right row at-or-before each left row's
+    timestamp, per ``on`` key.
+
+    ``right_cols``: right columns to carry (default: all but key+ts);
+    each lands as ``<name><suffix>``; the matched right timestamp lands
+    as ``<right_ts><suffix>``. ``how='left'`` keeps unmatched left rows
+    with nulls; ``'inner'`` drops them.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    carry = [right_ts] + list(right_cols)
+
+    l_tag = left.select(
+        "*",
+        F.lit(0).alias("_is_right"),
+        F.col(left_ts).alias("_ats"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carry],
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.lit(1).alias("_is_right"),
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c).alias(f"_r_{c}") for c in carry],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on
+        ],
+    ).select(l_tag.columns)  # align column order for unionByName-by-position
+
+    u = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at the same ts → at-or-before
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ats").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in carry
+        ],
+    ).filter(F.col("_is_right") == 0)
+
+    out = filled.select(
+        *[c for c in left.columns],
+        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in carry],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())
+    return out

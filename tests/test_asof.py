@@ -1,0 +1,89 @@
+"""asof_join: latest right row at-or-before each left row, per key."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators.asof import asof_join
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return _ts(
+        spark,
+        [
+            ("A", "2026-01-01 00:00:00", 1.0),
+            ("A", "2026-01-01 00:05:00", 2.0),
+            ("A", "2026-01-01 00:10:00", 3.0),
+            ("B", "2026-01-01 00:07:00", 9.0),
+        ],
+        "k string, s string, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return _ts(
+        spark,
+        [
+            ("A", "2026-01-01 00:04:59", 10),  # before 2nd quote -> px 1.0
+            ("A", "2026-01-01 00:05:00", 20),  # tie -> at-or-before -> px 2.0
+            ("A", "2026-01-01 00:20:00", 30),  # after all -> px 3.0
+            ("B", "2026-01-01 00:01:00", 40),  # before any B quote -> no match
+            ("C", "2026-01-01 00:01:00", 50),  # key with no right rows
+        ],
+        "k string, s string, qty int",
+    )
+
+
+def test_asof_inner_semantics(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="k").collect()
+    got = {(r["k"], r["qty"]): (str(r["ts_asof"]), r["px_asof"]) for r in out}
+    assert got == {
+        ("A", 10): ("2026-01-01 00:00:00", 1.0),
+        ("A", 20): ("2026-01-01 00:05:00", 2.0),  # tie matches
+        ("A", 30): ("2026-01-01 00:10:00", 3.0),
+    }
+
+
+def test_asof_left_keeps_unmatched(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="k", how="left").collect()
+    assert len(out) == 5
+    unmatched = {r["qty"] for r in out if r["ts_asof"] is None}
+    assert unmatched == {40, 50}
+
+
+def test_asof_matches_duckdb_native(spark, quotes, trades):
+    """The composition must agree with DuckDB's native ASOF JOIN on
+    the same data — the basis for q33's oracle."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", trades.toPandas())
+    con.register("q", quotes.toPandas())
+    want = {
+        (r[0], r[1], str(r[2]), r[3])
+        for r in con.execute(
+            "SELECT t.k, t.qty, q.ts, q.px FROM t ASOF JOIN q"
+            " ON t.k = q.k AND t.ts >= q.ts"
+        ).fetchall()
+    }
+    got = {
+        (r["k"], r["qty"], str(r["ts_asof"]), r["px_asof"])
+        for r in asof_join(trades, quotes, on="k").collect()
+    }
+    assert got == want
+
+
+def test_asof_single_shuffle(spark, quotes, trades):
+    """One exchange on the key — the union-window composition must not
+    shuffle both sides separately like a range join would."""
+    plan = (
+        asof_join(trades, quotes, on="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
