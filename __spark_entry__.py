@@ -451,11 +451,40 @@ def q33_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "ts", F.col("event_id").alias("view_id")
     )
     return asof_join(
-        purchases, views, on="user_id", right_cols=["view_id"]
+        purchases, views, on="user_id", right_cols=["view_id"],
+        right_tiebreak="view_id",
     ).select(
         "event_id", "user_id", "ts", "value",
         F.col("ts_asof").alias("view_ts"),
         F.col("view_id_asof").alias("view_id"),
+    )
+
+
+def q34_nested_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested/array tokenize-rename round-trip through the oracle gate
+    (TokenizeColumnNameUpdater parity): nest customer columns into a
+    struct + an array, tokenize the leaves in place (encrypted_* rename,
+    types in column metadata), detokenize, and flatten back — the
+    oracle is simply the original columns."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        detokenize_nested,
+        tokenize_nested,
+    )
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    nested = cust.select(
+        "c_custkey",
+        F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")).alias("profile"),
+        F.array("c_mktsegment").alias("segments"),
+    )
+    keys = ["$.profile.name", "$.profile.bal", "$.segments"]
+    enc = tokenize_nested(nested, keys, scope_col="c_custkey")
+    dec = detokenize_nested(enc, keys, scope_col="c_custkey")
+    return dec.select(
+        "c_custkey",
+        F.col("profile.name").alias("c_name"),
+        F.col("profile.bal").alias("c_acctbal"),
+        F.col("segments")[0].alias("c_mktsegment"),
     )
 
 
@@ -637,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_video_frame_counts": _with_prep(q31_video_frame_counts),
         "q32_stream_dedup_first": _with_prep(q32_stream_dedup_first),
         "q33_asof_purchase_attribution": _with_prep(q33_asof_purchase_attribution),
+        "q34_nested_tokenize_roundtrip": _with_prep(q34_nested_tokenize_roundtrip),
     }
 
 
@@ -999,6 +1029,9 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT media_id, CAST(ceil(duration_ms / 1000.0) AS BIGINT) AS n_frames
             FROM read_parquet('{dd}/media.parquet')
             WHERE duration_ms > 0
+        """,
+        "q34_nested_tokenize_roundtrip": """
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         """,
         "q33_asof_purchase_attribution": """
             SELECT p.event_id, p.user_id, p.ts, p.value,

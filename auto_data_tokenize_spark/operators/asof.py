@@ -33,6 +33,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     how: str = "inner",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left rows + the latest right row at-or-before each left row's
     timestamp, per ``on`` key.
@@ -40,13 +41,18 @@ def asof_join(
     ``right_cols``: right columns to carry (default: all but key+ts);
     each lands as ``<name><suffix>``; the matched right timestamp lands
     as ``<right_ts><suffix>``. ``how='left'`` keeps unmatched left rows
-    with nulls; ``'inner'`` drops them.
+    with nulls; ``'inner'`` drops them. ``right_tiebreak``: when two
+    right rows share (key, ts), pick the one with the LARGEST value of
+    this right column (deterministic; without it the pick is
+    partition-order-dependent, same as DuckDB's ASOF on duplicate ts).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     carry = [right_ts] + list(right_cols)
+    if right_tiebreak is not None and right_tiebreak not in carry:
+        raise ValueError(f"right_tiebreak {right_tiebreak!r} must be a carried column")
 
     l_tag = left.select(
         "*",
@@ -67,10 +73,16 @@ def asof_join(
     ).select(l_tag.columns)  # align column order for unionByName-by-position
 
     u = l_tag.unionByName(r_tag)
-    # right rows sort BEFORE left rows at the same ts → at-or-before
+    # right rows sort BEFORE left rows at the same ts → at-or-before;
+    # the tiebreak orders equal-ts right rows so last() is deterministic
+    # (left rows carry null there: nulls_first keeps them unaffected
+    # within their own (_ats, _is_right=0) group)
+    order = [F.col("_ats").asc(), F.col("_is_right").desc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"_r_{right_tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ats").asc(), F.col("_is_right").desc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -87,3 +87,23 @@ def test_asof_single_shuffle(spark, quotes, trades):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    """Two right rows at the same (key, ts): the carried tiebreak
+    column decides (largest wins), making the result run-stable."""
+    right = _ts(
+        spark,
+        [
+            ("A", "2026-01-01 00:00:00", 1.0),
+            ("A", "2026-01-01 00:00:00", 2.0),
+        ],
+        "k string, s string, px double",
+    )
+    left = _ts(spark, [("A", "2026-01-01 00:01:00", 1)], "k string, s string, qty int")
+    out = asof_join(
+        left, right, on="k", right_tiebreak="px"
+    ).collect()
+    assert len(out) == 1 and out[0]["px_asof"] == 2.0
+    with pytest.raises(ValueError, match="carried"):
+        asof_join(left, right, on="k", right_cols=[], right_tiebreak="px")
