@@ -67,6 +67,15 @@ def get_spark(
             str(ARROW_BATCH_ROWS),
         )
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # ObjectHashAggregate (string-buffer aggs: the minhash 64-min
+        # signature, collect_set reports) falls back to SORT-based
+        # aggregation at only 128 keys per partition by default; the
+        # bench corpora sit just above that. 4096 keys × 64×32B buffers
+        # ≈ 8 MB per partition stays comfortably hash-based (measured
+        # neutral at sf0.1 in isolation, avoids the sort path under
+        # long-session memory pressure); beyond the threshold the sort
+        # fallback remains the correct spill-aware scale path.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
         .config("spark.driver.memory", os.environ.get("ADT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
