@@ -488,6 +488,15 @@ def q34_nested_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q35_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count quantiles (exact interpolated
+    percentiles — the length-cutoff calibration query); oracle =
+    DuckDB quantile_cont, same continuous definition."""
+    from auto_data_tokenize_spark.operators.textstats import length_quantiles_by_lang
+
+    return length_quantiles_by_lang(_documents(spark, sf_dir))
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -667,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_stream_dedup_first": _with_prep(q32_stream_dedup_first),
         "q33_asof_purchase_attribution": _with_prep(q33_asof_purchase_attribution),
         "q34_nested_tokenize_roundtrip": _with_prep(q34_nested_tokenize_roundtrip),
+        "q35_length_quantiles": _with_prep(q35_length_quantiles),
     }
 
 
@@ -720,6 +730,12 @@ def _duck_winnowing_sql() -> str:
     from auto_data_tokenize_spark.operators.textstats import duckdb_winnowing_sql
 
     return duckdb_winnowing_sql("documents")
+
+
+def _duck_quantiles_sql() -> str:
+    from auto_data_tokenize_spark.operators.textstats import duckdb_length_quantiles_sql
+
+    return duckdb_length_quantiles_sql("documents")
 
 
 _BPEISH = _bpeish_duck()
@@ -1030,6 +1046,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM read_parquet('{dd}/media.parquet')
             WHERE duration_ms > 0
         """,
+        "q35_length_quantiles": _duck_quantiles_sql(),
         "q34_nested_tokenize_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         """,

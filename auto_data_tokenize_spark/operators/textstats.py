@@ -201,6 +201,60 @@ def duckdb_winnowing_sql(
     """
 
 
+QUANTILES = [0.25, 0.5, 0.75, 0.95]
+
+
+def length_quantiles_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unit-economics distribution: exact interpolated quantiles
+    of whitespace-token counts per predicted language — the
+    length-filtering calibration query a corpus pipeline runs before
+    choosing cut-offs. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the continuous-interpolation definition, so
+    the oracle is literal.
+
+    Scale: one shuffle on pred_lang (bounded cardinality); exact
+    percentile sorts within each tiny group. For 100 TB one would use
+    ``percentile_approx`` (t-digest) — kept exact here because the
+    oracle gate demands bit-equality and language cardinality is O(10)."""
+    base = token_counts(language_id(df, text_col), text_col)
+    q = ", ".join(str(x) for x in QUANTILES)
+    return (
+        base.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(f"percentile(n_ws_tokens, array({q}))").alias("_q"),
+        )
+        .select(
+            "pred_lang",
+            "n_docs",
+            *[
+                F.round(F.col("_q")[i], 6).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(QUANTILES)
+            ],
+        )
+    )
+
+
+def duckdb_length_quantiles_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`length_quantiles_by_lang` (q35 oracle)."""
+    lang = duckdb_language_id_sql(table, text_col)
+    qcols = ", ".join(
+        f"round(quantile_cont(n_ws_tokens, {p}), 6) AS p{int(p * 100)}"
+        for p in QUANTILES
+    )
+    return f"""
+        WITH lang AS ({lang}),
+        tok AS (
+          SELECT doc_id,
+                 length(string_split_regex(trim({text_col}), '\\s+')) AS n_ws_tokens
+          FROM {table}
+        )
+        SELECT l.pred_lang, COUNT(*) AS n_docs, {qcols}
+        FROM lang l JOIN tok USING (doc_id)
+        GROUP BY 1
+    """
+
+
 # -- DuckDB oracle fragments (kept adjacent so the two dialects evolve
 #    together; used by __spark_entry__.oracle_sql) -------------------------
 

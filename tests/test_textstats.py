@@ -120,3 +120,15 @@ def test_winnowing_is_jvm_side(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_length_quantiles_exact_interpolation(spark):
+    """percentile() must interpolate continuously (quantile_cont
+    definition): 4 docs of 1/2/3/4 tokens -> p50 = 2.5."""
+    df = spark.createDataFrame(
+        [(i, "the " * (i + 1)) for i in range(4)], "doc_id long, text string"
+    )
+    r = textstats.length_quantiles_by_lang(df).collect()
+    assert len(r) == 1 and r[0]["pred_lang"] == "en"
+    assert r[0]["n_docs"] == 4
+    assert r[0]["p25"] == 1.75 and r[0]["p50"] == 2.5 and r[0]["p95"] == 3.85
