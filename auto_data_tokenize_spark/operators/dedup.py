@@ -2,20 +2,34 @@
 Jaccard. Training-data pipeline first-class citizens (no reference
 counterpart — the reference dedupes nothing).
 
-Portability design: MinHash uses md5-hex string minima — lowercase hex
-of fixed width orders identically to the underlying integer, and md5
-exists verbatim in Spark and DuckDB, so signatures are cross-engine
-reproducible (the correctness gate can literally recompute them).
-SimHash needs bit arithmetic, so it runs as a vectorized Arrow UDF and
-is golden-tested in pytest instead.
+Portability design: both signature families are cross-engine
+reproducible, so the correctness gate literally recomputes them in
+DuckDB. MinHash uses md5-hex string minima (lowercase fixed-width hex
+orders identically to the underlying integer); SimHash carries its
+64-bit value as two 32-bit halves from md5 hex so every bit op stays
+inside portable signed-64 arithmetic (``duckdb_simhash_sql`` is the
+verbatim SQL twin).
+
+Shape (the round-2 lesson, measured): signatures are built as
+explode → per-hash/per-bit columns → ONE aggregation per doc, not as
+higher-order-function array lambdas, because (a) HOF lambdas are
+interpreted, never whole-stage-codegen'd, and (b) Catalyst's
+InferFiltersFromConstraints pushes inferred isnotnull(join key) — with
+the full inlined signature expression — below projections AND
+repartitions onto the unparallelized scan; a real aggregate node is
+the structural pushdown barrier a repartition is not.
 
 Scale notes:
-- signatures/shingling are narrow projections (whole-stage codegen).
 - LSH banding shuffles once on (band_idx, band_key) — high-cardinality
   keys, uniform by construction (hashes). A pathological bucket (e.g.
   the empty-text shingle set) is capped by ``max_bucket`` before the
   pair self-join, bounding the quadratic blowup the same way the
   reference caps DLP batches.
+- SimHash near-dups join on hex-substring blocks with integer keys,
+  emit each pair only from its lowest matching block (no post-join
+  distinct), and fan the quadratic candidate stream across cores with
+  an explicit repartition (AQE would coalesce the tiny input to one
+  task and expand 46 M rows serially).
 - candidate verification joins texts back by id — two broadcast-or-
   shuffle equi-joins on doc ids, then exact Jaccard on the pair only.
 """
