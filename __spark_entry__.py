@@ -497,6 +497,58 @@ def q35_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_quantiles_by_lang(_documents(spark, sf_dir))
 
 
+def q36_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest gate (stream-static join): incoming documents
+    — the corpus re-crawled with ids offset; one third exact, one
+    third lightly edited, one third novel — are flagged when any LSH band collides with the EXISTING corpus'
+    banded signature table. Output: matched incoming doc ids. The
+    oracle recomputes both sides' signatures/bands in SQL, so the gate
+    decision (band collision, not fuzzy similarity) is exact."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+        near_dup_gate,
+    )
+    from auto_data_tokenize_spark.streaming import pipeline as spipe
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    corpus_banded = banded_keys(minhash_signatures(_documents(spark, sf_dir)))
+
+    base = tempfile.mkdtemp(prefix="adt_q36_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+        ["doc_id", "text"]
+    ]
+    def _mutate(i, t):
+        if i % 3 == 2:  # genuinely novel content — the gate must NOT flag
+            return f"novel content row {i} with entirely fresh unseen words"
+        if i % 3 == 1:  # light edit — near-dup, bands mostly survive
+            return "edited v2 " + t
+        return t  # exact re-crawl — every band collides
+    pdf["text"] = [_mutate(i, t) for i, t in zip(pdf["doc_id"], pdf["text"])]
+    pdf["doc_id"] = pdf["doc_id"] + 1000000
+    pdf.to_parquet(f"{in_dir}/docs.parquet", index=False)
+
+    st = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    gated = near_dup_gate(st, corpus_banded)
+    sink = ExactlyOnceSink(f"{base}/out")
+    spipe.run_to_sink(gated, sink, f"{base}/ckpt")
+    out = (
+        sink.read_committed(spark)
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -677,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_asof_purchase_attribution": _with_prep(q33_asof_purchase_attribution),
         "q34_nested_tokenize_roundtrip": _with_prep(q34_nested_tokenize_roundtrip),
         "q35_length_quantiles": _with_prep(q35_length_quantiles),
+        "q36_stream_near_dup_gate": _with_prep(q36_stream_near_dup_gate),
     }
 
 
@@ -730,6 +783,29 @@ def _duck_winnowing_sql() -> str:
     from auto_data_tokenize_spark.operators.textstats import duckdb_winnowing_sql
 
     return duckdb_winnowing_sql("documents")
+
+
+def _duck_banded_sql(src_sql: str) -> str:
+    """Signatures + LSH band keys for an arbitrary (doc_id, text)
+    source subquery — mirrors dedup.minhash_signatures + banded_keys
+    exactly (q36 oracle needs it for BOTH sides of the gate)."""
+    return f"""
+      SELECT doc_id AS id, b AS band_idx,
+             md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
+      FROM (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                              j -> list_min(list_transform(shingles,
+                                   s -> md5(j::VARCHAR || '|' || s)))) AS sig
+        FROM (
+          SELECT doc_id,
+                 list_transform(range(0, greatest(length(w) - 5, 0) + 1),
+                                i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS shingles
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM ({{src}}) zz) ww
+        ) sh
+      ) sigs, (SELECT unnest(range(0, 16)) AS b) bs
+    """.replace("{src}", src_sql)
 
 
 def _duck_quantiles_sql() -> str:
@@ -1045,6 +1121,22 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT media_id, CAST(ceil(duration_ms / 1000.0) AS BIGINT) AS n_frames
             FROM read_parquet('{dd}/media.parquet')
             WHERE duration_ms > 0
+        """,
+        "q36_stream_near_dup_gate": f"""
+            WITH corpus_bands AS ({_duck_banded_sql("SELECT doc_id, text FROM documents")}),
+            inc AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     CASE WHEN doc_id % 3 = 2
+                          THEN 'novel content row ' || doc_id::VARCHAR
+                               || ' with entirely fresh unseen words'
+                          WHEN doc_id % 3 = 1 THEN 'edited v2 ' || text
+                          ELSE text END AS text
+              FROM documents
+            ),
+            inc_bands AS ({_duck_banded_sql("SELECT doc_id, text FROM inc")})
+            SELECT DISTINCT i.id AS doc_id
+            FROM inc_bands i
+            JOIN corpus_bands c USING (band_idx, band_key)
         """,
         "q35_length_quantiles": _duck_quantiles_sql(),
         "q34_nested_tokenize_roundtrip": """

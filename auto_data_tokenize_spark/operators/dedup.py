@@ -108,27 +108,93 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """Row-local signature variant for STREAMING sides: identical
+    minima to :func:`minhash_signatures` (pinned by test), computed as
+    a per-row higher-order expression instead of explode+aggregate.
+
+    Why it exists: a streaming source can't run the aggregate shape
+    without watermark-keyed state, and an ingest gate scores each
+    incoming document independently anyway. The HOF lambdas are
+    interpreted (slower per row), which is fine for micro-batch
+    increments; the BULK side of any gate join should use the
+    aggregate-shaped ``minhash_signatures``. The isnotnull-pushdown
+    trap does not bite here: the stream side is already per-row and
+    tiny relative to the static side."""
+    words = f"split(trim(lower({text_col})), '\\\\s+')"
+    shingles = (
+        f"transform(sequence(0, greatest(size({words}) - {k}, 0)),"
+        f" i -> concat_ws(' ', slice({words}, i + 1, {k})))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {n_hashes - 1}),"
+            f" j -> array_min(transform({shingles},"
+            " s -> md5(concat(cast(j as string), '|', s)))))"
+        ).alias("sig"),
+    )
+
+
+def near_dup_gate(
+    incoming: DataFrame,
+    corpus_banded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Streaming ingest gate: flag incoming documents that LSH-collide
+    with the EXISTING corpus — the continuous "is this crawl page
+    already in the training set?" filter. ``incoming`` may be a
+    streaming DataFrame; ``corpus_banded`` is the static banded-key
+    table (:func:`banded_keys` over the corpus signatures — at scale a
+    precomputed, bucketed table).
+
+    Plan shape: per-row signature on the stream side, explode to band
+    keys, LEFT SEMI stream-static join against the corpus bands (each
+    incoming band row survives at most once; collapse to distinct doc
+    ids downstream in the sink read-back or a batch distinct).
+    Output: (id, band_idx, band_key) band hits for matched docs."""
+    sig = minhash_signatures_rowwise(incoming, id_col, text_col, k, n_hashes)
+    stream_banded = banded_keys(sig, id_col, bands, rows_per_band)
+    return stream_banded.join(
+        corpus_banded.select("band_idx", "band_key").distinct(),
+        ["band_idx", "band_key"],
+        "left_semi",
+    )
+
+
+def banded_keys(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket: int = 64,
 ) -> DataFrame:
-    """Band the signatures, bucket-join, emit candidate (a, b) pairs
-    with a < b. One shuffle on the banded key.
+    """(id, band_idx, band_key) — one row per LSH band; band_key =
+    md5 over the band's signature slice. Shared by the batch candidate
+    join and the streaming ingest gate (the key construction must be
+    identical on both sides of any band join).
 
-    The repartition below is a materialization barrier (see
+    The repartition is a materialization barrier (see
     minhash_signatures): banding references ``sig`` once per band, and
-    a collapsed projection would recompute the full signature 16×."""
-    parallelism = sig_df.sparkSession.sparkContext.defaultParallelism
-    sig_df = sig_df.repartition(parallelism, F.col(id_col))
-    # explode_outer, deliberately: plain explode triggers Catalyst's
-    # InferFiltersFromGenerate, which re-evaluates the banding (and,
-    # collapsed, the whole signature) in a synthesized filter below the
-    # exchange. The band array is always `bands` long — never empty —
-    # so _outer is semantically identical and skips the filter.
-    banded = sig_df.select(
+    a collapsed projection would recompute the full signature 16×.
+    explode_outer, deliberately: plain explode triggers Catalyst's
+    InferFiltersFromGenerate, which re-evaluates the banding in a
+    synthesized filter below the exchange; the band array is a
+    constant-length construction, never empty."""
+    if not sig_df.isStreaming:
+        parallelism = sig_df.sparkSession.sparkContext.defaultParallelism
+        sig_df = sig_df.repartition(parallelism, F.col(id_col))
+    return sig_df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(
             F.expr(
@@ -139,6 +205,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band_idx", "bk.band_key")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate (a, b) pairs
+    with a < b. One shuffle on the banded key."""
+    banded = banded_keys(sig_df, id_col, bands, rows_per_band)
 
     # cap pathological buckets before the quadratic self-join
     bucket_sizes = banded.groupBy("band_idx", "band_key").agg(

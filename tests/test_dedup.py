@@ -186,3 +186,29 @@ def test_minhash_signature_is_aggregate_shaped(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Aggregate" in plan  # ObjectHash/Hash/Sort variant all barrier
+
+
+def test_rowwise_signatures_match_aggregate(spark, docs):
+    """The stream-side row-local signature must equal the batch
+    aggregate-shaped one element-for-element."""
+    a = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["sig"] for r in
+         dedup.minhash_signatures_rowwise(docs).collect()}
+    assert a == b
+
+
+def test_near_dup_gate_accepts_and_rejects(spark, docs):
+    """Ingest gate: exact re-crawls and light edits collide with the
+    corpus bands; novel text does not."""
+    corpus_banded = dedup.banded_keys(dedup.minhash_signatures(docs))
+    incoming = spark.createDataFrame(
+        [
+            (100, BASE),                       # exact copy -> flagged
+            (101, "edited v2 " + BASE),        # light edit -> flagged
+            (102, "utterly unrelated novel words " * 8),  # -> passes
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["id"] for r in
+            dedup.near_dup_gate(incoming, corpus_banded).collect()}
+    assert 100 in hits and 101 in hits and 102 not in hits
