@@ -87,11 +87,38 @@ class ExactlyOnceSink:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._commit_path(batch_id))
 
+    def _head_path(self) -> str:
+        return os.path.join(self.commits_dir, "HEAD")
+
+    def _read_head(self) -> dict | None:
+        try:
+            with open(self._head_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _marker_ids(self) -> list[int]:
+        out = []
+        for p in glob.glob(os.path.join(self.commits_dir, "*.json")):
+            stem = os.path.splitext(os.path.basename(p))[0]
+            try:
+                out.append(int(stem))
+            except ValueError:
+                continue
+        return sorted(out)
+
     def committed_batches(self) -> list[int]:
-        return sorted(
-            int(os.path.splitext(os.path.basename(p))[0])
-            for p in glob.glob(os.path.join(self.commits_dir, "*.json"))
-        )
+        """Active batch set. Without compaction: every marker. With a
+        HEAD snapshot pointer: the compacted ids plus any marker ABOVE
+        the compaction floor (streaming batch ids are monotonic, so
+        batches appended after a compaction are always above it)."""
+        markers = self._marker_ids()
+        head = self._read_head()
+        if head is None:
+            return markers
+        active = set(head["compacted_ids"])
+        active.update(i for i in markers if i > head["floor"])
+        return sorted(active)
 
     def lineage(self) -> list[dict]:
         """Full commit lineage: one record per (batch, file)."""
@@ -119,8 +146,11 @@ class ExactlyOnceSink:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(target)
+        self._publish(batch_id, target)
 
-        # per-partition lineage from parquet footers (no second scan)
+    def _publish(self, batch_id: int, target: str) -> None:
+        """Collect per-file lineage from the parquet footers (no second
+        scan) and atomically publish the commit marker."""
         files = []
         for p in sorted(
             glob.glob(os.path.join(target, "**", "*.parquet"), recursive=True)
@@ -142,6 +172,59 @@ class ExactlyOnceSink:
         with open(tmp, "w") as f:
             json.dump(commit, f)
         os.replace(tmp, self._commit_path(batch_id))  # atomic publish
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Merge all active batches into ONE compacted batch — the
+        small-files maintenance a per-micro-batch layout needs at
+        production trigger rates (thousands of dirs/day otherwise).
+
+        Atomicity is a snapshot-pointer cutover, the same trick the
+        marker publish uses (and the reason Iceberg/Delta have snapshot
+        files): the compacted data + marker are written INVISIBLY first
+        (compacted ids are negative, and without a HEAD update readers
+        ignore unknown negatives only through HEAD — concretely, the
+        reader set only changes when ``_commits/HEAD`` is atomically
+        replaced). A crash before the HEAD swap leaves the old view; a
+        crash after it leaves exactly the compacted view; old dirs are
+        garbage-collected last, best-effort. Streaming appends keep
+        working mid-compaction: their batch ids are positive and
+        monotonic, so anything above the recorded floor stays visible.
+        """
+        ids = self.committed_batches()
+        if len(ids) < 2:
+            return {"compacted_batches": 0, "rows": self.total_rows()}
+        head = self._read_head()
+        new_id = (
+            min(head["compacted_ids"]) - 1
+            if head and head["compacted_ids"]
+            else -1
+        )
+        target = self._batch_dir(new_id)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        df = spark.read.parquet(*[self._batch_dir(b) for b in ids])
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(target)
+        self._publish(new_id, target)
+
+        floor = max([i for i in ids if i >= 0], default=head["floor"] if head else -1)
+        tmp = self._head_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"floor": floor, "compacted_ids": [new_id]}, f)
+        os.replace(tmp, self._head_path())  # atomic cutover
+
+        # GC retired batches (safe: no reader resolves them anymore)
+        for b in ids:
+            shutil.rmtree(self._batch_dir(b), ignore_errors=True)
+            try:
+                os.unlink(self._commit_path(b))
+            except FileNotFoundError:
+                pass
+        return {"compacted_batches": len(ids), "rows": self.total_rows()}
 
     def _foreach_batch_iceberg(self, df: DataFrame, batch_id: int) -> None:
         """Gated Iceberg data path: append with the batch id stamped as

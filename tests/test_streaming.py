@@ -204,3 +204,42 @@ def test_metrics_listener_records_progress(spark, stream_dir, tmp_path):
         lines = f.readlines()
     assert any('"event": "progress"' in ln for ln in lines)
     assert any('"num_input_rows"' in ln for ln in lines)
+
+
+def test_sink_compaction_preserves_rows_and_survives_appends(spark, tmp_path):
+    """compact() merges all active batches behind an atomic HEAD
+    cutover: same rows, one data dir; appends after compaction stay
+    visible (positive ids above the floor); a second compaction folds
+    everything again."""
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "ctab"))
+    for b in range(3):
+        df = spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v")
+        sink.foreach_batch(df, b)
+    assert sink.read_committed(spark).count() == 30
+    assert sink.committed_batches() == [0, 1, 2]
+
+    info = sink.compact(spark)
+    assert info["compacted_batches"] == 3 and info["rows"] == 30
+    assert sink.committed_batches() == [-1]
+    got = sorted(r["v"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(30))
+    import os
+    assert not os.path.exists(sink._batch_dir(0))  # retired + GC'd
+
+    # streaming continues: the next micro-batch id keeps increasing
+    sink.foreach_batch(
+        spark.range(100, 105).withColumnRenamed("id", "v"), 3
+    )
+    assert sink.committed_batches() == [-1, 3]
+    assert sink.read_committed(spark).count() == 35
+    assert sink.total_rows() == 35
+
+    info2 = sink.compact(spark)
+    assert info2["compacted_batches"] == 2
+    assert sink.committed_batches() == [-2]
+    assert sink.read_committed(spark).count() == 35
+
+    # single active batch -> compaction is a no-op
+    assert sink.compact(spark)["compacted_batches"] == 0
