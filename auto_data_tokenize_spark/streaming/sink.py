@@ -191,6 +191,12 @@ class ExactlyOnceSink:
         garbage-collected last, best-effort. Streaming appends keep
         working mid-compaction: their batch ids are positive and
         monotonic, so anything above the recorded floor stays visible.
+
+        Checkpoint-redelivery interaction: if a restart redelivers a
+        batch whose marker compaction already retired, foreach_batch
+        rewrites it — harmlessly: its id is ≤ the floor, so readers
+        never resolve it (the rows live on inside the compacted batch);
+        the orphan costs disk until the next GC, never duplicates.
         """
         ids = self.committed_batches()
         if len(ids) < 2:
