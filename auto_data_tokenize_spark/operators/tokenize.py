@@ -167,6 +167,12 @@ def _rebuild_with_leaf(top_expr, top_type, parts, arr_idx, leaf_col, new_leaf_na
     segment and spliced back via ``zip_with`` — all JVM-side."""
     from pyspark.sql.types import ArrayType as _Arr
 
+    def _null_preserving(src, rebuilt):
+        # a NULL struct must stay NULL, not become a struct of nulls
+        # (round-trip fidelity); Spark coerces the null literal to the
+        # rebuilt struct type
+        return F.when(src.isNull(), F.lit(None)).otherwise(rebuilt)
+
     def build_elem(e, stype, rel, t):
         fields = []
         for f in stype.fields:
@@ -177,7 +183,7 @@ def _rebuild_with_leaf(top_expr, top_type, parts, arr_idx, leaf_col, new_leaf_na
                 fields.append(t.alias(new_leaf_name))
             else:
                 fields.append(build_elem(fe, f.dataType, rel[1:], t).alias(f.name))
-        return F.struct(*fields)
+        return _null_preserving(e, F.struct(*fields))
 
     def build(expr, stype, rel, depth):
         fields = []
@@ -197,7 +203,7 @@ def _rebuild_with_leaf(top_expr, top_type, parts, arr_idx, leaf_col, new_leaf_na
                 )
             else:
                 fields.append(build(fe, f.dataType, rel[1:], depth + 1).alias(f.name))
-        return F.struct(*fields)
+        return _null_preserving(expr, F.struct(*fields))
 
     if arr_idx == 0 and len(parts) > 1:
         elem_t = top_type.elementType

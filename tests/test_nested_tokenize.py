@@ -97,3 +97,18 @@ def test_nested_rejects_indexed_and_multi_array_keys(spark, people):
         tokenize_nested(people, ["$.contacts[0].contact.number"])
     with pytest.raises(ValueError, match="tokenize_columns"):
         tokenize_nested(people, ["$.pid"])
+
+
+def test_null_struct_rows_stay_null(spark):
+    """A NULL struct (or NULL element) must round-trip as NULL, not
+    degrade to a struct of nulls."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(pid=1, profile=Row(email="a@x.io", age=3)), Row(pid=2, profile=None)]
+    )
+    enc = tokenize_nested(df, ["$.profile.email"], scope_col="pid")
+    dec = detokenize_nested(enc, ["$.profile.email"], scope_col="pid")
+    got = {r["pid"]: r["profile"] for r in dec.collect()}
+    assert got[2] is None
+    assert got[1]["email"] == "a@x.io" and got[1]["age"] == 3
