@@ -54,48 +54,57 @@ def asof_join(
     if right_tiebreak is not None and right_tiebreak not in carry:
         raise ValueError(f"right_tiebreak {right_tiebreak!r} must be a carried column")
 
+    # carry the matched right row as ONE struct so every output field
+    # comes from the SAME right row — per-column last(ignorenulls)
+    # fills would splice a NULL field in from an OLDER right row.
+    # Right rows without an event time can never match; drop them.
+    right_struct_type = (
+        "struct<" + ", ".join(
+            f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in carry
+        ) + ">"
+    )
     l_tag = left.select(
         "*",
         F.lit(0).alias("_is_right"),
         F.col(left_ts).alias("_ats"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carry],
+        F.lit(None).cast(right_struct_type).alias("_r"),
     )
-    r_tag = right.select(
-        F.col(on),
-        F.lit(1).alias("_is_right"),
-        F.col(right_ts).alias("_ats"),
-        *[F.col(c).alias(f"_r_{c}") for c in carry],
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left.columns
-            if c != on
-        ],
-    ).select(l_tag.columns)  # align column order for unionByName-by-position
+    r_tag = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            F.col(on),
+            F.lit(1).alias("_is_right"),
+            F.col(right_ts).alias("_ats"),
+            F.struct(*[F.col(c).alias(c) for c in carry]).alias("_r"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c != on
+            ],
+        )
+        .select(l_tag.columns)  # align column order
+    )
 
     u = l_tag.unionByName(r_tag)
     # right rows sort BEFORE left rows at the same ts → at-or-before;
     # the tiebreak orders equal-ts right rows so last() is deterministic
-    # (left rows carry null there: nulls_first keeps them unaffected
-    # within their own (_ats, _is_right=0) group)
+    # (left rows carry a null struct there: nulls_first keeps them
+    # unaffected within their own (_ats, _is_right=0) group)
     order = [F.col("_ats").asc(), F.col("_is_right").desc()]
     if right_tiebreak is not None:
-        order.append(F.col(f"_r_{right_tiebreak}").asc_nulls_first())
+        order.append(F.col("_r").getField(right_tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in carry
-        ],
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_f")
     ).filter(F.col("_is_right") == 0)
 
     out = filled.select(
         *[c for c in left.columns],
-        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in carry],
+        *[F.col("_f").getField(c).alias(f"{c}{suffix}") for c in carry],
     )
     if how == "inner":
         out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())

@@ -151,6 +151,7 @@ def near_dup_gate(
     n_hashes: int = 64,
     bands: int = 16,
     rows_per_band: int = 4,
+    persist_corpus: bool = True,
 ) -> DataFrame:
     """Streaming ingest gate: flag incoming documents that LSH-collide
     with the EXISTING corpus — the continuous "is this crawl page
@@ -163,11 +164,20 @@ def near_dup_gate(
     keys, LEFT SEMI stream-static join against the corpus bands (each
     incoming band row survives at most once; collapse to distinct doc
     ids downstream in the sink read-back or a batch distinct).
-    Output: (id, band_idx, band_key) band hits for matched docs."""
+    Output: (id, band_idx, band_key) band hits for matched docs.
+
+    ``persist_corpus`` (default on): the static side is a LIVE plan —
+    without persistence a long-running gate would recompute the whole
+    corpus signature build on EVERY micro-batch; persisting pins the
+    deduped band set in memory/disk for the stream's lifetime (at real
+    scale, point this at a precomputed bucketed table instead)."""
     sig = minhash_signatures_rowwise(incoming, id_col, text_col, k, n_hashes)
     stream_banded = banded_keys(sig, id_col, bands, rows_per_band)
+    corpus_keys = corpus_banded.select("band_idx", "band_key").distinct()
+    if persist_corpus and not corpus_banded.isStreaming:
+        corpus_keys = corpus_keys.persist()
     return stream_banded.join(
-        corpus_banded.select("band_idx", "band_key").distinct(),
+        corpus_keys,
         ["band_idx", "band_key"],
         "left_semi",
     )
@@ -513,11 +523,22 @@ def simhash_near_dups(
     starts = [1 + sum(lens[:i]) for i in range(n_blocks)]
 
     s = simhash_cols(df, id_col, text_col)
+
     # integer block keys (value of the hex-substring block): no strings
-    # ever enter the join stream
+    # ever enter the join stream. conv() to bigint overflows beyond 15
+    # hex chars (ANSI mode throws; legacy mode yields NULL keys = a
+    # silent recall hole), so wide blocks — only possible at tiny
+    # n_blocks, e.g. max_hamming=0 — key on xxhash64 of the substring
+    # instead: equality-consistent on both join sides, which is all a
+    # block key needs.
+    def _key(i: int) -> str:
+        sub = f"substring(simhash_hex, {starts[i]}, {lens[i]})"
+        if lens[i] <= 15:
+            return f"cast(conv({sub}, 16, 10) as bigint)"
+        return f"xxhash64({sub})"
+
     blocks_expr = "array(" + ", ".join(
-        f"named_struct('block_idx', {i}, 'block_key',"
-        f" cast(conv(substring(simhash_hex, {starts[i]}, {lens[i]}), 16, 10) as bigint))"
+        f"named_struct('block_idx', {i}, 'block_key', {_key(i)})"
         for i in range(n_blocks)
     ) + ")"
     # explode_outer per house rule (InferFiltersFromGenerate trap); the

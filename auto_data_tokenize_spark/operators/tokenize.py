@@ -317,19 +317,17 @@ def detokenize_nested(
         label = _column_label("_".join(parts))
         dotted = ".".join(enc_parts)
         restore = out.schema[top].metadata.get(f"original_type.{key}")
-        if arr_idx is None or arr_idx == len(parts) - 1:
-            if arr_idx == len(parts) - 1 and arr_idx is not None:
-                leaf_col = _array_detok_udf(root_key, label)(scope, F.col(dotted))
-                if restore:
-                    leaf_col = leaf_col.cast(restore)
-            else:
-                leaf_col = _value_detok_udf(root_key, label)(scope, F.col(dotted))
-                if restore:
-                    leaf_col = leaf_col.cast(restore)
+        if arr_idx is None:
+            leaf_col = _value_detok_udf(root_key, label)(scope, F.col(dotted))
+            if restore:
+                leaf_col = leaf_col.cast(restore)
         else:
+            # the leaf values travel as an aligned array<string> in every
+            # array-bearing path (the array field IS the leaf, or the leaf
+            # sits inside array elements); the stored ORIGINAL_TYPE is the
+            # ELEMENT type, so the restore cast is always array<element>
             leaf_col = _array_detok_udf(root_key, label)(scope, F.col(dotted))
             if restore:
-                # element type restoration: cast the aligned array
                 leaf_col = leaf_col.cast(f"array<{restore}>")
         rebuilt = _rebuild_with_leaf(
             F.col(top), out.schema[top].dataType, enc_parts, arr_idx,

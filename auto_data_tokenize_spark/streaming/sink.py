@@ -115,7 +115,11 @@ class ExactlyOnceSink:
         markers = self._marker_ids()
         head = self._read_head()
         if head is None:
-            return markers
+            # negative ids are compacted batches, visible ONLY through a
+            # HEAD pointer — before the HEAD swap (or after a crash
+            # mid-compaction) they must stay invisible, or readers would
+            # see the compacted copy AND the originals (double rows)
+            return [i for i in markers if i >= 0]
         active = set(head["compacted_ids"])
         active.update(i for i in markers if i > head["floor"])
         return sorted(active)
@@ -198,6 +202,12 @@ class ExactlyOnceSink:
         never resolve it (the rows live on inside the compacted batch);
         the orphan costs disk until the next GC, never duplicates.
         """
+        if self.use_iceberg:
+            raise ValueError(
+                "compact() applies to the parquet commit-log layout; "
+                "Iceberg tables use their own maintenance "
+                "(rewrite_data_files / expire_snapshots)"
+            )
         ids = self.committed_batches()
         if len(ids) < 2:
             return {"compacted_batches": 0, "rows": self.total_rows()}
@@ -274,4 +284,6 @@ class ExactlyOnceSink:
         return spark.read.parquet(*dirs)
 
     def total_rows(self) -> int:
-        return sum(c["row_count"] for c in self.lineage())
+        # Iceberg-mode markers carry row_count=None (row accounting
+        # lives in the Iceberg snapshot)
+        return sum(c["row_count"] or 0 for c in self.lineage())

@@ -107,3 +107,35 @@ def test_asof_right_tiebreak_deterministic(spark):
     assert len(out) == 1 and out[0]["px_asof"] == 2.0
     with pytest.raises(ValueError, match="carried"):
         asof_join(left, right, on="k", right_cols=[], right_tiebreak="px")
+
+
+def test_asof_null_field_does_not_splice_older_row(spark):
+    """Regression: a NULL in a carried column of the matched right row
+    must stay NULL — not get back-filled from an older right row
+    (per-column fills would fabricate a row that never existed)."""
+    right = _ts(
+        spark,
+        [
+            ("u", "2026-01-01 00:00:05", "B", "x"),
+            ("u", "2026-01-01 00:00:10", "A", None),
+        ],
+        "k string, s string, vid string, referrer string",
+    )
+    left = _ts(spark, [("u", "2026-01-01 00:00:12", 1)], "k string, s string, qty int")
+    out = asof_join(left, right, on="k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["vid_asof"] == "A" and r["referrer_asof"] is None
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    right = _ts(
+        spark,
+        [("u", None, 9.0), ("u", "2026-01-01 00:00:05", 1.0)],
+        "k string, s string, px double",
+    )
+    left = _ts(spark, [("u", "2026-01-01 00:00:01", 1)], "k string, s string, qty int")
+    out = asof_join(left, right, on="k", how="left").collect()
+    # the only timestamped right row is AFTER the left row -> no match;
+    # the null-ts row must not donate its fields
+    assert len(out) == 1 and out[0]["px_asof"] is None

@@ -122,7 +122,7 @@ def test_simhash_near_dups_complete_vs_bruteforce(spark, docs):
         r["doc_id"]: ((r["simhash_hi"] << 32) | r["simhash_lo"]) & ((1 << 64) - 1)
         for r in dedup.simhash_cols(docs).collect()
     }
-    for mh in (3, 8):
+    for mh in (0, 3, 8):
         want = {
             (a, b, bin(sig[a] ^ sig[b]).count("1"))
             for a in sig

@@ -112,3 +112,26 @@ def test_null_struct_rows_stay_null(spark):
     got = {r["pid"]: r["profile"] for r in dec.collect()}
     assert got[2] is None
     assert got[1]["email"] == "a@x.io" and got[1]["age"] == 3
+
+
+def test_array_leaf_inside_struct_roundtrip(spark):
+    """An array leaf NESTED inside a struct ($.profile.tags) must
+    round-trip as an array — regression for the detok cast that
+    stringified it — including non-string element types."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(pid=1, profile=Row(tags=["vip", "beta"], nums=[7, 9], age=3))]
+    )
+    keys = ["$.profile.tags", "$.profile.nums"]
+    enc = tokenize_nested(df, keys, scope_col="pid")
+    fnames = enc.schema["profile"].dataType.fieldNames()
+    assert "encrypted_tags" in fnames and "encrypted_nums" in fnames
+    dec = detokenize_nested(enc, keys, scope_col="pid")
+    r = dec.collect()[0]["profile"]
+    assert r["tags"] == ["vip", "beta"]
+    assert r["nums"] == [7, 9]
+    assert (
+        dec.schema["profile"].dataType["nums"].dataType.simpleString()
+        == "array<bigint>"
+    )

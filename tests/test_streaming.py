@@ -243,3 +243,24 @@ def test_sink_compaction_preserves_rows_and_survives_appends(spark, tmp_path):
 
     # single active batch -> compaction is a no-op
     assert sink.compact(spark)["compacted_batches"] == 0
+
+
+def test_sink_orphan_compacted_marker_is_invisible_without_head(spark, tmp_path):
+    """Crash-mid-compaction simulation: a negative (compacted) marker
+    published BEFORE the HEAD swap must stay invisible — otherwise
+    readers would union the compacted copy with the originals."""
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "crash"))
+    for b in range(2):
+        sink.foreach_batch(spark.range(b * 5, b * 5 + 5).withColumnRenamed("id", "v"), b)
+    # simulate: compacted data + marker exist, HEAD swap never happened
+    df = sink.read_committed(spark)
+    df.write.mode("overwrite").parquet(sink._batch_dir(-1))
+    sink._publish(-1, sink._batch_dir(-1))
+    assert sink.committed_batches() == [0, 1]  # orphan -1 invisible
+    assert sink.read_committed(spark).count() == 10  # no double rows
+    # retrying compaction from this state converges cleanly
+    info = sink.compact(spark)
+    assert info["compacted_batches"] == 2
+    assert sink.read_committed(spark).count() == 10
