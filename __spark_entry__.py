@@ -510,9 +510,9 @@ def q36_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from auto_data_tokenize_spark.operators.dedup import (
+        NearDupGate,
         banded_keys,
         minhash_signatures,
-        near_dup_gate,
     )
     from auto_data_tokenize_spark.streaming import pipeline as spipe
     from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
@@ -533,18 +533,24 @@ def q36_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t  # exact re-crawl — every band collides
     pdf["text"] = [_mutate(i, t) for i, t in zip(pdf["doc_id"], pdf["text"])]
     pdf["doc_id"] = pdf["doc_id"] + 1000000
-    pdf.to_parquet(f"{in_dir}/docs.parquet", index=False)
+    # stage as multiple files so the micro-batch scan itself
+    # parallelizes (one small parquet file = one scan partition); the
+    # gate's internal repartition covers single-file feeds regardless
+    n_files = 8
+    for i in range(n_files):
+        pdf.iloc[i::n_files].to_parquet(f"{in_dir}/docs-{i}.parquet", index=False)
 
     st = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
-    gated = near_dup_gate(st, corpus_banded)
-    sink = ExactlyOnceSink(f"{base}/out")
-    spipe.run_to_sink(gated, sink, f"{base}/ckpt")
-    out = (
-        sink.read_committed(spark)
-        .select(F.col("id").alias("doc_id"))
-        .distinct()
-    )
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    with NearDupGate(corpus_banded) as gate:
+        gated = gate.apply(st)
+        sink = ExactlyOnceSink(f"{base}/out")
+        spipe.run_to_sink(gated, sink, f"{base}/ckpt")
+        out = (
+            sink.read_committed(spark)
+            .select(F.col("id").alias("doc_id"))
+            .distinct()
+        )
+        result = spark.createDataFrame(out.toPandas(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -738,7 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 # shared DuckDB fragments (documents-table shingling/minhash, mirrors
-# auto_data_tokenize_spark/operators/dedup.py constructions exactly)
+# auto_data_tokenize_spark/operators/dedup.py constructions exactly:
+# one md5-derived base hash per shingle, 64 affine permutations)
 _DUCK_SHINGLES = """
   SELECT doc_id,
          list_transform(range(0, greatest(length(w) - 5, 0) + 1),
@@ -746,13 +753,41 @@ _DUCK_SHINGLES = """
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
         FROM documents)
 """
-_DUCK_SIG = f"""
-  SELECT doc_id,
-         list_transform(range(0, 64),
-                        j -> list_min(list_transform(shingles,
-                             s -> md5(j::VARCHAR || '|' || s)))) AS sig
-  FROM ({_DUCK_SHINGLES}) shx
+
+
+def _duck_hs_fragment(shingles_sql: str) -> str:
+    from auto_data_tokenize_spark.operators.dedup import duckdb_minhash_hs_sql
+
+    return f"""
+  SELECT doc_id, list_transform(shingles, s -> {duckdb_minhash_hs_sql('s')}) AS hs
+  FROM ({shingles_sql}) shx
 """
+
+
+def _duck_sig_fragment(shingles_sql: str) -> str:
+    from auto_data_tokenize_spark.operators.dedup import duckdb_affine_sig_expr
+
+    return f"""
+  SELECT doc_id, {duckdb_affine_sig_expr('hs')} AS sig
+  FROM ({_duck_hs_fragment(shingles_sql)}) hx
+"""
+
+
+_DUCK_HS = _duck_hs_fragment(_DUCK_SHINGLES)
+_DUCK_SIG = _duck_sig_fragment(_DUCK_SHINGLES)
+
+
+def _affine_consts() -> tuple[str, str, int]:
+    from auto_data_tokenize_spark.operators.dedup import (
+        MINHASH_P,
+        duckdb_affine_coeff_lists,
+    )
+
+    a_list, b_list = duckdb_affine_coeff_lists(64)
+    return a_list, b_list, MINHASH_P
+
+
+_A_LIST, _B_LIST, _MINHASH_P = _affine_consts()
 
 
 def _bpeish_duck() -> str:
@@ -789,23 +824,19 @@ def _duck_banded_sql(src_sql: str) -> str:
     """Signatures + LSH band keys for an arbitrary (doc_id, text)
     source subquery — mirrors dedup.minhash_signatures + banded_keys
     exactly (q36 oracle needs it for BOTH sides of the gate)."""
-    return f"""
-      SELECT doc_id AS id, b AS band_idx,
-             md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
-      FROM (
-        SELECT doc_id,
-               list_transform(range(0, 64),
-                              j -> list_min(list_transform(shingles,
-                                   s -> md5(j::VARCHAR || '|' || s)))) AS sig
-        FROM (
+    shingles_sql = f"""
           SELECT doc_id,
                  list_transform(range(0, greatest(length(w) - 5, 0) + 1),
                                 i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS shingles
           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-                FROM ({{src}}) zz) ww
-        ) sh
-      ) sigs, (SELECT unnest(range(0, 16)) AS b) bs
-    """.replace("{src}", src_sql)
+                FROM ({src_sql}) zz) ww
+    """
+    return f"""
+      SELECT doc_id AS id, b AS band_idx,
+             md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
+      FROM ({_duck_sig_fragment(shingles_sql)}) sigs,
+           (SELECT unnest(range(0, 16)) AS b) bs
+    """
 
 
 def _duck_quantiles_sql() -> str:
@@ -935,11 +966,12 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM documents
         """,
         "q14_minhash_signatures": f"""
-            WITH sh AS ({_DUCK_SHINGLES})
+            WITH hx AS ({_DUCK_HS})
             SELECT doc_id, j,
-                   list_min(list_transform(shingles,
-                            s -> md5(j::VARCHAR || '|' || s))) AS minhash
-            FROM sh, (SELECT unnest(range(0, 64)) AS j) js
+                   list_min(list_transform(hs,
+                            h -> ({_A_LIST}[j + 1] * h + {_B_LIST}[j + 1]) % {_MINHASH_P}))
+                     AS minhash
+            FROM hx, (SELECT unnest(range(0, 64)) AS j) js
         """,
         "q15_lsh_candidates": f"""
             WITH sig AS ({_DUCK_SIG}),

@@ -4,8 +4,13 @@ counterpart — the reference dedupes nothing).
 
 Portability design: both signature families are cross-engine
 reproducible, so the correctness gate literally recomputes them in
-DuckDB. MinHash uses md5-hex string minima (lowercase fixed-width hex
-orders identically to the underlying integer); SimHash carries its
+DuckDB. MinHash (default ``affine32`` mode) hashes each shingle ONCE
+(first 8 hex chars of md5 as an integer, reduced mod the Mersenne
+prime 2^31-1) and derives the 64 per-permutation values with universal
+affine hashes ``(a_j*h + b_j) mod p`` — textbook one-hash minhash
+(Broder '97 / Carter-Wegman universal hashing): all products stay
+below 2^63 so every op is portable signed-64 integer arithmetic DuckDB
+recomputes verbatim (``duckdb_minhash_hs_sql``). SimHash carries its
 64-bit value as two 32-bit halves from md5 hex so every bit op stays
 inside portable signed-64 arithmetic (``duckdb_simhash_sql`` is the
 verbatim SQL twin).
@@ -46,6 +51,63 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 
+# Mersenne prime 2^31 - 1: with h, a_j, b_j all < p, the affine product
+# a_j*h + b_j < 2^62 + 2^31 — no signed-64 overflow on either engine.
+MINHASH_P = 2_147_483_647
+
+
+def _affine_coeffs(n_hashes: int = 64) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the universal-hash minhash
+    permutations, a_j ∈ [1, p), b_j ∈ [0, p). Fixed seed: signatures
+    must be stable across sessions/engines (the DuckDB oracle embeds
+    the same constants as literals)."""
+    import random
+
+    rng = random.Random(0x5EED_AD7)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(n_hashes)
+    ]
+
+
+# Spark / DuckDB twin expressions for the per-shingle base hash:
+# first 8 hex chars of md5 as an integer (32 bits — fits bigint with
+# room to spare), reduced mod p so affine products never overflow.
+def _spark_base_hash(col: str) -> str:
+    return (
+        f"cast(conv(substring(md5({col}), 1, 8), 16, 10) as bigint)"
+        f" % {MINHASH_P}"
+    )
+
+
+def duckdb_minhash_hs_sql(col: str) -> str:
+    """DuckDB twin of ``_spark_base_hash`` (hex-prefix md5 → bigint
+    mod p) — both engines render md5 as lowercase hex and '0x' casts
+    parse it, so the values agree bit-for-bit."""
+    return f"(('0x' || substr(md5({col}), 1, 8))::BIGINT % {MINHASH_P})"
+
+
+def duckdb_affine_coeff_lists(n_hashes: int = 64) -> tuple[str, str]:
+    """The (a, b) coefficient arrays as DuckDB list literals — the
+    oracle embeds the exact constants the Spark plan uses."""
+    coeffs = _affine_coeffs(n_hashes)
+    a_list = "[" + ", ".join(str(a) for a, _ in coeffs) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in coeffs) + "]"
+    return a_list, b_list
+
+
+def duckdb_affine_sig_expr(hs_col: str = "hs", n_hashes: int = 64) -> str:
+    """DuckDB twin of the affine32 signature: given a column holding
+    the per-shingle base hashes (``duckdb_minhash_hs_sql`` over the
+    shingle list), produce the 64-element signature list."""
+    a_list, b_list = duckdb_affine_coeff_lists(n_hashes)
+    return (
+        f"list_transform(range(0, {n_hashes}), j ->"
+        f" list_min(list_transform({hs_col}, h ->"
+        f" ({a_list}[j + 1] * h + {b_list}[j + 1]) % {MINHASH_P})))"
+    )
+
+
 def word_shingles(
     df: DataFrame, text_col: str = "text", k: int = 5, out_col: str = "shingles"
 ) -> DataFrame:
@@ -66,42 +128,62 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 5,
     n_hashes: int = 64,
-    hash_mode: str = "md5",
+    hash_mode: str = "affine32",
 ) -> DataFrame:
-    """(id, sig) — sig[j] = min over shingles of h(j, shingle).
+    """(id, sig) — sig[j] = min over shingles of the j-th permutation
+    hash of the shingle.
 
-    ``hash_mode='md5'`` (default): 32-hex-string minima — portable to
-    the DuckDB oracle verbatim (lowercase fixed-width hex orders like
-    the integer), used by the correctness gate.
-    ``hash_mode='xxhash64'``: native 64-bit longs via Spark's
-    xxhash64 — faster (no hex materialization), the production mode
-    when cross-engine reproducibility isn't required.
-    Same LSH banding works on either (band key md5s the slice).
+    ``hash_mode='affine32'`` (default): ONE md5 per shingle → integer
+    h mod 2^31-1, then ``n_hashes`` universal affine permutations
+    ``(a_j*h + b_j) mod p`` — pure codegen'd int64 arithmetic, ~64×
+    less hash work than hashing per (j, shingle), and the DuckDB
+    oracle recomputes it verbatim (the round-2 q14 regression fix).
+    ``hash_mode='md5'``: legacy 32-hex-string minima, one full md5 per
+    (j, shingle) — kept for comparison/compat.
+    ``hash_mode='xxhash64'``: native per-(j, shingle) xxhash64 longs.
+    Same LSH banding works on any mode (band key md5s the stringified
+    slice).
 
-    Shape: explode shingles → ``n_hashes`` min-aggregates per doc →
-    reassemble the sig array. Chosen over a higher-order-function
-    (transform/array_min lambda) formulation for the same two measured
-    reasons as ``simhash_cols``: HOF lambdas are interpreted (never
-    codegen'd), and Catalyst's InferFiltersFromConstraints derives
-    isnotnull(<join key>) and pushes the FULL inlined signature
-    expression below repartitions onto the unparallelized scan (a
-    repartition is not a pushdown barrier; a HashAggregate is). min()
-    is duplicate-insensitive, so exploding the shingle multiset
-    preserves the exact minima the DuckDB oracle recomputes."""
+    Shape: explode shingles → base-hash projection → ``n_hashes``
+    min-aggregates per doc → reassemble the sig array. Chosen over a
+    higher-order-function (transform/array_min lambda) formulation for
+    the same two measured reasons as ``simhash_cols``: HOF lambdas are
+    interpreted (never codegen'd), and Catalyst's
+    InferFiltersFromConstraints derives isnotnull(<join key>) and
+    pushes the FULL inlined signature expression below repartitions
+    onto the unparallelized scan (a repartition is not a pushdown
+    barrier; a HashAggregate is). min() is duplicate-insensitive, so
+    exploding the shingle multiset preserves the exact minima the
+    DuckDB oracle recomputes. The base hash ``_h`` is referenced by
+    all 64 aggregates, so CollapseProject keeps its projection
+    separate (it never duplicates a non-cheap expression referenced
+    more than once) — md5 runs exactly once per shingle."""
     sh = word_shingles(df, text_col, k).select(
         F.col(id_col), F.explode_outer("shingles").alias("_s")
     )
-    if hash_mode == "md5":
-        def h(j: int):
-            return F.md5(F.concat(F.lit(f"{j}|"), F.col("_s")))
+    if hash_mode == "affine32":
+        hashed = sh.select(id_col, F.expr(_spark_base_hash("_s")).alias("_h"))
+        aggs = [
+            F.min(F.expr(f"({a} * _h + {b}) % {MINHASH_P}")).alias(f"_m{j}")
+            for j, (a, b) in enumerate(_affine_coeffs(n_hashes))
+        ]
+        g = hashed.groupBy(id_col).agg(*aggs)
+    elif hash_mode == "md5":
+        g = sh.groupBy(id_col).agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("_s")))).alias(f"_m{j}")
+                for j in range(n_hashes)
+            ]
+        )
     elif hash_mode == "xxhash64":
-        def h(j: int):
-            return F.xxhash64(F.lit(j), F.col("_s"))
+        g = sh.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.lit(j), F.col("_s"))).alias(f"_m{j}")
+                for j in range(n_hashes)
+            ]
+        )
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    g = sh.groupBy(id_col).agg(
-        *[F.min(h(j)).alias(f"_m{j}") for j in range(n_hashes)]
-    )
     return g.select(
         F.col(id_col),
         F.array(*[F.col(f"_m{j}") for j in range(n_hashes)]).alias("sig"),
@@ -117,29 +199,109 @@ def minhash_signatures_rowwise(
 ) -> DataFrame:
     """Row-local signature variant for STREAMING sides: identical
     minima to :func:`minhash_signatures` (pinned by test), computed as
-    a per-row higher-order expression instead of explode+aggregate.
+    per-row expressions instead of explode+aggregate.
 
     Why it exists: a streaming source can't run the aggregate shape
     without watermark-keyed state, and an ingest gate scores each
     incoming document independently anyway. The HOF lambdas are
-    interpreted (slower per row), which is fine for micro-batch
-    increments; the BULK side of any gate join should use the
-    aggregate-shaped ``minhash_signatures``. The isnotnull-pushdown
-    trap does not bite here: the stream side is already per-row and
-    tiny relative to the static side."""
+    interpreted (never codegen'd), so the per-row work must be CHEAP:
+    the base md5 runs once per shingle into ``_hs`` (its own
+    projection, kept by CollapseProject because 64 downstream
+    expressions reference it), and each signature element is one
+    interpreted array_min over affine int ops — ~64× less hash work
+    than the round-2 per-(j, shingle)-md5 formulation that made q36's
+    single-task stage take 133.9 s at sf0.1. The isnotnull-pushdown
+    trap does not bite here: band keys come out of an explode, and
+    filters on generator output can't push below the Generate."""
     words = f"split(trim(lower({text_col})), '\\\\s+')"
     shingles = (
         f"transform(sequence(0, greatest(size({words}) - {k}, 0)),"
         f" i -> concat_ws(' ', slice({words}, i + 1, {k})))"
     )
-    return df.select(
+    hs = df.select(
         F.col(id_col),
         F.expr(
-            f"transform(sequence(0, {n_hashes - 1}),"
-            f" j -> array_min(transform({shingles},"
-            " s -> md5(concat(cast(j as string), '|', s)))))"
-        ).alias("sig"),
+            f"transform({shingles}, s -> {_spark_base_hash('s')})"
+        ).alias("_hs"),
     )
+    mins = [
+        F.expr(f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MINHASH_P}))")
+        for a, b in _affine_coeffs(n_hashes)
+    ]
+    return hs.select(F.col(id_col), F.array(*mins).alias("sig"))
+
+
+class NearDupGate:
+    """Streaming ingest gate with an explicit resource lifecycle: flag
+    incoming documents that LSH-collide with the EXISTING corpus — the
+    continuous "is this crawl page already in the training set?"
+    filter. Use as a context manager (or call :meth:`close`) so the
+    pinned corpus band set is unpersisted when the gate retires; a
+    long-lived session running several gates otherwise accumulates
+    pinned storage.
+
+        with NearDupGate(corpus_banded) as gate:
+            hits = gate.apply(incoming_stream)
+            ... run the stream ...
+
+    ``corpus_banded`` is the static banded-key table
+    (:func:`banded_keys` over the corpus signatures — at real scale a
+    precomputed, bucketed table, in which case pass
+    ``persist_corpus=False`` and let the table format serve it).
+
+    Plan shape (``apply``): repartition the micro-batch across all
+    cores (stateless streaming DataFrames support repartition; the
+    exchange moves raw text ONCE, cheap relative to per-shingle
+    hashing — without it a single-file staged batch runs the whole
+    signature build on one task: 133.9 s vs ~7 s at sf0.1, the round-2
+    q36 finding), per-row signature, explode to band keys, LEFT SEMI
+    stream-static join against the corpus bands. Output: (id,
+    band_idx, band_key) band hits for matched docs."""
+
+    def __init__(
+        self,
+        corpus_banded: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 5,
+        n_hashes: int = 64,
+        bands: int = 16,
+        rows_per_band: int = 4,
+        persist_corpus: bool = True,
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        corpus_keys = corpus_banded.select("band_idx", "band_key").distinct()
+        self._persisted = bool(persist_corpus and not corpus_banded.isStreaming)
+        if self._persisted:
+            corpus_keys = corpus_keys.persist()
+        self.corpus_keys = corpus_keys
+
+    def apply(self, incoming: DataFrame) -> DataFrame:
+        parallelism = incoming.sparkSession.sparkContext.defaultParallelism
+        incoming = incoming.repartition(parallelism)
+        sig = minhash_signatures_rowwise(
+            incoming, self.id_col, self.text_col, self.k, self.n_hashes
+        )
+        stream_banded = banded_keys(sig, self.id_col, self.bands, self.rows_per_band)
+        return stream_banded.join(
+            self.corpus_keys, ["band_idx", "band_key"], "left_semi"
+        )
+
+    def close(self) -> None:
+        if self._persisted:
+            self.corpus_keys.unpersist()
+            self._persisted = False
+
+    def __enter__(self) -> "NearDupGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def near_dup_gate(
@@ -153,34 +315,14 @@ def near_dup_gate(
     rows_per_band: int = 4,
     persist_corpus: bool = True,
 ) -> DataFrame:
-    """Streaming ingest gate: flag incoming documents that LSH-collide
-    with the EXISTING corpus — the continuous "is this crawl page
-    already in the training set?" filter. ``incoming`` may be a
-    streaming DataFrame; ``corpus_banded`` is the static banded-key
-    table (:func:`banded_keys` over the corpus signatures — at scale a
-    precomputed, bucketed table).
-
-    Plan shape: per-row signature on the stream side, explode to band
-    keys, LEFT SEMI stream-static join against the corpus bands (each
-    incoming band row survives at most once; collapse to distinct doc
-    ids downstream in the sink read-back or a batch distinct).
-    Output: (id, band_idx, band_key) band hits for matched docs.
-
-    ``persist_corpus`` (default on): the static side is a LIVE plan —
-    without persistence a long-running gate would recompute the whole
-    corpus signature build on EVERY micro-batch; persisting pins the
-    deduped band set in memory/disk for the stream's lifetime (at real
-    scale, point this at a precomputed bucketed table instead)."""
-    sig = minhash_signatures_rowwise(incoming, id_col, text_col, k, n_hashes)
-    stream_banded = banded_keys(sig, id_col, bands, rows_per_band)
-    corpus_keys = corpus_banded.select("band_idx", "band_key").distinct()
-    if persist_corpus and not corpus_banded.isStreaming:
-        corpus_keys = corpus_keys.persist()
-    return stream_banded.join(
-        corpus_keys,
-        ["band_idx", "band_key"],
-        "left_semi",
-    )
+    """One-shot functional form of :class:`NearDupGate`. NOTE: with
+    ``persist_corpus=True`` the pinned corpus band set lives until the
+    session ends — prefer the class (context manager) when the gate
+    has a bounded lifetime."""
+    return NearDupGate(
+        corpus_banded, id_col, text_col, k, n_hashes, bands, rows_per_band,
+        persist_corpus,
+    ).apply(incoming)
 
 
 def banded_keys(
