@@ -1,0 +1,594 @@
+"""Avro Object Container File support without the spark-avro jar.
+
+Avro is the reference's primary wire format — its readers dispatch on
+AVRO first (common/TransformingReader.java:221-223), its encryption
+pipeline writes Avro by default (EncryptionPipeline.java:125-132), and
+its golden tests are Avro files (EncryptionPipelineTest.java:104-145).
+Spark's native ``format("avro")`` needs the spark-avro runtime jar; in
+environments without it (this sandbox), this module provides a pure
+stdlib codec for the public container-file spec
+(https://avro.apache.org/docs/1.11.1/specification/) plus distributed
+Spark plumbing:
+
+- ``read_avro(spark, path)``: native source if present, else a
+  ``binaryFile`` scan + per-file ``mapInPandas`` decode (parallel
+  across files; a single giant file decodes in one task — the native
+  source block-splits, this fallback doesn't, so shard your writes).
+- ``write_avro(df, path)``: native sink if present, else one container
+  file per partition written executor-side into a staging dir, then a
+  driver-side atomic finalize of exactly the files the successful
+  attempts reported (task retries can't leak duplicates).
+
+Scope (enforced, not silent): records of primitives — null, boolean,
+int, long, float, double, bytes, string — nullable unions
+``["null", T]``, arrays of those, and timestamp-micros / date
+logicals. Nested records/maps/enums/fixed raise ``ValueError`` with a
+pointer to the native source; the reference's own flatten stage
+(sources/flatten.py) is the supported route for nested data.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import struct
+import uuid
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+# ---------------------------------------------------------------------------
+# primitive binary codec (Avro spec "Binary encoding")
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def zigzag_decode(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    u = zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf) -> int:
+    shift = 0
+    u = 0
+    while True:
+        (b,) = buf.read(1)
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return zigzag_decode(u)
+
+
+def write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.write(b)
+
+
+def read_bytes(buf) -> bytes:
+    n = read_long(buf)
+    return buf.read(n)
+
+
+# ---------------------------------------------------------------------------
+# schema mapping  (Spark StructType <-> Avro record schema)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVE_TO_AVRO = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BinaryType: "bytes",
+    T.StringType: "string",
+}
+
+_AVRO_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+    "null": T.NullType(),
+}
+
+
+def _field_to_avro(dt: T.DataType) -> object:
+    for cls, name in _PRIMITIVE_TO_AVRO.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.ArrayType):
+        items = _field_to_avro(dt.elementType)
+        if dt.containsNull:
+            items = ["null", items]
+        return {"type": "array", "items": items}
+    raise ValueError(
+        f"unsupported Spark type for the pure-Python Avro codec: {dt.simpleString()} "
+        "(flatten nested data first — sources/flatten.py — or use the "
+        "native spark-avro source)"
+    )
+
+
+def spark_schema_to_avro(schema: T.StructType, name: str = "Record") -> dict:
+    fields = []
+    for f in schema.fields:
+        t = _field_to_avro(f.dataType)
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _avro_type_to_spark(t: object) -> tuple[T.DataType, bool]:
+    """-> (spark type, nullable)."""
+    if isinstance(t, list):  # union: only ["null", X] / [X, "null"]
+        non_null = [x for x in t if x != "null"]
+        if len(t) > 2 or len(non_null) != 1:
+            raise ValueError(f"unsupported Avro union {t!r} (only nullable unions)")
+        inner, _ = _avro_type_to_spark(non_null[0])
+        return inner, True
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "timestamp-micros":
+            return T.TimestampType(), False
+        if logical == "local-timestamp-micros":
+            return T.TimestampNTZType(), False
+        if logical == "date":
+            return T.DateType(), False
+        if t.get("type") == "array":
+            elem, elem_nullable = _avro_type_to_spark(t["items"])
+            return T.ArrayType(elem, containsNull=elem_nullable), False
+        return _avro_type_to_spark(t["type"])
+    if isinstance(t, str) and t in _AVRO_TO_SPARK:
+        return _AVRO_TO_SPARK[t], t == "null"
+    raise ValueError(
+        f"unsupported Avro type for the pure-Python codec: {t!r} "
+        "(nested records/maps/enums/fixed need the native spark-avro source)"
+    )
+
+
+def avro_schema_to_spark(avsc: dict) -> T.StructType:
+    if avsc.get("type") != "record":
+        raise ValueError("top-level Avro schema must be a record")
+    fields = []
+    for f in avsc["fields"]:
+        dt, nullable = _avro_type_to_spark(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# value codec driven by the (already validated) Avro schema
+# ---------------------------------------------------------------------------
+
+
+def _is_null(v) -> bool:
+    """Null check safe for list/ndarray cells (no elementwise !=)."""
+    if v is None:
+        return True
+    if isinstance(v, float):
+        return v != v
+    try:
+        import pandas as pd
+
+        return v is pd.NaT
+    except Exception:
+        return False
+
+
+def _encoder(t: object):
+    """Return encode(buf, value) for a non-union Avro type node."""
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical in ("timestamp-micros", "local-timestamp-micros"):
+
+            def enc_ts(buf, v):
+                # pandas.Timestamp (ns int .value) or naive datetime
+                if hasattr(v, "value"):
+                    write_long(buf, v.value // 1_000)
+                else:
+                    import datetime as _dt
+
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                    write_long(buf, (v - epoch) // _dt.timedelta(microseconds=1))
+
+            return enc_ts
+        if logical == "date":
+
+            def enc_date(buf, v):
+                import datetime as _dt
+
+                write_long(buf, (v - _dt.date(1970, 1, 1)).days)
+
+            return enc_date
+        if t.get("type") == "array":
+            item = _item_codec_encode(t["items"])
+
+            def enc_arr(buf, v):
+                v = list(v)
+                if v:
+                    write_long(buf, len(v))
+                    for x in v:
+                        item(buf, x)
+                write_long(buf, 0)
+
+            return enc_arr
+        return _encoder(t["type"])
+    if t == "boolean":
+        return lambda buf, v: buf.write(b"\x01" if v else b"\x00")
+    if t in ("int", "long"):
+        return lambda buf, v: write_long(buf, int(v))
+    if t == "float":
+        return lambda buf, v: buf.write(struct.pack("<f", float(v)))
+    if t == "double":
+        return lambda buf, v: buf.write(struct.pack("<d", float(v)))
+    if t == "bytes":
+        return lambda buf, v: write_bytes(buf, bytes(v))
+    if t == "string":
+        return lambda buf, v: write_bytes(buf, v.encode("utf-8"))
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def _item_codec_encode(t: object):
+    if isinstance(t, list):
+        non_null = [x for x in t if x != "null"]
+        inner = _encoder(non_null[0])
+
+        null_idx = t.index("null")
+        val_idx = t.index(non_null[0])
+
+        def enc_nullable(buf, v):
+            if _is_null(v):
+                write_long(buf, null_idx)
+            else:
+                write_long(buf, val_idx)
+                inner(buf, v)
+
+        return enc_nullable
+    return _encoder(t)
+
+
+def _decoder(t: object):
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical in ("timestamp-micros", "local-timestamp-micros"):
+
+            def dec_ts(buf):
+                import datetime as _dt
+
+                micros = read_long(buf)
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+
+            return dec_ts
+        if logical == "date":
+
+            def dec_date(buf):
+                import datetime as _dt
+
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=read_long(buf))
+
+            return dec_date
+        if t.get("type") == "array":
+            item = _item_codec_decode(t["items"])
+
+            def dec_arr(buf):
+                out = []
+                while True:
+                    n = read_long(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:  # block with byte size prefix (spec-legal)
+                        read_long(buf)
+                        n = -n
+                    for _ in range(n):
+                        out.append(item(buf))
+
+            return dec_arr
+        return _decoder(t["type"])
+    if t == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return read_long
+    if t == "float":
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return read_bytes
+    if t == "string":
+        return lambda buf: read_bytes(buf).decode("utf-8")
+    if t == "null":
+        return lambda buf: None
+    raise ValueError(f"unsupported Avro type {t!r}")
+
+
+def _item_codec_decode(t: object):
+    if isinstance(t, list):
+        branches = [_decoder(x) for x in t]
+
+        def dec_union(buf):
+            return branches[read_long(buf)](buf)
+
+        return dec_union
+    return _decoder(t)
+
+
+def _record_encoder(avsc: dict):
+    encs = [(f["name"], _item_codec_encode(f["type"])) for f in avsc["fields"]]
+
+    def enc(buf, row: dict) -> None:
+        for name, e in encs:
+            e(buf, row[name])
+
+    return enc
+
+
+def _record_decoder(avsc: dict):
+    decs = [(f["name"], _item_codec_decode(f["type"])) for f in avsc["fields"]]
+
+    def dec(buf) -> dict:
+        return {name: d(buf) for name, d in decs}
+
+    return dec
+
+
+# ---------------------------------------------------------------------------
+# container file
+# ---------------------------------------------------------------------------
+
+
+def encode_container(
+    rows: Iterator[dict], avsc: dict, codec: str = "deflate"
+) -> tuple[bytes, int]:
+    """Encode rows (dicts keyed by field name) into one container
+    file; -> (file bytes, row count)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    sync = uuid.uuid4().bytes
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avsc).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(out, len(meta))
+    for k, v in meta.items():
+        write_bytes(out, k.encode())
+        write_bytes(out, v)
+    write_long(out, 0)
+    out.write(sync)
+
+    enc = _record_encoder(avsc)
+    block = io.BytesIO()
+    n = 0
+    total = 0
+    for row in rows:
+        enc(block, row)
+        n += 1
+        total += 1
+        if block.tell() >= 1 << 20:  # ~1 MiB raw blocks
+            _flush_block(out, block, n, codec, sync)
+            block = io.BytesIO()
+            n = 0
+    if n:
+        _flush_block(out, block, n, codec, sync)
+    return out.getvalue(), total
+
+
+def _flush_block(out, block, n, codec, sync) -> None:
+    raw = block.getvalue()
+    if codec == "deflate":  # raw deflate, no zlib header (per spec)
+        raw = zlib.compress(raw)[2:-4]
+    write_long(out, n)
+    write_long(out, len(raw))
+    out.write(raw)
+    out.write(sync)
+
+
+def read_header(buf) -> tuple[dict, str, bytes]:
+    """-> (schema dict, codec, sync marker). Leaves buf at first block."""
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = read_bytes(buf).decode()
+            meta[k] = read_bytes(buf)
+    sync = buf.read(SYNC_SIZE)
+    avsc = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return avsc, codec, sync
+
+
+def decode_container(data: bytes) -> tuple[dict, list[dict]]:
+    """-> (schema dict, rows). Pure function of the file bytes."""
+    buf = io.BytesIO(data)
+    avsc, codec, sync = read_header(buf)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    dec = _record_decoder(avsc)
+    rows: list[dict] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        n = read_long(buf)
+        size = read_long(buf)
+        raw = buf.read(size)
+        if codec == "deflate":
+            raw = zlib.decompress(raw, wbits=-15)
+        bbuf = io.BytesIO(raw)
+        for _ in range(n):
+            rows.append(dec(bbuf))
+        if buf.read(SYNC_SIZE) != sync:
+            raise ValueError("sync marker mismatch (corrupt block boundary)")
+    return avsc, rows
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def _native_avro_available(spark: SparkSession) -> bool:
+    # Neither a py4j attribute probe (missing classes resolve to inert
+    # JavaPackage objects) nor Class.forName works here: stub avro
+    # classes ship in spark-catalyst even when the data source module
+    # isn't deployed. Ask the actual data source registry.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _avro_files(path: str) -> list[str]:
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path!r}")
+    return files
+
+
+def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed pure-Python read: one task per file via the
+    binaryFile source + mapInPandas decode. The schema comes from the
+    first file's header (driver-side, reads only the header bytes)."""
+    import pandas as pd
+
+    files = _avro_files(path)
+    with open(files[0], "rb") as f:
+        avsc, _, _ = read_header(f)
+    schema = avro_schema_to_spark(avsc)
+    ts_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .load([f"file://{os.path.abspath(p)}" for p in files])
+        .select("content")
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f["name"] for f in avsc["fields"]]
+        for pdf in batches:
+            for data in pdf["content"]:
+                _, rows = decode_container(bytes(data))
+                out = pd.DataFrame(rows, columns=cols)
+                for c in ts_cols:
+                    out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
+                yield out
+
+    return bin_df.mapInPandas(_decode, schema)
+
+
+def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Distributed pure-Python write: each partition encodes one
+    container file into a staging dir executor-side; the driver then
+    atomically finalizes exactly the files reported by the successful
+    task attempts (a retried/zombie attempt's file stays in staging
+    and is deleted), and writes no _SUCCESS-style marker — presence in
+    the target dir IS the commit. Returns total rows written.
+
+    Requires ``path`` on storage both executors and driver can see
+    (true in local/POSIX-shared deployments — same contract as
+    streaming/sink.py; at cloud scale use the native spark-avro sink)."""
+    import pandas as pd
+
+    avsc = spark_schema_to_avro(df.schema)
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    manifest_schema = T.StructType(
+        [
+            T.StructField("file", T.StringType(), False),
+            T.StructField("rows", T.LongType(), False),
+        ]
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+
+        def row_iter():
+            for pdf in batches:
+                yield from pdf.to_dict("records")
+
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.avro"
+        data, n_rows = encode_container(row_iter(), avsc, codec)
+        if n_rows:
+            with open(os.path.join(staging, name), "wb") as f:
+                f.write(data)
+            yield pd.DataFrame([{"file": name, "rows": n_rows}])
+
+    manifest = df.mapInPandas(_encode, manifest_schema).collect()
+    total = 0
+    for r in manifest:
+        os.replace(os.path.join(staging, r["file"]), os.path.join(path, r["file"]))
+        total += r["rows"]
+    shutil.rmtree(staging, ignore_errors=True)
+    return total
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Native spark-avro source when the jar is present, else the
+    pure-Python fallback (TransformingReader.java:221-223 parity)."""
+    if _native_avro_available(spark):
+        return spark.read.format("avro").load(path)
+    return read_avro_fallback(spark, path)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    if _native_avro_available(df.sparkSession):
+        df.write.format("avro").mode("overwrite").save(path)
+        return
+    write_avro_fallback(df, path, codec)

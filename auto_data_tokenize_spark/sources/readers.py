@@ -45,8 +45,11 @@ def read_source(
     if st in ("PARQUET", "PARQUET_FILE"):
         return spark.read.parquet(path)
     if st in ("AVRO", "AVRO_FILE"):
-        # needs the spark-avro jar on the classpath; raises cleanly if absent
-        return spark.read.format("avro").load(path)
+        # native spark-avro source when the jar is present, else the
+        # pure-Python container codec fallback (sources/avro_io.py)
+        from auto_data_tokenize_spark.sources.avro_io import read_avro
+
+        return read_avro(spark, path)
     if st in ("CSV", "CSV_FILE"):
         header = options.pop("header", True)
         sep = options.pop("delimiter", ",")
