@@ -132,8 +132,9 @@ def make_substitution(repl):
     callback implementing the validation-demotion semantics.
 
     Shared by the scalar oracle path (:func:`replace_spans`) and the
-    vectorized ``Series.str.replace`` path in the Arrow UDFs, so the two
-    code paths are definitionally aligned.
+    per-row compiled-regex loops inside the Arrow UDFs
+    (functions/udfs.py), so the two code paths are definitionally
+    aligned.
     """
 
     def _sub(m: re.Match) -> str:

@@ -49,14 +49,76 @@ ASSOCIATED_DATA = b"AutoDLP"
 DEFAULT_ROOT_KEY = hashlib.sha256(b"auto-data-tokenize-spark/dev-root-key").digest()
 
 
+class KeyProvider:
+    """Pluggable root-key custody seam — the analogue of the
+    reference's KeySetExtractor indirection
+    (EncryptionPipeline.java:299-330, where a KMS-wrapped keyset is
+    unwrapped once on the driver through an interface production code
+    swaps): register a provider and every entry point that calls
+    ``resolve_root_key`` picks it up, so KMS custody is a plug-in, not
+    a rewrite. Providers run DRIVER-side only; executors receive
+    derived ciphers, never the root key through a shuffle."""
+
+    def root_key(self) -> bytes:
+        raise NotImplementedError
+
+
+class StaticKeyProvider(KeyProvider):
+    """Holds an explicit 32-byte key (tests, or a caller that already
+    unwrapped its keyset)."""
+
+    def __init__(self, key: bytes):
+        if len(key) != 32:
+            raise ValueError("root key must be 32 bytes")
+        self._key = key
+
+    def root_key(self) -> bytes:
+        return self._key
+
+
+class EnvKeyProvider(KeyProvider):
+    """Reads 64 hex chars from an environment variable; raises if the
+    variable is unset — registering this provider makes the key
+    MANDATORY (the reference's posture: no keyset, no pipeline)."""
+
+    def __init__(self, var: str = "ADT_ROOT_KEY_HEX"):
+        self.var = var
+
+    def root_key(self) -> bytes:
+        import os
+
+        env = os.environ.get(self.var)
+        if not env:
+            raise KeyError(f"key provider requires {self.var} to be set")
+        key = bytes.fromhex(env)
+        if len(key) != 32:
+            raise ValueError(f"{self.var} must decode to 32 bytes")
+        return key
+
+
+_key_provider: KeyProvider | None = None
+
+
+def register_key_provider(provider: KeyProvider | None) -> None:
+    """Install (or with ``None``, clear) the process-wide provider
+    consulted by ``resolve_root_key`` when no explicit key is given."""
+    global _key_provider
+    if provider is not None and not isinstance(provider, KeyProvider):
+        raise TypeError("provider must be a KeyProvider")
+    _key_provider = provider
+
+
 def resolve_root_key(root_key: bytes | None = None) -> bytes:
-    """Explicit key > ``ADT_ROOT_KEY_HEX`` env (64 hex chars) > dev
-    default (with a loud warning). Call this at pipeline entry points
-    so omitting the key is a visible decision, not a silent one."""
+    """Explicit key > registered :class:`KeyProvider` >
+    ``ADT_ROOT_KEY_HEX`` env (64 hex chars) > dev default (with a loud
+    warning). Call this at pipeline entry points so omitting the key
+    is a visible decision, not a silent one."""
     import os
 
     if root_key is not None:
         return root_key
+    if _key_provider is not None:
+        return _key_provider.root_key()
     env = os.environ.get("ADT_ROOT_KEY_HEX")
     if env:
         key = bytes.fromhex(env)

@@ -51,6 +51,25 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     carry = [right_ts] + list(right_cols)
+
+    # collision guards: the union carries internal bookkeeping columns
+    # and emits <col><suffix> outputs — clashes with existing left
+    # columns would silently produce ambiguous/duplicated names
+    internal = {"_is_right", "_ats", "_r", "_f"}
+    clash = internal.intersection(left.columns).union(
+        internal.intersection(right.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} collide with asof_join internals; "
+            "rename them first"
+        )
+    out_clash = {f"{c}{suffix}" for c in carry}.intersection(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"output column(s) {sorted(out_clash)} already exist on the left "
+            f"side; pass a different suffix than {suffix!r}"
+        )
     if right_tiebreak is not None and right_tiebreak not in carry:
         raise ValueError(f"right_tiebreak {right_tiebreak!r} must be a carried column")
 

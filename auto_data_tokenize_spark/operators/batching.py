@@ -67,9 +67,26 @@ def assign_batches(
         for pdf in batches:
             sizes = None
             for c in value_cols:
-                s = pdf[c].map(
-                    lambda v: len(str(v).encode("utf-8")) if v is not None and v == v else 0
-                )
+                col = pdf[c]
+                non_null = col.dropna()
+                if len(non_null) and isinstance(
+                    non_null.iloc[0], (bytes, bytearray, memoryview)
+                ):
+                    # bytes payloads: count the payload, not its repr
+                    # (str(b'..') measures escape sequences — the
+                    # reference counts cell bytes,
+                    # dlp/PartialBatchAccumulator.java:51-52)
+                    s = col.map(lambda v: len(v) if v is not None else 0)
+                else:
+                    # vectorized UTF-8 byte length; nulls size 0
+                    mask = col.notna()
+                    s = (
+                        col.astype(str)
+                        .str.encode("utf-8")
+                        .str.len()
+                        .where(mask, 0)
+                        .astype("int64")
+                    )
                 sizes = s if sizes is None else sizes + s
             ids = []
             for sz in sizes:

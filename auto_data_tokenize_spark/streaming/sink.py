@@ -208,6 +208,7 @@ class ExactlyOnceSink:
                 "Iceberg tables use their own maintenance "
                 "(rewrite_data_files / expire_snapshots)"
             )
+        self._gc_orphans()
         ids = self.committed_batches()
         if len(ids) < 2:
             return {"compacted_batches": 0, "rows": self.total_rows()}
@@ -241,6 +242,26 @@ class ExactlyOnceSink:
             except FileNotFoundError:
                 pass
         return {"compacted_batches": len(ids), "rows": self.total_rows()}
+
+    def _gc_orphans(self) -> None:
+        """Remove retired batches a previous compact() crashed before
+        collecting: any marker/dir whose id is at or below the HEAD
+        floor and not among the compacted ids is invisible to every
+        reader (committed_batches() excludes it) yet would otherwise
+        leak disk forever, since later compactions only look above the
+        floor. Runs at the start of every compact()."""
+        head = self._read_head()
+        if head is None:
+            return
+        keep = set(head["compacted_ids"])
+        for b in self._marker_ids():
+            if b in keep or b > head["floor"]:
+                continue
+            shutil.rmtree(self._batch_dir(b), ignore_errors=True)
+            try:
+                os.unlink(self._commit_path(b))
+            except FileNotFoundError:
+                pass
 
     def _foreach_batch_iceberg(self, df: DataFrame, batch_id: int) -> None:
         """Gated Iceberg data path: append with the batch id stamped as

@@ -139,3 +139,29 @@ def test_asof_ignores_null_right_timestamps(spark):
     # the only timestamped right row is AFTER the left row -> no match;
     # the null-ts row must not donate its fields
     assert len(out) == 1 and out[0]["px_asof"] is None
+
+
+def test_asof_rejects_internal_name_collisions(spark):
+    left = _ts(
+        spark,
+        [("u", "2026-01-01 00:00:01", 0)],
+        "k string, s string, _ats int",
+    )
+    right = _ts(
+        spark, [("u", "2026-01-01 00:00:00", 1.0)], "k string, s string, px double"
+    )
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(left, right, on="k")
+
+
+def test_asof_rejects_output_suffix_collisions(spark):
+    left = _ts(
+        spark,
+        [("u", "2026-01-01 00:00:01", 0)],
+        "k string, s string, px_asof int",
+    )
+    right = _ts(
+        spark, [("u", "2026-01-01 00:00:00", 1.0)], "k string, s string, px double"
+    )
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(left, right, on="k")

@@ -63,3 +63,26 @@ def test_validation(spark):
         assign_batches(df, [])
     with pytest.raises(ValueError):
         assign_batches(df, ["text"], max_bytes=0)
+
+
+def test_binary_cells_count_payload_not_repr(spark):
+    """bytes cells must be sized as len(payload): str(b'..') measures
+    the escaped repr (~4x for non-ASCII bytes), diverging from the
+    reference's byte accounting (dlp/PartialBatchAccumulator.java:51-52)."""
+    payload = bytes(range(256)) * 40  # 10_240 payload bytes; repr ~4x
+    df = spark.createDataFrame(
+        [(i, payload) for i in range(4)], "id long, blob binary"
+    ).coalesce(1)
+    # payload accounting: 2 rows/batch at 25_000; repr accounting would
+    # overflow every row into its own batch
+    out = assign_batches(df, ["blob"], max_bytes=25_000).collect()
+    ids = [r["batch_idx"] for r in sorted(out, key=lambda r: r["id"])]
+    assert ids == [0, 0, 1, 1], ids
+
+
+def test_null_and_unicode_sizing(spark):
+    df = _one_partition(spark, [(0, "é" * 10), (1, None), (2, "x")])
+    # é is 2 UTF-8 bytes: row0=20, row1=0 (null), row2=1
+    out = assign_batches(df, ["text"], max_bytes=21).collect()
+    ids = {r["id"]: r["batch_idx"] for r in out}
+    assert ids[0] == 0 and ids[1] == 0 and ids[2] == 0  # 21 bytes total fits

@@ -264,3 +264,85 @@ def test_sink_orphan_compacted_marker_is_invisible_without_head(spark, tmp_path)
     info = sink.compact(spark)
     assert info["compacted_batches"] == 2
     assert sink.read_committed(spark).count() == 10
+
+
+def test_compact_gc_collects_prior_crash_orphans(spark, tmp_path):
+    """A batch redelivered AFTER compaction retired it (id <= floor)
+    is invisible to readers but used to leak disk forever — compact()
+    now GCs such orphans on entry."""
+    import os
+
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "gctab"))
+    for b in range(3):
+        sink.foreach_batch(spark.range(b * 10, b * 10 + 10).withColumnRenamed("id", "v"), b)
+    sink.compact(spark)
+    assert sink.committed_batches() == [-1]
+
+    # checkpoint redelivery of a retired id: marker was GC'd, so
+    # foreach_batch rewrites it — invisible to readers, orphaned on disk
+    sink.foreach_batch(spark.range(5).withColumnRenamed("id", "v"), 1)
+    assert sink.committed_batches() == [-1]
+    assert os.path.exists(sink._batch_dir(1))
+
+    sink.compact(spark)  # GC pass runs even when compaction is a no-op
+    assert not os.path.exists(sink._batch_dir(1))
+    assert not os.path.exists(sink._commit_path(1))
+    assert sink.read_committed(spark).count() == 30
+
+
+def test_iceberg_redelivery_window_duplicates_documented(tmp_path, monkeypatch):
+    """Pin the DOCUMENTED Iceberg-mode gap (streaming/sink.py module
+    docstring): a crash after the Iceberg append but before the marker
+    publish re-appends the batch on redelivery (duplicates). Plain-
+    parquet mode deletes the partial dir instead; this test keeps the
+    difference visible if anyone flips the default."""
+    import os
+
+    import pytest
+
+    from auto_data_tokenize_spark.streaming import sink as sink_mod
+    from auto_data_tokenize_spark.streaming import source as source_mod
+
+    monkeypatch.setattr(source_mod, "iceberg_available", lambda spark: True)
+
+    appends = []
+
+    class _FakeWriter:
+        def __init__(self, table):
+            self.table = table
+
+        def option(self, k, v):
+            self.batch = v
+            return self
+
+        def append(self):
+            appends.append(self.batch)
+
+    class _FakeDF:
+        sparkSession = None
+
+        def writeTo(self, table):
+            return _FakeWriter(table)
+
+    sink = sink_mod.ExactlyOnceSink(
+        str(tmp_path / "ice"), use_iceberg=True, iceberg_table="cat.db.t"
+    )
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crash_once(a, b):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash before marker publish")
+        return real_replace(a, b)
+
+    monkeypatch.setattr(sink_mod.os, "replace", crash_once)
+    with pytest.raises(OSError, match="simulated crash"):
+        sink.foreach_batch(_FakeDF(), 7)
+    assert appends == ["7"] and not sink.is_committed(7)
+
+    sink.foreach_batch(_FakeDF(), 7)  # redelivery
+    assert appends == ["7", "7"]  # the documented duplicate append
+    assert sink.is_committed(7)

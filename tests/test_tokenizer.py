@@ -87,3 +87,52 @@ def test_token_is_stable_join_key():
     )
     toks = TOKEN_RE.findall(enc)
     assert len(toks) == 2 and toks[0] == toks[1]
+
+
+def test_key_provider_precedence(monkeypatch):
+    """explicit key > registered KeyProvider > env var > dev default
+    (the KeySetExtractor-style custody seam,
+    EncryptionPipeline.java:299-330)."""
+    from auto_data_tokenize_spark.functions import tokenizer as tk
+
+    key_a, key_b = b"a" * 32, b"b" * 32
+    env_key = bytes.fromhex("63" * 32)
+    monkeypatch.setenv("ADT_ROOT_KEY_HEX", "63" * 32)
+    assert tk.resolve_root_key() == env_key  # env beats dev default
+
+    tk.register_key_provider(tk.StaticKeyProvider(key_b))
+    try:
+        assert tk.resolve_root_key() == key_b       # provider beats env
+        assert tk.resolve_root_key(key_a) == key_a  # explicit beats provider
+    finally:
+        tk.register_key_provider(None)
+    assert tk.resolve_root_key() == env_key  # cleared -> env again
+
+
+def test_env_key_provider_makes_key_mandatory(monkeypatch):
+    from auto_data_tokenize_spark.functions import tokenizer as tk
+
+    monkeypatch.delenv("ADT_NO_SUCH_KEY", raising=False)
+    tk.register_key_provider(tk.EnvKeyProvider("ADT_NO_SUCH_KEY"))
+    try:
+        with pytest.raises(KeyError, match="ADT_NO_SUCH_KEY"):
+            tk.resolve_root_key()
+    finally:
+        tk.register_key_provider(None)
+
+
+def test_dev_default_still_warns(monkeypatch):
+    from auto_data_tokenize_spark.functions import tokenizer as tk
+
+    monkeypatch.delenv("ADT_ROOT_KEY_HEX", raising=False)
+    with pytest.warns(UserWarning, match="dev root key"):
+        assert tk.resolve_root_key() == tk.DEFAULT_ROOT_KEY
+
+
+def test_static_key_provider_validates_length():
+    from auto_data_tokenize_spark.functions import tokenizer as tk
+
+    with pytest.raises(ValueError, match="32 bytes"):
+        tk.StaticKeyProvider(b"short")
+    with pytest.raises(TypeError, match="KeyProvider"):
+        tk.register_key_provider(object())
