@@ -388,16 +388,21 @@ def _run_stream_query(spark: SparkSession, sf_dir: str, mode: str):
         os.path.join(d, "transcripts.parquet"), f"{base}/in", n_files=8
     )
     st = source.transcripts_stream(spark, staged)
+    state_parts = None
     if mode == "tokenize":
         stream_df = pipeline.tokenize_stream(st)
     elif mode == "dedup":
         stream_df = pipeline.dedup_stream(st, window="1 hour", watermark="10 minutes")
+        state_parts = 8  # small-state single trigger: see run_to_sink
     else:
         stream_df = pipeline.session_report_stream(
             st, gap="30 minutes", watermark="10 minutes"
         )
+        state_parts = 8
     sink = ExactlyOnceSink(f"{base}/out")
-    pipeline.run_to_sink(stream_df, sink, f"{base}/ckpt")
+    pipeline.run_to_sink(
+        stream_df, sink, f"{base}/ckpt", shuffle_partitions=state_parts
+    )
     out = sink.read_committed(spark)
     # materialize before the tmp dir can disappear
     import pandas as pd  # noqa: F401
@@ -623,7 +628,10 @@ def q26_token_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dict_stream = source.token_dictionary_stream(spark, dict_in)
     joined = token_dictionary_join(det_stream, dict_stream, interval="10 minutes")
     sink = ExactlyOnceSink(f"{base}/out")
-    spipe.run_to_sink(joined, sink, f"{base}/ckpt")
+    # 8 state partitions: the join's per-micro-batch state-store commit
+    # cost dominates at this rate (8.5 s -> 3.9 s measured at sf0.1);
+    # production sizes this to state volume, not cores
+    spipe.run_to_sink(joined, sink, f"{base}/ckpt", shuffle_partitions=8)
     out = sink.read_committed(spark)
     result = spark.createDataFrame(out.toPandas(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
