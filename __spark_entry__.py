@@ -560,6 +560,49 @@ def q36_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q37_avro_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary wire format exercised end-to-end on
+    real .avro bytes (TransformingReader.java:221-223,
+    EncryptionPipeline.java:125-132): customer columns → Avro container
+    files (pure-Python codec when the spark-avro jar is absent) →
+    read back → tokenize → detokenize. Oracle = the original columns:
+    the whole loop must be lossless."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark.operators.tokenize import (
+        detokenize_columns,
+        tokenize_columns,
+    )
+    from auto_data_tokenize_spark.sources.avro_io import read_avro, write_avro
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="adt_q37_")
+    write_avro(cust, f"{base}/in")
+    loaded = read_avro(spark, f"{base}/in")
+    enc = tokenize_columns(loaded, ["c_name", "c_acctbal"], scope_col="c_custkey")
+    dec = detokenize_columns(enc, ["c_name", "c_acctbal"], scope_col="c_custkey")
+    write_avro(dec.select("c_custkey", "c_name", "c_acctbal"), f"{base}/out")
+    out = read_avro(spark, f"{base}/out")
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+def q38_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters (LSH candidates → exact verify →
+    iterative connected components): every doc labeled with the
+    smallest doc_id in its near-dup component. Oracle = DuckDB
+    recursive CTE computing min-over-reachable on the identical
+    verified edge set — pins the TRANSITIVE semantics q16's greedy
+    pairwise dup_of cannot express."""
+    from auto_data_tokenize_spark.operators.dedup import dup_clusters
+
+    return dup_clusters(_documents(spark, sf_dir))
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -744,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_nested_tokenize_roundtrip": _with_prep(q34_nested_tokenize_roundtrip),
         "q35_length_quantiles": _with_prep(q35_length_quantiles),
         "q36_stream_near_dup_gate": _with_prep(q36_stream_near_dup_gate),
+        "q37_avro_tokenize_roundtrip": _with_prep(q37_avro_tokenize_roundtrip),
+        "q38_dup_clusters": _with_prep(q38_dup_clusters),
     }
 
 
@@ -1181,6 +1226,50 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q35_length_quantiles": _duck_quantiles_sql(),
         "q34_nested_tokenize_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        """,
+        "q37_avro_tokenize_roundtrip": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+        """,
+        "q38_dup_clusters": f"""
+            WITH RECURSIVE sig AS ({_DUCK_SIG}),
+            banded AS (
+              SELECT doc_id AS id, b AS band_idx,
+                     md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
+              FROM sig, (SELECT unnest(range(0, 16)) AS b) bs
+            ),
+            capped AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 64
+            ),
+            pairs AS (
+              SELECT DISTINCT x.id AS a, y.id AS b
+              FROM capped x JOIN capped y USING (band_idx, band_key)
+              WHERE x.id < y.id
+            ),
+            gsets AS (
+              SELECT doc_id, list_distinct(shingles) AS g FROM ({_DUCK_SHINGLES}) t
+            ),
+            edges AS (
+              SELECT p.a, p.b
+              FROM pairs p
+              JOIN gsets sa ON sa.doc_id = p.a
+              JOIN gsets sb ON sb.doc_id = p.b
+              WHERE round(length(list_distinct(list_filter(sa.g, s -> list_contains(sb.g, s))))::DOUBLE
+                          / length(list_distinct(list_concat(sa.g, sb.g))), 6) >= 0.7
+            ),
+            sym AS (
+              SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges
+            ),
+            reach(s, d) AS (
+              SELECT s, d FROM sym
+              UNION
+              SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+            ),
+            lbl AS (
+              SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s
+            )
+            SELECT doc.doc_id, coalesce(l.cluster, doc.doc_id) AS cluster_id
+            FROM documents doc LEFT JOIN lbl l ON l.id = doc.doc_id
         """,
         "q33_asof_purchase_attribution": """
             SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -476,6 +476,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over undirected edges by min-label
+    propagation: every node's label converges to the smallest node id
+    in its component. Output: (id, cluster_id).
+
+    Iteration count is the graph DIAMETER, which for near-duplicate
+    clusters is tiny (copies of a common source form near-cliques;
+    empirically ≤ 3-4 hops), so propagation beats the O(log n)
+    large-star/small-star alternation (Kiveris et al., MapReduce and
+    Beyond '14) in practice there — that variant is the upgrade path
+    if components with long chains appear. Each round is one shuffle
+    (neighbor-min aggregate); ``localCheckpoint`` truncates the plan
+    between rounds so lineage doesn't grow with iterations (on a
+    cluster with dynamic executors, swap for reliable ``checkpoint``).
+    Convergence is detected with a count of changed labels — one extra
+    cheap action per round on the already-materialized label table."""
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.select("id", "cluster_id")
+            .unionAll(nbr_min)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("cluster_id").alias("_old")), "id"
+            )
+            .filter(F.col("cluster_id") < F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(pathological chain graph?) — raise max_iterations or switch to "
+        "the large-star/small-star variant"
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full duplicate-cluster assignment: LSH candidates → exact
+    n-gram-Jaccard verify → connected components. Unlike
+    :func:`minhash_dedup` (greedy pairwise dup_of), this groups
+    TRANSITIVE chains — A≈B and B≈C put A, C in one cluster even when
+    A and C themselves fall below the threshold — which is what a
+    keep-one-per-cluster training-data dedup actually needs.
+    Output: (id_col, cluster_id); singletons get their own id."""
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    pairs = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    verified = ngram_jaccard_pairs(df, pairs, id_col, text_col, n=k).filter(
+        F.col("jaccard") >= threshold
+    )
+    labels = connected_components(verified.select("a", "b"))
+    return (
+        df.select(id_col)
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def _distinct_words_expr(text_col: str) -> str:
     """Distinct non-empty whitespace tokens of lowercased text — the
     SimHash feature set (mirrors Python ``set(text.lower().split())``)."""

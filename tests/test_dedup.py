@@ -263,3 +263,54 @@ def test_near_dup_gate_accepts_and_rejects(spark, docs):
     hits = {r["id"] for r in
             dedup.near_dup_gate(incoming, corpus_banded).collect()}
     assert 100 in hits and 101 in hits and 102 not in hits
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, plus an isolated pair D-E: min-label propagation must
+    group the full chain even though A and C share no edge."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-ish deterministic graph vs an independent pure-Python
+    union-find."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [(min(x, y), max(x, y)) for x, y in
+             ((rng.choice(nodes), rng.choice(nodes)) for _ in range(45))
+             if x != y]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        parent[find(x)] = find(y)
+    touched = {n for e in edges for n in e}
+    want = {n: min(m for m in touched if find(m) == find(n)) for n in touched}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == want
+
+
+def test_dup_clusters_groups_transitively(spark):
+    """BASE ≈ NEAR ≈ NEAR2 chain → one cluster labeled with the min
+    doc_id; singletons keep their own ids."""
+    near2 = NEAR.replace("quick brown", "slow gray")
+    rows = [(0, BASE), (1, NEAR), (2, near2), (3, OTHER), (4, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(df).collect()}
+    assert got[0] == 0 and got[1] == 0 and got[2] == 0
+    assert got[3] == 3 and got[4] == 4
