@@ -603,6 +603,21 @@ def q38_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(_documents(spark, sf_dir))
 
 
+def q39_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus preparation pipeline (plans/pipelines.py): C4/
+    Gopher-style quality gate → language filter → transitive near-dup
+    clustering → one representative per cluster. Oracle = the same
+    filters + recursive-CTE components in SQL. Output: surviving
+    doc_ids."""
+    from auto_data_tokenize_spark.plans.pipelines import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    out = prepare_corpus(_documents(spark, sf_dir), CorpusPrepConfig())
+    return out.select("doc_id")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -789,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_stream_near_dup_gate": _with_prep(q36_stream_near_dup_gate),
         "q37_avro_tokenize_roundtrip": _with_prep(q37_avro_tokenize_roundtrip),
         "q38_dup_clusters": _with_prep(q38_dup_clusters),
+        "q39_corpus_prep": _with_prep(q39_corpus_prep),
     }
 
 
@@ -889,6 +905,59 @@ def _duck_banded_sql(src_sql: str) -> str:
              md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
       FROM ({_duck_sig_fragment(shingles_sql)}) sigs,
            (SELECT unnest(range(0, 16)) AS b) bs
+    """
+
+
+def _duck_cluster_chain(src_sql: str) -> str:
+    """CTE-chain text (no leading WITH): verified near-dup edges +
+    min-over-reachable component labels (``lbl``) for an arbitrary
+    (doc_id, text) source subquery — mirrors dedup.dup_clusters
+    exactly. Callers prepend ``WITH RECURSIVE`` and join ``lbl``."""
+    shingles = """
+      SELECT doc_id,
+             list_transform(range(0, greatest(length(w) - 5, 0) + 1),
+                            i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM ({src}) zsrc) zw
+    """.replace("{src}", src_sql)
+    return f"""
+            sigq AS ({_duck_sig_fragment(shingles)}),
+            banded AS (
+              SELECT doc_id AS id, b AS band_idx,
+                     md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
+              FROM sigq, (SELECT unnest(range(0, 16)) AS b) bs
+            ),
+            capped AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 64
+            ),
+            cpairs AS (
+              SELECT DISTINCT x.id AS a, y.id AS b
+              FROM capped x JOIN capped y USING (band_idx, band_key)
+              WHERE x.id < y.id
+            ),
+            gsets AS (
+              SELECT doc_id, list_distinct(shingles) AS g FROM ({shingles}) t
+            ),
+            edges AS (
+              SELECT p.a, p.b
+              FROM cpairs p
+              JOIN gsets sa ON sa.doc_id = p.a
+              JOIN gsets sb ON sb.doc_id = p.b
+              WHERE round(length(list_distinct(list_filter(sa.g, s -> list_contains(sb.g, s))))::DOUBLE
+                          / length(list_distinct(list_concat(sa.g, sb.g))), 6) >= 0.7
+            ),
+            sym AS (
+              SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges
+            ),
+            reach(s, d) AS (
+              SELECT s, d FROM sym
+              UNION
+              SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+            ),
+            lbl AS (
+              SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s
+            )
     """
 
 
@@ -1231,45 +1300,26 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT c_custkey, c_name, c_acctbal FROM customer
         """,
         "q38_dup_clusters": f"""
-            WITH RECURSIVE sig AS ({_DUCK_SIG}),
-            banded AS (
-              SELECT doc_id AS id, b AS band_idx,
-                     md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_key
-              FROM sig, (SELECT unnest(range(0, 16)) AS b) bs
-            ),
-            capped AS (
-              SELECT * FROM banded
-              QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 64
-            ),
-            pairs AS (
-              SELECT DISTINCT x.id AS a, y.id AS b
-              FROM capped x JOIN capped y USING (band_idx, band_key)
-              WHERE x.id < y.id
-            ),
-            gsets AS (
-              SELECT doc_id, list_distinct(shingles) AS g FROM ({_DUCK_SHINGLES}) t
-            ),
-            edges AS (
-              SELECT p.a, p.b
-              FROM pairs p
-              JOIN gsets sa ON sa.doc_id = p.a
-              JOIN gsets sb ON sb.doc_id = p.b
-              WHERE round(length(list_distinct(list_filter(sa.g, s -> list_contains(sb.g, s))))::DOUBLE
-                          / length(list_distinct(list_concat(sa.g, sb.g))), 6) >= 0.7
-            ),
-            sym AS (
-              SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges
-            ),
-            reach(s, d) AS (
-              SELECT s, d FROM sym
-              UNION
-              SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
-            ),
-            lbl AS (
-              SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s
-            )
+            WITH RECURSIVE
+            {_duck_cluster_chain("SELECT doc_id, text FROM documents")}
             SELECT doc.doc_id, coalesce(l.cluster, doc.doc_id) AS cluster_id
             FROM documents doc LEFT JOIN lbl l ON l.id = doc.doc_id
+        """,
+        "q39_corpus_prep": f"""
+            WITH RECURSIVE base AS (
+              SELECT d.doc_id, d.text
+              FROM documents d
+              JOIN ({_duck_lang_sql()}) lng USING (doc_id)
+              WHERE lng.pred_lang = 'en'
+                AND length(string_split_regex(trim(d.text), '\\s+')) >= 5
+                AND length(d.text) >= 20
+                AND length(list_filter({_EN_STOP},
+                    w -> list_contains(string_split_regex(lower(d.text), '[^a-z]+'), w))) >= 1
+            ),
+            {_duck_cluster_chain("SELECT doc_id, text FROM base")}
+            SELECT b.doc_id
+            FROM base b LEFT JOIN lbl l ON l.id = b.doc_id
+            WHERE coalesce(l.cluster, b.doc_id) = b.doc_id
         """,
         "q33_asof_purchase_attribution": """
             SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from auto_data_tokenize_spark.operators import identify, ordering, sampler, tokenize
 
@@ -90,3 +90,50 @@ def tokenize_and_order(
     """encrypt → range-partitioned stable sort — the transcript query
     the goldens assert on."""
     return ordering.cluster_sorted(encrypt(df, cfg), order_keys, num_partitions)
+
+
+@dataclass
+class CorpusPrepConfig:
+    """Training-corpus preparation — the composition a large-scale
+    pretraining pipeline runs continuously (no reference analogue; the
+    reference stops at tokenization). Quality thresholds follow the
+    public C4/Gopher-style heuristics in operators/textstats.py."""
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    languages: tuple[str, ...] = ("en",)
+    require_quality: bool = True
+    dedup: bool = True
+    dedup_threshold: float = 0.7
+
+
+def prepare_corpus(docs: DataFrame, cfg: CorpusPrepConfig | None = None) -> DataFrame:
+    """quality gate → language filter → transitive near-dup clustering
+    → keep one representative (smallest id) per cluster. Returns the
+    surviving rows with the input's columns.
+
+    Shape: the two filters are narrow codegen projections that run
+    BEFORE the (shuffling) dedup, so the expensive stage sees only
+    survivors — filter-then-dedup is the 100 TB ordering. The
+    representative choice (min doc id per component) is deterministic,
+    so reruns keep the same docs."""
+    from auto_data_tokenize_spark.operators.dedup import dup_clusters
+    from auto_data_tokenize_spark.operators.textstats import (
+        language_id,
+        quality_features,
+    )
+
+    cfg = cfg or CorpusPrepConfig()
+    out = docs
+    if cfg.require_quality:
+        out = quality_features(out, cfg.text_col).filter("is_quality")
+    if cfg.languages:
+        out = language_id(out, cfg.text_col).filter(
+            F.col("pred_lang").isin(*cfg.languages)
+        )
+    out = out.select(docs.columns)
+    if cfg.dedup:
+        reps = dup_clusters(
+            out, cfg.id_col, cfg.text_col, threshold=cfg.dedup_threshold
+        ).filter(F.col(cfg.id_col) == F.col("cluster_id"))
+        out = out.join(reps.select(cfg.id_col), cfg.id_col, "left_semi")
+    return out

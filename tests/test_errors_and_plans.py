@@ -82,3 +82,31 @@ def test_broadcast_join_for_small_queries(spark, sf_dir_small):
     )
     plan = _executed(cosine_topk(emb, q, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+def test_prepare_corpus_filters_then_dedups(spark):
+    """Quality/language filters drop junk; near-dup clusters keep one
+    representative (smallest id); filters run BEFORE the shuffling
+    dedup stage in the plan."""
+    from auto_data_tokenize_spark.plans.pipelines import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside "
+        "the old house near the river bank under a bright morning sky"
+    )
+    rows = [
+        (0, base),
+        (1, base),                              # exact dup of 0 -> dropped
+        # tail edit: shingle-jaccard stays >= 0.7 -> near dup, dropped
+        (2, base.replace("bright morning", "dark evening")),
+        (3, "short"),                           # fails quality gate
+        (4, "el gato y el perro en la casa con una mesa y una silla para " * 3),  # not English
+        (5, "a completely different quality document about the weather and "
+            "the seasons with enough words to pass every quality check"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in prepare_corpus(df, CorpusPrepConfig()).collect())
+    assert got == [0, 5]
