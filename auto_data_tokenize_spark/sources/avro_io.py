@@ -579,6 +579,58 @@ def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int
     return total
 
 
+def read_avro_stream(
+    spark: SparkSession, path: str, avsc: dict | None = None
+) -> DataFrame:
+    """STREAMING Avro ingestion without the spark-avro jar: a
+    binaryFile file stream + the same per-file mapInPandas decode as
+    the batch fallback — new ``.avro`` drops into ``path`` become
+    micro-batch rows. The record schema comes from ``avsc`` or, when
+    omitted, from the header of a file already present (a stream over
+    an initially-empty directory must pass ``avsc`` explicitly).
+
+    Scale shape: parallelism = files per trigger (each file decodes in
+    one task), the natural unit for crawl/export drops; the decode is
+    behind a Python eval node so no expression pushdown applies — put
+    filters AFTER it knowingly."""
+    if avsc is None:
+        files = _avro_files(path)
+        with open(files[0], "rb") as f:
+            avsc, _, _ = read_header(f)
+    schema = avro_schema_to_spark(avsc)
+    ts_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+
+    # the binaryFile STREAMING source requires its (fixed) schema upfront
+    bin_stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+
+    def _decode(batches):
+        import pandas as pd
+
+        cols = [f["name"] for f in avsc["fields"]]
+        for pdf in batches:
+            for data in pdf["content"]:
+                _, rows = decode_container(bytes(data))
+                out = pd.DataFrame(rows, columns=cols)
+                for c in ts_cols:
+                    out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
+                yield out
+
+    return bin_stream.mapInPandas(_decode, schema)
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Native spark-avro source when the jar is present, else the
     pure-Python fallback (TransformingReader.java:221-223 parity)."""

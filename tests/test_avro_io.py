@@ -172,3 +172,43 @@ def test_write_retries_cannot_leak_partials(spark, tmp_path):
     entries = os.listdir(path)
     assert all(e.endswith(".avro") for e in entries), entries
     assert not any(e.startswith("_staging") for e in entries)
+
+
+def test_streaming_avro_ingestion(spark, transcripts_small, tmp_path):
+    """File-drop streaming: .avro containers landing in a directory
+    flow through readStream + mapInPandas decode into micro-batches,
+    through the tokenize stage, into the exactly-once sink."""
+    from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sample = transcripts_small.select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    ).limit(120)
+    drop_dir = str(tmp_path / "drops")
+    A.write_avro(sample.repartition(3), drop_dir)
+
+    st = A.read_avro_stream(spark, drop_dir)
+    assert st.isStreaming
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    pipeline.run_to_sink(
+        tokenize_turns(st).select("conv_id", "turn_idx", "text_tok"),
+        sink,
+        str(tmp_path / "ckpt"),
+    )
+    got = sink.read_committed(spark)
+    assert got.count() == 120
+    # equality with the batch path on the same rows
+    want = tokenize_turns(sample).select("conv_id", "turn_idx", "text_tok")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_avro_empty_dir_needs_schema(spark, tmp_path):
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        A.read_avro_stream(spark, empty)
+    st = A.read_avro_stream(spark, empty, avsc=AVSC)  # explicit schema OK
+    assert st.isStreaming
