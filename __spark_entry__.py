@@ -618,6 +618,49 @@ def q39_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q40_stream_infotype_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical windowed rollup on the detection stream: 5-minute
+    tumbling counts re-aggregated into hourly windows in ONE streaming
+    query (two chained stateful aggregations; Spark ≥ 3.4
+    ``window_time``). Append mode emits hourly windows closed by the
+    final watermark; the oracle reproduces the same two-level rollup +
+    watermark filter in SQL."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.windows import infotype_rollup
+    from auto_data_tokenize_spark.streaming import pipeline as spipe
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    d = datagen.ensure_sf(_sf_name(sf_dir))
+    base = tempfile.mkdtemp(prefix="adt_q40_")
+    det_in = f"{base}/det"
+    os.makedirs(det_in)
+    det_pd = pd.read_parquet(os.path.join(d, "detections.parquet"))
+    det_pd[["info_type", "ts"]].to_parquet(f"{det_in}/d.parquet", index=False)
+
+    schema = StructType(
+        [StructField("info_type", StringType()), StructField("ts", TimestampType())]
+    )
+    st = spark.readStream.schema(schema).parquet(det_in)
+    rollup = infotype_rollup(st, watermark="10 minutes")
+    sink = ExactlyOnceSink(f"{base}/out")
+    spipe.run_to_sink(rollup, sink, f"{base}/ckpt", shuffle_partitions=8)
+    out = sink.read_committed(spark)
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -805,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_avro_tokenize_roundtrip": _with_prep(q37_avro_tokenize_roundtrip),
         "q38_dup_clusters": _with_prep(q38_dup_clusters),
         "q39_corpus_prep": _with_prep(q39_corpus_prep),
+        "q40_stream_infotype_rollup": _with_prep(q40_stream_infotype_rollup),
     }
 
 
@@ -1267,6 +1311,23 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM r WHERE rk = 3
         """,
         "q29_winnowing_fingerprints": _duck_winnowing_sql(),
+        "q40_stream_infotype_rollup": f"""
+            WITH f AS (
+              SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS fw,
+                     make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hw,
+                     info_type
+              FROM {det}
+            )
+            SELECT hw AS window_start,
+                   hw + INTERVAL 1 HOUR AS window_end,
+                   info_type,
+                   COUNT(*) AS n,
+                   COUNT(DISTINCT fw) AS n_fine_windows
+            FROM f
+            GROUP BY 1, 2, 3
+            HAVING hw + INTERVAL 1 HOUR
+                   <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM {det})
+        """,
         "q30_media_features": f"""
             SELECT media_id, feat_dim, feat_sum
             FROM read_parquet('{dd}/media_features.parquet')

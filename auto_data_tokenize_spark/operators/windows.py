@@ -52,6 +52,48 @@ def infotype_frequencies(
     )
 
 
+def infotype_rollup(
+    detections: DataFrame,
+    fine: str = "5 minutes",
+    coarse: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hierarchical windowed rollup: fine-grained tumbling counts
+    re-aggregated into coarse windows in ONE query — two chained
+    stateful aggregations in streaming (Spark ≥ 3.4 multi-window
+    support via ``window_time``), a plain two-level groupBy in batch.
+
+    Output: (window_start, window_end, info_type, n, n_fine_windows).
+
+    Scale shape: this is the hypertable-rollup pattern — the fine agg
+    shrinks the stream to (fine-window × info_type) cardinality
+    map-side, so the coarse state only ever sees pre-aggregated rows;
+    both state keys are conversation-free and bounded. In streaming the
+    coarse windows emit when the watermark passes (append mode), which
+    the DuckDB oracle reproduces with the final-watermark filter."""
+    d = _maybe_watermark(detections, ts_col, watermark)
+    fine_agg = d.groupBy(
+        F.window(F.col(ts_col), fine).alias("w"), "info_type"
+    ).agg(F.count(F.lit(1)).alias("n_fine"))
+    return (
+        fine_agg.groupBy(
+            F.window(F.window_time("w"), coarse).alias("cw"), "info_type"
+        )
+        .agg(
+            F.sum("n_fine").alias("n"),
+            F.count(F.lit(1)).alias("n_fine_windows"),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            F.col("cw.end").alias("window_end"),
+            "info_type",
+            F.col("n").cast("long").alias("n"),
+            "n_fine_windows",
+        )
+    )
+
+
 def session_reports(
     detections: DataFrame,
     gap: str = "30 minutes",

@@ -346,3 +346,45 @@ def test_iceberg_redelivery_window_duplicates_documented(tmp_path, monkeypatch):
     sink.foreach_batch(_FakeDF(), 7)  # redelivery
     assert appends == ["7", "7"]  # the documented duplicate append
     assert sink.is_committed(7)
+
+
+def test_stream_rollup_matches_batch_twin(spark, tmp_path):
+    """Chained stateful aggregations (5-min -> hourly) in one streaming
+    query must equal the batch twin on watermark-closed hours."""
+    import os
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.windows import infotype_rollup
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    d = datagen.ensure_sf("sf0.001")
+    det_in = str(tmp_path / "det")
+    os.makedirs(det_in)
+    pd.read_parquet(f"{d}/detections.parquet")[["info_type", "ts"]].to_parquet(
+        f"{det_in}/d.parquet", index=False
+    )
+    schema = StructType(
+        [StructField("info_type", StringType()), StructField("ts", TimestampType())]
+    )
+    st = spark.readStream.schema(schema).parquet(det_in)
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    pipeline.run_to_sink(
+        infotype_rollup(st, watermark="10 minutes"),
+        sink,
+        str(tmp_path / "ckpt"),
+        shuffle_partitions=4,
+    )
+    got = sink.read_committed(spark)
+
+    batch = spark.read.schema(schema).parquet(det_in)
+    final_wm = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).first()["wm"]
+    want = infotype_rollup(batch).filter(F.col("window_end") <= final_wm)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() > 0

@@ -65,3 +65,33 @@ def test_sliding_windows_emit_every_covering_window(spark):
     out = infotype_frequencies(det, "10 minutes", slide="5 minutes").collect()
     starts = sorted(str(r["window_start"]) for r in out)
     assert starts == ["2026-01-01 00:00:00", "2026-01-01 00:05:00"]
+
+
+def test_infotype_rollup_batch_consistency(spark):
+    """The two-level rollup must agree with directly aggregating to the
+    coarse window, and n_fine_windows counts distinct fine buckets."""
+    from auto_data_tokenize_spark.operators.windows import (
+        infotype_frequencies,
+        infotype_rollup,
+    )
+
+    rows = []
+    for m in (0, 3, 7, 12, 59, 61, 65):
+        rows.append(("EMAIL_ADDRESS", f"2026-01-01 00:{m % 60:02d}:00", m // 60))
+    df = spark.createDataFrame(
+        [(it, f"2026-01-01 {h:02d}:{int(s[14:16]):02d}:00") for it, s, h in rows],
+        "info_type string, s string",
+    ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+
+    got = {
+        (r["window_start"].isoformat(), r["info_type"]): (r["n"], r["n_fine_windows"])
+        for r in infotype_rollup(df, "5 minutes", "1 hour").collect()
+    }
+    direct = {
+        (r["window_start"].isoformat(), r["info_type"]): r["n"]
+        for r in infotype_frequencies(df, "1 hour").collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == direct
+    # first hour: minutes 0,3 -> bucket 0; 7 -> 5; 12 -> 10; 59 -> 55 = 4 buckets
+    assert got[("2026-01-01T00:00:00", "EMAIL_ADDRESS")] == (5, 4)
+    assert got[("2026-01-01T01:00:00", "EMAIL_ADDRESS")] == (2, 2)
