@@ -93,3 +93,75 @@ def test_sink_iceberg_gate_is_clean(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "a int")
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         sink.foreach_batch(df, 0)
+
+
+# -- bucketed co-located joins -------------------------------------------------
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    join with NO Exchange on either side — the shuffle-free shape the
+    dedup verify joins take at scale."""
+    from pyspark.sql import functions as F
+
+    from auto_data_tokenize_spark.sources.bucketing import write_bucketed
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    stats = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("score")
+    )
+    t1 = write_bucketed(docs, "adt_b_docs", str(tmp_path / "t1"), "doc_id", buckets=8)
+    t2 = write_bucketed(stats, "adt_b_stats", str(tmp_path / "t2"), "doc_id", buckets=8)
+
+    joined = t1.hint("merge").join(t2, "doc_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    assert joined.count() == 1000
+
+    # control: the same join on plain (unbucketed) parquet DOES shuffle
+    docs.write.mode("overwrite").parquet(str(tmp_path / "p1"))
+    stats.write.mode("overwrite").parquet(str(tmp_path / "p2"))
+    plain = (
+        spark.read.parquet(str(tmp_path / "p1"))
+        .hint("merge")
+        .join(spark.read.parquet(str(tmp_path / "p2")), "doc_id")
+    )
+    assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+    spark.sql("DROP TABLE IF EXISTS adt_b_docs")
+    spark.sql("DROP TABLE IF EXISTS adt_b_stats")
+
+
+def test_streaming_csv_ingestion(spark, transcripts_small, tmp_path):
+    """CSV drops stream natively (readStream.csv with the RFC4180
+    quoting read_source uses) — transcripts land as micro-batches and
+    tokenize downstream, equal to the batch path."""
+    import os
+
+    from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sample = transcripts_small.select("conv_id", "turn_idx", "role", "text", "ts").limit(100)
+    drop_dir = str(tmp_path / "csv_drops")
+    os.makedirs(drop_dir)
+    sample.toPandas().to_csv(f"{drop_dir}/part0.csv", index=False)
+
+    st = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, ts timestamp"
+        )
+        .option("header", True)
+        .option("escape", '"')
+        .csv(drop_dir)
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "csv_out"))
+    pipeline.run_to_sink(
+        tokenize_turns(st).select("conv_id", "turn_idx", "text_tok"),
+        sink,
+        str(tmp_path / "csv_ckpt"),
+    )
+    got = sink.read_committed(spark)
+    want = tokenize_turns(sample).select("conv_id", "turn_idx", "text_tok")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
