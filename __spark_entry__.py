@@ -661,6 +661,32 @@ def q40_stream_infotype_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q41_view_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join (binned; operators/asof.py range_join): all
+    (purchase, view) pairs per user with the view in the hour before
+    the purchase — the attribution-candidate query. Oracle = the naive
+    BETWEEN join in SQL (same pairs; the binning is a plan property,
+    not a semantic one)."""
+    from auto_data_tokenize_spark.operators.asof import range_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    return range_join(
+        purchases, views, on="user_id", lower_s=-3600, upper_s=0
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("view_id_r").alias("view_id"),
+        F.col("ts_r").alias("view_ts"),
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -849,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_dup_clusters": _with_prep(q38_dup_clusters),
         "q39_corpus_prep": _with_prep(q39_corpus_prep),
         "q40_stream_infotype_rollup": _with_prep(q40_stream_infotype_rollup),
+        "q41_view_purchase_range_join": _with_prep(q41_view_purchase_range_join),
     }
 
 
@@ -1381,6 +1408,14 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT b.doc_id
             FROM base b LEFT JOIN lbl l ON l.id = b.doc_id
             WHERE coalesce(l.cluster, b.doc_id) = b.doc_id
+        """,
+        "q41_view_purchase_range_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         """,
         "q33_asof_purchase_attribution": """
             SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -24,6 +24,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lower_s: int,
+    upper_s: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs per ``on`` key with
+    ``left.ts + lower_s <= right.ts <= left.ts + upper_s`` — the
+    batch twin of the streaming time-range join (streaming/join.py).
+
+    Plan shape — the part Spark does NOT do for you: a naive
+    ``join(key) .filter(range)`` materializes EVERY same-key pair
+    before filtering (a hot key with n rows each side = n² candidate
+    rows through the join). This implementation bins both sides into
+    buckets of width W = upper_s - lower_s and joins on (key, bin):
+    a left row's W-second window overlaps at most two bins, so each
+    left row meets only right rows within ±W — candidates are bounded
+    by actual temporal locality, not key cardinality. One shuffle on
+    the composite (key, bin) key, which also spreads hot keys across
+    bins. Exact range filter after the join keeps semantics identical
+    to the naive form (asserted by test).
+
+    Right columns (except the key) land with ``suffix``."""
+    if upper_s <= lower_s:
+        raise ValueError("upper_s must exceed lower_s")
+    w = upper_s - lower_s
+
+    # epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ casts to
+    # double only via timestamp; session tz is pinned to UTC so the
+    # interpretation is stable)
+    def _secs(col: str) -> str:
+        return f"cast(cast({col} as timestamp) as double)"
+
+    lsec = _secs(left_ts)
+
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c not in (on, right_ts)
+        ],
+    ).withColumn("_bin", F.expr(f"floor({_secs(f'{right_ts}{suffix}')} / {w})"))
+
+    l2 = left.withColumn(
+        "_bin",
+        F.explode(
+            F.expr(
+                f"sequence(floor(({lsec} + {lower_s}) / {w}),"
+                f" floor(({lsec} + {upper_s}) / {w}))"
+            )
+        ),
+    )
+    rts = _secs(f"{right_ts}{suffix}")
+    return (
+        l2.join(r, [on, "_bin"])
+        .filter(F.expr(f"{rts} >= {lsec} + {lower_s} AND {rts} <= {lsec} + {upper_s}"))
+        .drop("_bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -165,3 +165,66 @@ def test_asof_rejects_output_suffix_collisions(spark):
     )
     with pytest.raises(ValueError, match="suffix"):
         asof_join(left, right, on="k")
+
+
+# -- range_join ----------------------------------------------------------------
+
+
+def test_range_join_matches_naive(spark):
+    """Binned plan == naive join+filter, including boundary inclusivity
+    on both ends and bin-crossing windows."""
+    from auto_data_tokenize_spark.operators.asof import range_join
+
+    left = _ts(
+        spark,
+        [("u", "2026-01-01 01:00:00", 1), ("u", "2026-01-01 02:30:00", 2),
+         ("v", "2026-01-01 01:00:00", 3)],
+        "k string, s string, lid int",
+    )
+    right = _ts(
+        spark,
+        [("u", "2026-01-01 00:00:00", 10),   # exactly lower bound of lid=1
+         ("u", "2026-01-01 00:59:59", 11),
+         ("u", "2026-01-01 01:00:00", 12),   # exactly upper bound of lid=1
+         ("u", "2026-01-01 01:35:00", 13),   # inside lid=2's window
+         ("u", "2026-01-01 02:31:00", 14),   # after everything
+         ("v", "2026-01-01 00:30:00", 15),
+         ("w", "2026-01-01 01:00:00", 16)],  # key with no left rows
+        "k string, s string, rid int",
+    )
+    got = {
+        (r["lid"], r["rid_r"])
+        for r in range_join(left, right, on="k", lower_s=-3600, upper_s=0).collect()
+    }
+    naive = (
+        left.join(right.withColumnRenamed("ts", "rts").withColumnRenamed("rid", "rid_r"), "k")
+        .filter("rts >= ts - INTERVAL 1 HOUR AND rts <= ts")
+    )
+    want = {(r["lid"], r["rid_r"]) for r in naive.collect()}
+    assert got == want
+    assert (1, 10) in got and (1, 12) in got and (2, 13) in got
+    assert all(rid != 14 and rid != 16 for _, rid in got)
+
+
+def test_range_join_plan_bins_candidates(spark):
+    """The join keys must include the bin column — the structural
+    bound that keeps hot-key candidates at temporal-locality size."""
+    from auto_data_tokenize_spark.operators.asof import range_join
+
+    left = _ts(spark, [("u", "2026-01-01 01:00:00", 1)], "k string, s string, lid int")
+    right = _ts(spark, [("u", "2026-01-01 00:30:00", 2)], "k string, s string, rid int")
+    plan = (
+        range_join(left, right, on="k", lower_s=-3600, upper_s=0)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_bin" in plan
+
+
+def test_range_join_rejects_empty_window(spark):
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.operators.asof import range_join
+
+    left = _ts(spark, [("u", "2026-01-01 01:00:00", 1)], "k string, s string, lid int")
+    with _pytest.raises(ValueError, match="upper_s"):
+        range_join(left, left, on="k", lower_s=0, upper_s=0)
