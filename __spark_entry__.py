@@ -687,6 +687,26 @@ def q41_view_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KMV distinct-token sketch over the documents table
+    (operators/sketches.py) alongside the exact distinct count — the
+    oracle recomputes the SKETCH itself (identical hash → identical
+    bottom-k → identical estimate), so the gate checks the estimator,
+    not a tolerance band."""
+    from auto_data_tokenize_spark.operators.sketches import kmv_distinct
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("token"),
+    ).filter("token <> ''")
+    est = kmv_distinct(toks, "lang", "token", k=256)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    return est.join(exact, "lang").select("lang", "n_hashes", "kmv_est", "n_exact")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -876,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_corpus_prep": _with_prep(q39_corpus_prep),
         "q40_stream_infotype_rollup": _with_prep(q40_stream_infotype_rollup),
         "q41_view_purchase_range_join": _with_prep(q41_view_purchase_range_join),
+        "q42_kmv_distinct_tokens": _with_prep(q42_kmv_distinct_tokens),
     }
 
 
@@ -1029,6 +1050,25 @@ def _duck_cluster_chain(src_sql: str) -> str:
             lbl AS (
               SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s
             )
+    """
+
+
+def _duck_kmv_tokens_sql() -> str:
+    from auto_data_tokenize_spark.operators.sketches import duckdb_kmv_sql
+
+    toks = """
+      SELECT lang, tok AS token
+      FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents) z
+      WHERE tok <> ''
+    """
+    return f"""
+        WITH kmv AS ({duckdb_kmv_sql(toks, "lang", "token", k=256)}),
+        exact AS (
+          SELECT lang, COUNT(DISTINCT token) AS n_exact FROM ({toks}) t GROUP BY lang
+        )
+        SELECT k.lang, k.n_hashes, k.kmv_est, e.n_exact
+        FROM kmv k JOIN exact e USING (lang)
     """
 
 
@@ -1381,6 +1421,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             JOIN corpus_bands c USING (band_idx, band_key)
         """,
         "q35_length_quantiles": _duck_quantiles_sql(),
+        "q42_kmv_distinct_tokens": _duck_kmv_tokens_sql(),
         "q34_nested_tokenize_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         """,
