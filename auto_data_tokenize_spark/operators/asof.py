@@ -53,6 +53,18 @@ def range_join(
     Right columns (except the key) land with ``suffix``."""
     if upper_s <= lower_s:
         raise ValueError("upper_s must exceed lower_s")
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError(
+            "column '_bin' collides with range_join internals; rename it first"
+        )
+    out_clash = {
+        f"{c}{suffix}" for c in right.columns if c != on
+    }.intersection(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"output column(s) {sorted(out_clash)} already exist on the left "
+            f"side; pass a different suffix than {suffix!r}"
+        )
     w = upper_s - lower_s
 
     # epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ casts to

@@ -53,9 +53,14 @@ def kmv_distinct(
     hashes, else round((k-1)/R, 6)."""
     if k < 2:
         raise ValueError("k must be at least 2")
-    dh = df.select(
-        F.col(group_col), F.expr(_hash_expr(value_col)).alias("_h")
-    ).distinct()
+    # NULL values are not elements (countDistinct semantics) — and the
+    # engines disagree on NULL ordering in the bottom-k window (Spark
+    # sorts NULLS FIRST, DuckDB NULLS LAST), so they must never reach it
+    dh = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), F.expr(_hash_expr(value_col)).alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy("_h")
     topk = dh.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     return (
@@ -85,6 +90,7 @@ def duckdb_kmv_sql(
         WITH dh AS (
           SELECT DISTINCT {group_col}, {duckdb_kmv_hash_sql(value_col)} AS h
           FROM ({src_sql}) src
+          WHERE {value_col} IS NOT NULL
         ),
         topk AS (
           SELECT * FROM dh

@@ -192,18 +192,17 @@ def avro_schema_to_spark(avsc: dict) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 
+try:  # hoisted out of the per-cell encode hot loop
+    import pandas as _pd
+
+    _NAT = _pd.NaT
+except ImportError:  # pragma: no cover - pandas is a hard dep of pyspark
+    _NAT = object()
+
+
 def _is_null(v) -> bool:
     """Null check safe for list/ndarray cells (no elementwise !=)."""
-    if v is None:
-        return True
-    if isinstance(v, float):
-        return v != v
-    try:
-        import pandas as pd
-
-        return v is pd.NaT
-    except Exception:
-        return False
+    return v is None or (isinstance(v, float) and v != v) or v is _NAT
 
 
 def _encoder(t: object):
@@ -482,11 +481,31 @@ def _native_avro_available(spark: SparkSession) -> bool:
         return False
 
 
+MANIFEST_NAME = "_MANIFEST.json"
+
+
 def _avro_files(path: str) -> list[str]:
+    """Resolve the file set. Directories written by
+    ``write_avro_fallback`` carry a manifest published AFTER the last
+    file move; reading through it detects a crash mid-finalize (a
+    listed file missing → error, instead of silently returning a
+    fraction of the rows)."""
     import glob as _glob
 
     if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        manifest = os.path.join(path, MANIFEST_NAME)
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                names = [e["file"] for e in json.load(f)["files"]]
+            files = [os.path.join(path, n) for n in sorted(names)]
+            missing = [p for p in files if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"manifest lists files missing on disk (crashed "
+                    f"finalize? rewrite the dataset): {missing[:3]}"
+                )
+        else:
+            files = sorted(_glob.glob(os.path.join(path, "*.avro")))
     else:
         files = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
     if not files:
@@ -494,30 +513,20 @@ def _avro_files(path: str) -> list[str]:
     return files
 
 
-def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed pure-Python read: one task per file via the
-    binaryFile source + mapInPandas decode. The schema comes from the
-    first file's header (driver-side, reads only the header bytes)."""
-    import pandas as pd
-
-    files = _avro_files(path)
-    with open(files[0], "rb") as f:
-        avsc, _, _ = read_header(f)
+def _schema_and_decoder(avsc: dict):
+    """Shared by the batch and streaming fallbacks: Spark schema +
+    the per-file mapInPandas decode generator for a record schema."""
     schema = avro_schema_to_spark(avsc)
     ts_cols = [
         f.name
         for f in schema.fields
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
     ]
+    cols = [f["name"] for f in avsc["fields"]]
 
-    bin_df = (
-        spark.read.format("binaryFile")
-        .load([f"file://{os.path.abspath(p)}" for p in files])
-        .select("content")
-    )
+    def _decode(batches):
+        import pandas as pd
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f["name"] for f in avsc["fields"]]
         for pdf in batches:
             for data in pdf["content"]:
                 _, rows = decode_container(bytes(data))
@@ -526,24 +535,55 @@ def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
                     out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
                 yield out
 
-    return bin_df.mapInPandas(_decode, schema)
+    return schema, _decode
+
+
+def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed pure-Python read: one task per file via the
+    binaryFile source + mapInPandas decode. The schema comes from the
+    first file's header (driver-side, reads only the header bytes)."""
+    files = _avro_files(path)
+    with open(files[0], "rb") as f:
+        avsc, _, _ = read_header(f)
+    schema, decode = _schema_and_decoder(avsc)
+    bin_df = (
+        spark.read.format("binaryFile")
+        .load([f"file://{os.path.abspath(p)}" for p in files])
+        .select("content")
+    )
+    return bin_df.mapInPandas(decode, schema)
 
 
 def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int:
-    """Distributed pure-Python write: each partition encodes one
-    container file into a staging dir executor-side; the driver then
-    atomically finalizes exactly the files reported by the successful
-    task attempts (a retried/zombie attempt's file stays in staging
-    and is deleted), and writes no _SUCCESS-style marker — presence in
-    the target dir IS the commit. Returns total rows written.
+    """Distributed pure-Python write with OVERWRITE semantics (matching
+    the native branch's ``mode("overwrite")``): each partition encodes
+    one container file into a staging dir executor-side; the driver
+    then moves exactly the files reported by the successful task
+    attempts (a retried/zombie attempt's file stays in staging and is
+    deleted) and publishes ``_MANIFEST.json`` LAST with a single atomic
+    rename — readers resolve the file set through the manifest, so a
+    crash mid-finalize is detected (listed file missing → error) rather
+    than silently read as a partial dataset. Returns rows written.
 
     Requires ``path`` on storage both executors and driver can see
     (true in local/POSIX-shared deployments — same contract as
     streaming/sink.py; at cloud scale use the native spark-avro sink)."""
+    import glob as _glob
+
     import pandas as pd
 
     avsc = spark_schema_to_avro(df.schema)
     os.makedirs(path, exist_ok=True)
+    # overwrite: retire prior contents (manifest first, so a concurrent
+    # reader either sees the old complete set or none)
+    try:
+        os.unlink(os.path.join(path, MANIFEST_NAME))
+    except FileNotFoundError:
+        pass
+    for old in _glob.glob(os.path.join(path, "*.avro")):
+        os.unlink(old)
+    for stale in _glob.glob(os.path.join(path, "_staging-*")):
+        shutil.rmtree(stale, ignore_errors=True)
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     os.makedirs(staging)
     manifest_schema = T.StructType(
@@ -572,9 +612,15 @@ def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int
 
     manifest = df.mapInPandas(_encode, manifest_schema).collect()
     total = 0
+    entries = []
     for r in manifest:
         os.replace(os.path.join(staging, r["file"]), os.path.join(path, r["file"]))
+        entries.append({"file": r["file"], "rows": r["rows"]})
         total += r["rows"]
+    tmp = os.path.join(path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"files": entries, "rows": total}, f)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))  # the commit point
     shutil.rmtree(staging, ignore_errors=True)
     return total
 
@@ -597,12 +643,7 @@ def read_avro_stream(
         files = _avro_files(path)
         with open(files[0], "rb") as f:
             avsc, _, _ = read_header(f)
-    schema = avro_schema_to_spark(avsc)
-    ts_cols = [
-        f.name
-        for f in schema.fields
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
-    ]
+    schema, decode = _schema_and_decoder(avsc)
 
     # the binaryFile STREAMING source requires its (fixed) schema upfront
     bin_stream = (
@@ -615,20 +656,7 @@ def read_avro_stream(
         .load(path)
         .select("content")
     )
-
-    def _decode(batches):
-        import pandas as pd
-
-        cols = [f["name"] for f in avsc["fields"]]
-        for pdf in batches:
-            for data in pdf["content"]:
-                _, rows = decode_container(bytes(data))
-                out = pd.DataFrame(rows, columns=cols)
-                for c in ts_cols:
-                    out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
-                yield out
-
-    return bin_stream.mapInPandas(_decode, schema)
+    return bin_stream.mapInPandas(decode, schema)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

@@ -228,3 +228,16 @@ def test_range_join_rejects_empty_window(spark):
     left = _ts(spark, [("u", "2026-01-01 01:00:00", 1)], "k string, s string, lid int")
     with _pytest.raises(ValueError, match="upper_s"):
         range_join(left, left, on="k", lower_s=0, upper_s=0)
+
+
+def test_range_join_rejects_collisions(spark):
+    from auto_data_tokenize_spark.operators.asof import range_join
+
+    left = _ts(spark, [("u", "2026-01-01 01:00:00", 1)], "k string, s string, _bin int")
+    right = _ts(spark, [("u", "2026-01-01 00:30:00", 2)], "k string, s string, rid int")
+    with pytest.raises(ValueError, match="_bin"):
+        range_join(left, right, on="k", lower_s=-3600, upper_s=0)
+
+    left2 = _ts(spark, [("u", "2026-01-01 01:00:00", 1)], "k string, s string, rid_r int")
+    with pytest.raises(ValueError, match="suffix"):
+        range_join(left2, right, on="k", lower_s=-3600, upper_s=0)

@@ -170,8 +170,37 @@ def test_write_retries_cannot_leak_partials(spark, tmp_path):
     path = str(tmp_path / "t2")
     A.write_avro_fallback(df, path)
     entries = os.listdir(path)
-    assert all(e.endswith(".avro") for e in entries), entries
+    assert all(
+        e.endswith(".avro") or e == A.MANIFEST_NAME for e in entries
+    ), entries
     assert not any(e.startswith("_staging") for e in entries)
+
+
+def test_write_avro_overwrites_previous_dataset(spark, tmp_path):
+    """Fallback writes have the native branch's overwrite semantics:
+    a second write replaces the first, no unioned stale rows."""
+    path = str(tmp_path / "ow")
+    A.write_avro_fallback(spark.range(50).selectExpr("id", "'a' AS v"), path)
+    A.write_avro_fallback(spark.range(10).selectExpr("id", "'b' AS v"), path)
+    back = A.read_avro_fallback(spark, path)
+    assert back.count() == 10
+    assert {r["v"] for r in back.select("v").distinct().collect()} == {"b"}
+
+
+def test_crashed_finalize_is_detected(spark, tmp_path):
+    """A file listed in the manifest but missing on disk (crash between
+    the move loop and nothing — simulated by deletion) must raise, not
+    silently read a partial dataset."""
+    import os
+
+    path = str(tmp_path / "crash")
+    A.write_avro_fallback(
+        spark.range(100).selectExpr("id", "'x' AS v").repartition(4), path
+    )
+    victim = next(e for e in os.listdir(path) if e.endswith(".avro"))
+    os.unlink(os.path.join(path, victim))
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        A.read_avro_fallback(spark, path)
 
 
 def test_streaming_avro_ingestion(spark, transcripts_small, tmp_path):

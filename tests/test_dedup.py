@@ -314,3 +314,26 @@ def test_dup_clusters_groups_transitively(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(df).collect()}
     assert got[0] == 0 and got[1] == 0 and got[2] == 0
     assert got[3] == 3 and got[4] == 4
+
+
+def test_dup_clusters_storage_is_bounded_across_runs(spark, docs):
+    """Repeated clusterings must not accumulate pinned checkpoint
+    blocks: ContextCleaner (helped by the exit GC hint) reclaims each
+    run's superseded rounds. Async cleaner → poll with a deadline."""
+    import time
+
+    sc = spark.sparkContext._jsc.sc()
+    dedup.dup_clusters(docs).count()
+    baseline = None
+    for _ in range(10):
+        time.sleep(1)
+        baseline = sc.getPersistentRDDs().size()
+        if baseline <= 4:
+            break
+    for _ in range(2):
+        dedup.dup_clusters(docs).count()
+    for _ in range(15):
+        time.sleep(1)
+        if sc.getPersistentRDDs().size() <= baseline + 2:
+            break
+    assert sc.getPersistentRDDs().size() <= baseline + 2

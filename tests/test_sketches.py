@@ -60,3 +60,15 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("g", "v")], "g string, v string")
     with pytest.raises(ValueError, match="k must"):
         kmv_distinct(df, "g", "v", k=1)
+
+
+def test_kmv_ignores_nulls(spark):
+    """NULLs are not elements (countDistinct semantics) and must never
+    reach the bottom-k window (the engines disagree on NULL ordering)."""
+    rows = [("g", f"v{i}") for i in range(50)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_distinct(df, "g", "v", k=16).first()
+    clean = kmv_distinct(
+        spark.createDataFrame(rows[:50], "g string, v string"), "g", "v", k=16
+    ).first()
+    assert (r["n_hashes"], r["kmv_est"]) == (clean["n_hashes"], clean["kmv_est"])
