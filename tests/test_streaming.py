@@ -388,3 +388,49 @@ def test_stream_rollup_matches_batch_twin(spark, tmp_path):
     want = infotype_rollup(batch).filter(F.col("window_end") <= final_wm)
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_near_dup_gate_invariant_to_microbatch_slicing(spark, tmp_path):
+    """The ingest gate's decisions are per-document, so splitting the
+    same input across several triggers must flag exactly the same doc
+    set as one big trigger (exactly-once sink dedupes redeliveries,
+    not semantics)."""
+    import os
+
+    from auto_data_tokenize_spark.operators.dedup import (
+        NearDupGate,
+        banded_keys,
+        minhash_signatures,
+    )
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_banded = banded_keys(minhash_signatures(docs))
+
+    incoming = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+            F.concat(F.lit("fresh unseen words entirely novel "), F.col("doc_id").cast("string"))
+        ).alias("text"),
+    )
+    in_dir = str(tmp_path / "gate_in")
+    incoming.repartition(6).write.parquet(in_dir)
+
+    def run(max_files, tag):
+        st = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(in_dir)
+        )
+        with NearDupGate(corpus_banded) as gate:
+            sink = ExactlyOnceSink(str(tmp_path / f"out_{tag}"))
+            pipeline.run_to_sink(gate.apply(st), sink, str(tmp_path / f"ckpt_{tag}"))
+            return {
+                r["id"]
+                for r in sink.read_committed(spark).select("id").distinct().collect()
+            }
+
+    single = run(100, "single")   # one trigger
+    sliced = run(2, "sliced")     # several micro-batches
+    assert single == sliced and len(single) > 0
