@@ -248,6 +248,10 @@ class NearDupGate:
     (:func:`banded_keys` over the corpus signatures — at real scale a
     precomputed, bucketed table, in which case pass
     ``persist_corpus=False`` and let the table format serve it).
+    The corpus signatures MUST use the default ``affine32`` hash mode:
+    the stream side computes affine32 only, and band keys from a
+    different family never collide — the failure is silent zero recall,
+    not an error (band keys don't carry their family).
 
     Plan shape (``apply``): repartition the micro-batch across all
     cores (stateless streaming DataFrames support repartition; the
