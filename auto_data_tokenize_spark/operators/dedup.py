@@ -486,18 +486,22 @@ def connected_components(
     b: str = "b",
     max_iterations: int = 50,
 ) -> DataFrame:
-    """Connected components over undirected edges by min-label
-    propagation: every node's label converges to the smallest node id
-    in its component. Output: (id, cluster_id).
+    """Connected components over undirected edges: every node's label
+    converges to the smallest node id in its component. Output:
+    (id, cluster_id).
 
-    Iteration count is the graph DIAMETER, which for near-duplicate
-    clusters is tiny (copies of a common source form near-cliques;
-    empirically ≤ 3-4 hops), so propagation beats the O(log n)
-    large-star/small-star alternation (Kiveris et al., MapReduce and
-    Beyond '14) in practice there — that variant is the upgrade path
-    if components with long chains appear. Each round is one shuffle
-    (neighbor-min aggregate); ``localCheckpoint`` truncates the plan
-    between rounds so lineage doesn't grow with iterations (on a
+    Each round combines two monotone steps — neighbor-min propagation
+    (label(x) ← min over x ∪ N(x) of labels) and POINTER JUMPING
+    (label(x) ← label(label(x)), the path-halving trick behind
+    hash-to-min / large-star-small-star, Kiveris et al. '14) — so
+    convergence is O(log n) rounds on ANY graph shape, not O(diameter):
+    near-dup near-cliques finish in 2-3 rounds, and a pathological
+    n-node chain in ~log2(n) instead of n. Both steps preserve the
+    invariant that label(x) is the id of a node in x's component and
+    never increases, and at a fixed point labels are constant across
+    every edge, hence the component minimum. Each round is two joins +
+    one aggregate (two shuffles); ``localCheckpoint`` truncates the
+    plan between rounds so lineage doesn't grow with iterations (on a
     cluster with dynamic executors, swap for reliable ``checkpoint``).
     Convergence is detected with a count of changed labels — one extra
     cheap action per round on the already-materialized label table.
@@ -525,11 +529,28 @@ def connected_components(
                 sym.join(labels, sym["dst"] == labels["id"])
                 .select(F.col("src").alias("id"), F.col("cluster_id"))
             )
-            new_labels = (
+            propagated = (
                 labels.select("id", "cluster_id")
                 .unionAll(nbr_min)
                 .groupBy("id")
                 .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+            # pointer jump: follow the label one hop (label is itself a
+            # node id); left join — a label may point at a node with no
+            # smaller neighbor, which simply keeps its own label
+            lab2 = propagated.select(
+                F.col("id").alias("_jid"), F.col("cluster_id").alias("_jlbl")
+            )
+            new_labels = (
+                propagated.join(
+                    lab2, propagated["cluster_id"] == lab2["_jid"], "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("_jlbl", "cluster_id")
+                    ).alias("cluster_id"),
+                )
                 .localCheckpoint(eager=True)
             )
             changed = (

@@ -337,3 +337,15 @@ def test_dup_clusters_storage_is_bounded_across_runs(spark, docs):
         if sc.getPersistentRDDs().size() <= baseline + 2:
             break
     assert sc.getPersistentRDDs().size() <= baseline + 2
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping makes rounds O(log n): a 300-node path graph
+    (diameter 299) must converge well inside the default budget and
+    label every node with the chain head."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a long, b long"
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.connected_components(edges).collect()}
+    assert len(got) == 301 and set(got.values()) == {0}
