@@ -707,6 +707,24 @@ def q42_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "lang").select("lang", "n_hashes", "kmv_est", "n_exact")
 
 
+def q43_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard self-join via prefix filtering (AllPairs) —
+    the zero-false-negative complement to the q15/q16 LSH path. The
+    oracle is the brute-force all-pairs-sharing-a-shingle join, so the
+    gate proves the prefix filter loses nothing."""
+    from auto_data_tokenize_spark.operators.dedup import setsim_join
+
+    return setsim_join(_documents(spark, sf_dir), threshold=0.6)
+
+
+def q44_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf, rounded-score
+    ordering contract shared with the cosine queries)."""
+    from auto_data_tokenize_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(spark, sf_dir), k=5)
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -897,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_stream_infotype_rollup": _with_prep(q40_stream_infotype_rollup),
         "q41_view_purchase_range_join": _with_prep(q41_view_purchase_range_join),
         "q42_kmv_distinct_tokens": _with_prep(q42_kmv_distinct_tokens),
+        "q43_setsim_join": _with_prep(q43_setsim_join),
+        "q44_tfidf_top_terms": _with_prep(q44_tfidf_top_terms),
     }
 
 
@@ -1051,6 +1071,12 @@ def _duck_cluster_chain(src_sql: str) -> str:
               SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s
             )
     """
+
+
+def _duck_tfidf_sql() -> str:
+    from auto_data_tokenize_spark.operators.textstats import duckdb_tfidf_sql
+
+    return duckdb_tfidf_sql("documents", k=5)
 
 
 def _duck_kmv_tokens_sql() -> str:
@@ -1422,6 +1448,29 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         "q35_length_quantiles": _duck_quantiles_sql(),
         "q42_kmv_distinct_tokens": _duck_kmv_tokens_sql(),
+        # brute-force all-pairs oracle: every pair sharing >= 1 shingle,
+        # exact distinct-shingle Jaccard — proves setsim_join's prefix
+        # filter is lossless (both sides filter on the ROUNDED score).
+        "q43_setsim_join": f"""
+            WITH gs AS (
+              SELECT doc_id, list_distinct(shingles) AS g
+              FROM ({_DUCK_SHINGLES}) t
+            ),
+            e AS (SELECT doc_id, unnest(g) AS s FROM gs),
+            sz AS (SELECT doc_id, length(g) AS n FROM gs),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(c::DOUBLE / (na.n + nb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sz na ON na.doc_id = a
+            JOIN sz nb ON nb.doc_id = b
+            WHERE round(c::DOUBLE / (na.n + nb.n - c), 6) >= 0.6
+        """,
+        "q44_tfidf_top_terms": _duck_tfidf_sql(),
         "q34_nested_tokenize_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         """,

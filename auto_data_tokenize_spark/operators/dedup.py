@@ -480,6 +480,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT n-gram Jaccard self-join via prefix filtering (AllPairs,
+    Bayardo/Ma/Srikant WWW'07) — the deterministic complement to the
+    MinHash/LSH stack: zero false negatives, no probabilistic recall.
+
+    Algorithm: order every document's distinct k-word shingles by
+    ascending global document frequency (rarest first, ties broken
+    lexicographically — one total order both engines agree on). A pair
+    with Jaccard >= t must share >= ceil(t*|S|) shingles with each
+    member S, so each document only needs to index its first
+    |S| - ceil(t*|S|) + 1 shingles: if two qualifying prefix sets were
+    disjoint, all common shingles would sit in one document's suffix
+    of size ceil(t*|S|) - 1 < ceil(t*|S|) — contradiction. The
+    inverted-index join therefore runs on the *rarest* shingles only,
+    which is what bounds bucket sizes at scale (a shingle shared by
+    many documents has high df and falls out of every prefix).
+
+    Plan shape / 100 TB notes:
+    - one shuffle for the df aggregate, one window shuffle on id (both
+      ``count`` and ``row_number`` share the single hash-partitioning
+      on id), one equi-join shuffle on the prefix shingle.
+    - the length filter ``min(|A|,|B|) >= t*max(|A|,|B|)`` (implied by
+      J >= t since J <= min/max) prunes candidates before the
+      distinct.
+    - exact verification runs on candidate pairs only
+      (``ngram_jaccard_pairs``), never all pairs.
+
+    Output: (a, b, jaccard) for all pairs with round(J, 6) >= t.
+    """
+    from pyspark.sql import Window
+
+    grams = word_shingles(df, text_col, k, out_col="_g").select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct("_g")).alias("_s"),
+    )
+    dfreq = grams.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id")
+    ranked = (
+        grams.join(dfreq, "_s")
+        .withColumn("_sz", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy("_df", "_s")))
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select("_id", "_s", "_sz")
+    cand = (
+        prefix.select(F.col("_id").alias("a"), "_s", F.col("_sz").alias("_sza"))
+        .join(
+            prefix.select(F.col("_id").alias("b"), "_s", F.col("_sz").alias("_szb")),
+            "_s",
+        )
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("_sza", "_szb")
+                >= F.lit(threshold) * F.greatest("_sza", "_szb")
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, n=k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "a",

@@ -276,3 +276,83 @@ def duckdb_language_id_sql(table: str, text_col: str = "text") -> str:
         SELECT doc_id, CASE {' '.join(cases)} ELSE 'unknown' END AS pred_lang
         FROM h
     """
+
+
+# -- TF-IDF ---------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the standard corpus keyword /
+    feature-selection pass of a training-data pipeline.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1)   (smoothed idf, always
+    positive so frequent-everywhere terms still rank by tf instead of
+    vanishing). Ranking and the driver-gate hash both use the score
+    ROUNDED to 6 decimals with a lexicographic term tie-break, so the
+    ordering is reproducible across engines regardless of 1-ulp libm
+    differences (same contract as the cosine queries).
+
+    Plan shape / 100 TB notes: tokenize is a narrow explode; per-doc
+    term counts are ONE hash aggregate on (id, term) with map-side
+    partial combine; document frequency is a second aggregate on term
+    whose output is joined back on term (co-partitioned with the agg —
+    Catalyst reuses the exchange); N is a 1-row aggregate broadcast
+    into the plan, never collected; top-k is one window shuffle on id.
+    No Python anywhere.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = df.agg(F.countDistinct(id_col).alias("_n"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def duckdb_tfidf_sql(table: str, text_col: str = "text", k: int = 5) -> str:
+    """DuckDB twin of ``tfidf_top_terms`` (same smoothing, same
+    rounded-score ordering contract)."""
+    score = "round(tf * (ln((n + 1)::DOUBLE / (dfreq + 1)) + 1), 6)"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS term
+          FROM {table}
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM toks WHERE length(term) > 0 GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM {table})
+        SELECT doc_id, term, tf, {score} AS tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY {score} DESC, term) AS rank
+        FROM tf JOIN dfq USING (term), n
+        QUALIFY rank <= {k}
+    """

@@ -349,3 +349,66 @@ def test_connected_components_long_chain_converges_fast(spark):
     got = {r["id"]: r["cluster_id"]
            for r in dedup.connected_components(edges).collect()}
     assert len(got) == 301 and set(got.values()) == {0}
+
+
+# -- setsim_join (exact prefix-filter AllPairs) ----------------------------
+
+
+def _brute_jaccard_pairs(rows, k=5, threshold=0.6):
+    """Driver-side brute force: distinct k-word shingles, all pairs."""
+    import itertools
+
+    def shingles(text):
+        w = text.strip().lower().split()
+        n = max(len(w) - k, 0) + 1
+        return {" ".join(w[i : i + k]) for i in range(n)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        u = sets[a] | sets[b]
+        j = round(len(sets[a] & sets[b]) / len(u), 6) if u else 0.0
+        if j >= threshold:
+            out.append((a, b, j))
+    return sorted(out)
+
+
+def test_setsim_join_matches_bruteforce(spark, docs):
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.setsim_join(docs, threshold=0.6).collect()
+    )
+    assert got == _brute_jaccard_pairs(rows, threshold=0.6)
+    # sanity: the planted dups are in (incl. the 3-5 appended-tail pair,
+    # J = 20/28 ≈ 0.714); the short outlier doc never pairs up
+    pairs = {(a, b) for a, b, _ in got}
+    assert (0, 1) in pairs and (0, 2) in pairs and (3, 5) in pairs
+    assert not any(4 in p for p in pairs)
+    assert not any(a in (0, 1, 2) and b in (3, 5) for a, b in pairs)
+
+
+def test_setsim_join_exact_on_wider_corpus(spark):
+    """Prefix filtering must lose nothing on a corpus with transitive
+    chains, disjoint docs, and threshold-straddling pairs."""
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        base = [words[(i * 3 + j) % len(words)] for j in range(12)]
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # planted near-dup: one word changed
+            mut = list(base)
+            mut[5] = "mutated"
+            rows.append((100 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.setsim_join(df, threshold=0.5).collect()
+    )
+    assert got == _brute_jaccard_pairs(rows, threshold=0.5)
+    assert len(got) >= 8  # planted pairs actually exercised the path
+
+
+def test_setsim_join_plan_is_jvm_only(spark, docs):
+    plan = dedup.setsim_join(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -132,3 +132,50 @@ def test_length_quantiles_exact_interpolation(spark):
     assert len(r) == 1 and r[0]["pred_lang"] == "en"
     assert r[0]["n_docs"] == 4
     assert r[0]["p25"] == 1.75 and r[0]["p50"] == 2.5 and r[0]["p95"] == 3.85
+
+
+# -- tfidf_top_terms -------------------------------------------------------
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    import math
+
+    from auto_data_tokenize_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "egg egg egg apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"], r["rank"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+
+    def score(tf, dfreq, n=3):
+        return round(tf * (math.log((n + 1) / (dfreq + 1)) + 1), 6)
+
+    # doc 1: apple tf=2 df=2, banana tf=1 df=2, cherry tf=1 df=2
+    assert got[(1, "apple")] == (2, score(2, 2), 1)
+    # banana beats cherry only by the lexicographic tie-break
+    assert got[(1, "banana")] == (1, score(1, 2), 2)
+    assert (1, "cherry") not in got  # k=2 cut
+    # doc 3: egg tf=3 df=1 dominates
+    assert got[(3, "egg")] == (3, score(3, 1), 1)
+    assert got[(3, "apple")] == (1, score(1, 2), 2)
+
+
+def test_tfidf_empty_and_whitespace_docs(spark):
+    from auto_data_tokenize_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "only doc with words"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=3).collect()
+    # token-less docs emit nothing but still count toward N
+    assert {r["doc_id"] for r in out} == {1}
+    import math
+
+    assert out[0]["tfidf"] == round(1 * (math.log(4 / 2) + 1), 6)
