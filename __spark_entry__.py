@@ -725,6 +725,28 @@ def q44_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_documents(spark, sf_dir), k=5)
 
 
+def q45_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split — stable under
+    re-runs and backfills (membership is a pure function of seed+id);
+    zero shuffles."""
+    from auto_data_tokenize_spark.operators.corpus import split_assign
+
+    return split_assign(_documents(spark, sf_dir)).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+def q46_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing per language: doc → (offset,
+    pack_id) in the 512-token stream — the LLM-pretraining batch
+    layout, as ONE running-sum window shuffle."""
+    from auto_data_tokenize_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _documents(spark, sf_dir), target_tokens=512
+    ).select("doc_id", "lang", "n_tokens", "offset", "pack_id")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -917,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_kmv_distinct_tokens": _with_prep(q42_kmv_distinct_tokens),
         "q43_setsim_join": _with_prep(q43_setsim_join),
         "q44_tfidf_top_terms": _with_prep(q44_tfidf_top_terms),
+        "q45_split_assign": _with_prep(q45_split_assign),
+        "q46_pack_sequences": _with_prep(q46_pack_sequences),
     }
 
 
@@ -1077,6 +1101,18 @@ def _duck_tfidf_sql() -> str:
     from auto_data_tokenize_spark.operators.textstats import duckdb_tfidf_sql
 
     return duckdb_tfidf_sql("documents", k=5)
+
+
+def _duck_split_sql() -> str:
+    from auto_data_tokenize_spark.operators.corpus import duckdb_split_sql
+
+    return f"SELECT doc_id, bucket, split FROM ({duckdb_split_sql('documents')}) s"
+
+
+def _duck_pack_sql() -> str:
+    from auto_data_tokenize_spark.operators.corpus import duckdb_pack_sql
+
+    return duckdb_pack_sql("documents", target_tokens=512)
 
 
 def _duck_kmv_tokens_sql() -> str:
@@ -1471,6 +1507,8 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             WHERE round(c::DOUBLE / (na.n + nb.n - c), 6) >= 0.6
         """,
         "q44_tfidf_top_terms": _duck_tfidf_sql(),
+        "q45_split_assign": _duck_split_sql(),
+        "q46_pack_sequences": _duck_pack_sql(),
         "q34_nested_tokenize_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         """,

@@ -1,0 +1,157 @@
+"""Corpus-assembly operators for training-data pipelines: deterministic
+dataset splits and sequence packing.
+
+No reference counterpart (auto-data-tokenize stops at PII); these are
+the last-mile ops between a deduplicated corpus and a training run.
+Both are pure JVM expressions with verbatim DuckDB twins, so the
+driver gate checks them exactly.
+
+Scale notes:
+- ``split_assign`` is a narrow projection — zero shuffles, trivially
+  100 TB-safe, and stable: membership depends only on (seed, id), so
+  re-runs, backfills, and late-arriving shards land in the same split.
+- ``pack_sequences`` is one window shuffle on the partition columns.
+  Packing is inherently order-dependent, so at scale the partition
+  key must bound partition size: pack per (lang, shard) — any
+  deterministic sharding works since sequences never cross partition
+  boundaries anyway. The default partitions by lang alone, which is
+  correct at any scale but concentrates a 100 TB monolingual corpus
+  onto few tasks; pass ``part_cols=["lang", "shard"]`` there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Split membership hashes through the same md5-hex-prefix construction
+# as the minhash base hash (operators/dedup.py): portable signed-64
+# arithmetic both engines compute bit-identically.
+SPLIT_BUCKETS = 10_000
+
+
+def _bucket_expr(id_col: str, seed: str) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('{seed}', ':', cast({id_col} as string))),"
+        f" 1, 8), 16, 10) as bigint) % {SPLIT_BUCKETS}"
+    )
+
+
+def _duck_bucket_expr(id_col: str, seed: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}' || ':' || {id_col}::VARCHAR), 1, 8))::BIGINT"
+        f" % {SPLIT_BUCKETS})"
+    )
+
+
+def _boundaries(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer bucket boundaries, largest split last so
+    rounding slack lands there deterministically."""
+    total = sum(weights.values())
+    cum, out = 0.0, []
+    for name, w in weights.items():
+        cum += w / total
+        out.append((name, min(int(round(cum * SPLIT_BUCKETS)), SPLIT_BUCKETS)))
+    out[-1] = (out[-1][0], SPLIT_BUCKETS)
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "adt-split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id bucket.
+
+    bucket = md5-prefix(seed:id) mod 10000; split = the first weight
+    boundary the bucket falls under. Membership is a pure function of
+    (seed, id): adding data never reshuffles existing assignments, and
+    two jobs with the same seed agree without coordination.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = F.expr(_bucket_expr(id_col, seed))
+    expr = None
+    for name, hi in _boundaries(weights):
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("bucket", b).withColumn("split", expr)
+
+
+def duckdb_split_sql(
+    table: str,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "adt-split-v1",
+) -> str:
+    """DuckDB twin of ``split_assign`` (same buckets, same boundaries)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = _duck_bucket_expr(id_col, seed)
+    cases = " ".join(
+        f"WHEN b < {hi} THEN '{name}'" for name, hi in _boundaries(weights)
+    )
+    return f"""
+        SELECT * EXCLUDE (b), b AS bucket, CASE {cases} END AS split
+        FROM (SELECT *, {b} AS b FROM {table}) t
+    """
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concat-and-chop sequence packing (the standard LLM-pretraining
+    shape): within each partition, documents are laid out in id order
+    and the token stream is chopped into ``target_tokens`` sequences.
+    A document's pack_id is the sequence its first token lands in;
+    offset is its start position within the partition's stream.
+
+    Deterministic and exactly SQL-expressible: one running-sum window
+    per partition — Spark does partial aggregation per task and a
+    single shuffle on the partition columns.
+    """
+    part_cols = part_cols or ["lang"]
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn("offset", F.col("_cum") - F.col("n_tokens"))
+        .withColumn(
+            "pack_id", F.floor(F.col("offset") / F.lit(target_tokens))
+        )
+        .drop("_cum")
+    )
+
+
+def duckdb_pack_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    part_cols: list[str] | None = None,
+    cols: str = "doc_id, lang",
+) -> str:
+    """DuckDB twin of ``pack_sequences`` (same ordering, same chop)."""
+    part_cols = part_cols or ["lang"]
+    part = ", ".join(part_cols)
+    return f"""
+        WITH t AS (
+          SELECT {cols},
+                 length(string_split_regex(trim({text_col}), '\\s+')) AS n_tokens
+          FROM {table}
+        ),
+        c AS (
+          SELECT *,
+                 sum(n_tokens) OVER (PARTITION BY {part} ORDER BY {id_col}
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+          FROM t
+        )
+        SELECT *, ("offset" // {target_tokens}) AS pack_id FROM c
+    """

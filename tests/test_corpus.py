@@ -1,0 +1,84 @@
+"""Corpus-assembly operators: deterministic splits and sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators.corpus import (
+    pack_sequences,
+    split_assign,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, "en" if i % 3 else "de", " ".join(f"w{i}_{j}" for j in range(5 + i % 7)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_split_assign_total_and_proportions(spark, docs):
+    out = split_assign(docs).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert sum(counts.values()) == 200  # every doc assigned, none null
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_split_assign_stable_under_growth_and_partitioning(spark, docs):
+    full = {
+        r["doc_id"]: r["split"] for r in split_assign(docs).collect()
+    }
+    subset = docs.filter(F.col("doc_id") < 50)
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(subset.repartition(7)).collect()
+    }
+    # membership is a pure function of (seed, id): the first 50 docs
+    # get identical splits whether or not the other 150 exist
+    assert sub == {k: v for k, v in full.items() if k < 50}
+
+
+def test_split_assign_seed_changes_assignment(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs, seed="s1").collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(docs, seed="s2").collect()}
+    assert a != b  # different seed, different (valid) partition
+
+
+def test_pack_sequences_hand_checked(spark):
+    rows = [
+        (1, "en", " ".join(["a"] * 300)),
+        (2, "en", " ".join(["b"] * 300)),
+        (3, "en", " ".join(["c"] * 100)),
+        (4, "de", " ".join(["d"] * 600)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["offset"], r["pack_id"])
+        for r in pack_sequences(df, target_tokens=512).collect()
+    }
+    # en stream: doc1 at 0 (pack 0), doc2 at 300 (pack 0), doc3 at 600 (pack 1)
+    assert got[1] == (300, 0, 0)
+    assert got[2] == (300, 300, 0)
+    assert got[3] == (100, 600, 1)
+    # de stream is independent
+    assert got[4] == (600, 0, 0)
+
+
+def test_pack_sequences_partition_independence(spark, docs):
+    a = sorted(
+        (r["doc_id"], r["offset"], r["pack_id"])
+        for r in pack_sequences(docs).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["offset"], r["pack_id"])
+        for r in pack_sequences(docs.repartition(13)).collect()
+    )
+    assert a == b
+
+
+def test_plans_are_jvm_only(spark, docs):
+    for df in (split_assign(docs), pack_sequences(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
