@@ -112,13 +112,15 @@ def pack_sequences(
     per partition — Spark does partial aggregation per task and a
     single shuffle on the partition columns.
     """
+    from auto_data_tokenize_spark.operators.textstats import ws_tokens_expr
+
     part_cols = part_cols or ["lang"]
     w = (
         Window.partitionBy(*part_cols)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tok = ws_tokens_expr(text_col)
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("_cum", F.sum("n_tokens").over(w))
@@ -136,15 +138,19 @@ def duckdb_pack_sql(
     text_col: str = "text",
     target_tokens: int = 512,
     part_cols: list[str] | None = None,
-    cols: str = "doc_id, lang",
 ) -> str:
-    """DuckDB twin of ``pack_sequences`` (same ordering, same chop)."""
+    """DuckDB twin of ``pack_sequences`` (same ordering, same chop).
+    The projection is derived from id_col/part_cols so non-default
+    parameters stay valid SQL."""
+    from auto_data_tokenize_spark.operators.textstats import duckdb_ws_tokens_sql
+
     part_cols = part_cols or ["lang"]
     part = ", ".join(part_cols)
+    cols = ", ".join(dict.fromkeys([id_col, *part_cols]))
     return f"""
         WITH t AS (
           SELECT {cols},
-                 length(string_split_regex(trim({text_col}), '\\s+')) AS n_tokens
+                 {duckdb_ws_tokens_sql(text_col)} AS n_tokens
           FROM {table}
         ),
         c AS (

@@ -517,9 +517,12 @@ def setsim_join(
     """
     from pyspark.sql import Window
 
+    # explode_outer, deliberately (house rule): plain explode lets
+    # InferFiltersFromGenerate re-evaluate the shingle transform below
+    # the exchange; shingle arrays are never empty so it's identical.
     grams = word_shingles(df, text_col, k, out_col="_g").select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct("_g")).alias("_s"),
+        F.explode_outer(F.array_distinct("_g")).alias("_s"),
     )
     dfreq = grams.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("_id")
@@ -528,20 +531,34 @@ def setsim_join(
         .withColumn("_sz", F.count(F.lit(1)).over(w))
         .withColumn("_rn", F.row_number().over(w.orderBy("_df", "_s")))
     )
+    # The -1e-9 slack guards the double products: the prunes must never
+    # drop a pair whose ROUNDED Jaccard reaches t (the emission rule),
+    # so both bounds are relaxed by strictly more than the rounding
+    # window can move the score. Longer prefixes / extra candidates are
+    # only a constant-factor cost; exactness is the invariant.
     prefix = ranked.filter(
-        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        F.col("_rn")
+        <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
     ).select("_id", "_s", "_sz")
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = (
+        # REPARTITION_BY_NUM on the join key: exempt from AQE
+        # coalescing, so a small prefix table with a quadratic join
+        # output still expands across cores (the simhash lesson).
         prefix.select(F.col("_id").alias("a"), "_s", F.col("_sz").alias("_sza"))
+        .repartition(n_part, "_s")
         .join(
-            prefix.select(F.col("_id").alias("b"), "_s", F.col("_sz").alias("_szb")),
+            prefix.select(F.col("_id").alias("b"), "_s", F.col("_sz").alias("_szb"))
+            .repartition(n_part, "_s"),
             "_s",
         )
         .filter(
             (F.col("a") < F.col("b"))
             & (
                 F.least("_sza", "_szb")
-                >= F.lit(threshold) * F.greatest("_sza", "_szb")
+                >= F.lit(threshold) * F.greatest("_sza", "_szb") - F.lit(1e-9)
             )
         )
         .select("a", "b")

@@ -45,15 +45,25 @@ def _sql_list_duck(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+def ws_tokens_expr(text_col: str) -> "F.Column":
+    """Whitespace token COUNT — the one cross-engine tokenization
+    contract (twin: ``duckdb_ws_tokens_sql``). Shared by token_counts,
+    pack_sequences, and the quantile fragments so a rule change lands
+    everywhere at once."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def duckdb_ws_tokens_sql(text_col: str) -> str:
+    """DuckDB twin of ``ws_tokens_expr``."""
+    return f"length(string_split_regex(trim({text_col}), '\\s+'))"
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_chars, n_ws_tokens (whitespace), n_bpeish_tokens (regex
     pre-tokenizer) — the unit-economics columns of a corpus pipeline."""
     return (
         df.withColumn("n_chars", F.length(text_col))
-        .withColumn(
-            "n_ws_tokens",
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
-        )
+        .withColumn("n_ws_tokens", ws_tokens_expr(text_col))
         .withColumn(
             "n_bpeish_tokens",
             F.size(
@@ -246,7 +256,7 @@ def duckdb_length_quantiles_sql(table: str, text_col: str = "text") -> str:
         WITH lang AS ({lang}),
         tok AS (
           SELECT doc_id,
-                 length(string_split_regex(trim({text_col}), '\\s+')) AS n_ws_tokens
+                 {duckdb_ws_tokens_sql(text_col)} AS n_ws_tokens
           FROM {table}
         )
         SELECT l.pred_lang, COUNT(*) AS n_docs, {qcols}
@@ -305,9 +315,16 @@ def tfidf_top_terms(
     into the plan, never collected; top-k is one window shuffle on id.
     No Python anywhere.
     """
+    # explode_outer, deliberately (house rule): plain explode lets
+    # InferFiltersFromGenerate synthesize size(split(...)) > 0 below
+    # the exchange, re-evaluating the tokenization on the scan branch.
+    # split of a trimmed string is never empty, and the null row an
+    # empty array would emit dies in the length filter anyway.
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+        F.explode_outer(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
     ).filter(F.length("term") > 0)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
