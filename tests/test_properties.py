@@ -155,3 +155,51 @@ def test_avro_container_roundtrip_property(rows):
     assert n == len(rows)
     _, got = A.decode_container(data)
     assert got == rows
+
+
+# -- prefix-filter lemma (setsim_join's exactness core) --------------------
+#
+# The Spark operator's candidate generation is a plan over exactly this
+# arithmetic: rank shingles by (global df, shingle), keep the first
+# sz - ceil(t*sz - 1e-9) + 1 per set, join on shared prefix shingles
+# with the length filter min >= t*max - 1e-9. The lemma: every pair
+# whose ROUNDED Jaccard reaches t shares a prefix shingle and passes
+# the length filter. Hundreds of random set families check it here in
+# pure Python; tests/test_dedup.py checks the Spark plan computes the
+# same thing on two corpora.
+
+import math as _math
+
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.6, 0.7, 0.8, 0.9]),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lemma(sets, t):
+    df_count = {}
+    for s in sets:
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    order = lambda g: (df_count[g], g)
+
+    def prefix(s):
+        sz = len(s)
+        plen = sz - _math.ceil(t * sz - 1e-9) + 1
+        return set(sorted(s, key=order)[:plen])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            jac = round(len(a & b) / len(a | b), 6)
+            if jac >= t:
+                # length filter must keep the pair...
+                assert min(len(a), len(b)) >= t * max(len(a), len(b)) - 1e-9
+                # ...and the prefixes must intersect
+                assert prefix(a) & prefix(b), (
+                    f"qualifying pair lost: J={jac} t={t} a={sorted(a)} b={sorted(b)}"
+                )

@@ -434,3 +434,41 @@ def test_near_dup_gate_invariant_to_microbatch_slicing(spark, tmp_path):
     single = run(100, "single")   # one trigger
     sliced = run(2, "sliced")     # several micro-batches
     assert single == sliced and len(single) > 0
+
+
+def test_split_assign_is_mode_agnostic(spark, tmp_path):
+    """split_assign is a stateless projection, so it applies to a
+    streaming micro-batch unchanged and agrees with the batch twin —
+    the corpus-assembly ops drop into a continuous ingest pipeline."""
+    from auto_data_tokenize_spark.operators.corpus import split_assign
+
+    rows = [(i, f"doc number {i} with some words") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    in_dir = str(tmp_path / "split_in")
+    docs.repartition(5).write.parquet(in_dir)
+
+    batch = {
+        (r["doc_id"], r["split"])
+        for r in split_assign(spark.read.parquet(in_dir)).collect()
+    }
+
+    st = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    got = set()
+    q = (
+        split_assign(st)
+        .select("doc_id", "split")
+        .writeStream.foreachBatch(
+            lambda df, _eid: got.update(
+                (r["doc_id"], r["split"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "split_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch and len(got) == 300
