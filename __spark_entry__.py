@@ -747,6 +747,30 @@ def q46_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens", "offset", "pack_id")
 
 
+def q47_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: stdlib WAV/BMP payloads built by
+    synth_real_media are parsed back by media_metadata (mapInPandas).
+    The oracle reconstructs the expected metadata from the synth
+    LAYOUT (16x12 bitmaps, 50 ms 8 kHz bursts) in pure SQL — it never
+    touches the decoder, so the gate checks encode → parse fidelity."""
+    from auto_data_tokenize_spark.operators.multimodal import (
+        media_metadata,
+        synth_real_media,
+    )
+
+    meta = media_metadata(synth_real_media(spark, n=30))
+    # the operator returns NULLs for quarantined payloads; the gate
+    # coalesces to sentinels so row sorting/hashing is total-ordered
+    return meta.select(
+        "media_id",
+        F.coalesce("fmt", F.lit("opaque")).alias("fmt"),
+        *[
+            F.coalesce(c, F.lit(-1)).alias(c)
+            for c in ("width", "height", "sample_rate", "n_samples", "duration_ms")
+        ],
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -941,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_tfidf_top_terms": _with_prep(q44_tfidf_top_terms),
         "q45_split_assign": _with_prep(q45_split_assign),
         "q46_pack_sequences": _with_prep(q46_pack_sequences),
+        "q47_media_metadata": _with_prep(q47_media_metadata),
     }
 
 
@@ -1509,6 +1534,20 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q44_tfidf_top_terms": _duck_tfidf_sql(),
         "q45_split_assign": _duck_split_sql(),
         "q46_pack_sequences": _duck_pack_sql(),
+        # expected metadata from the synth layout, never the decoder:
+        # i%3==0 → 16x12 bmp, i%3==1 → 50ms/8kHz/400-sample wav,
+        # i%3==2 → opaque container quarantined as nulls
+        "q47_media_metadata": """
+            SELECT i AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                        ELSE 'opaque' END AS fmt,
+                   CASE i % 3 WHEN 0 THEN 16 ELSE -1 END AS width,
+                   CASE i % 3 WHEN 0 THEN 12 ELSE -1 END AS height,
+                   CASE i % 3 WHEN 1 THEN 8000 ELSE -1 END AS sample_rate,
+                   CASE i % 3 WHEN 1 THEN 400 ELSE -1 END AS n_samples,
+                   CASE i % 3 WHEN 1 THEN 50 ELSE -1 END AS duration_ms
+            FROM (SELECT unnest(range(0, 30)) AS i) t
+        """,
         "q34_nested_tokenize_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
         """,

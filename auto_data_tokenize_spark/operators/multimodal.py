@@ -2,12 +2,18 @@
 columns with typed metadata, processed via ``mapInPandas`` in Arrow
 batches.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decoder="fake"`` produces a deterministic pseudo-decode
-derived from the bytes' sha256, so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures, output shapes — is real and
-tested end-to-end; ``decoder="pil"``/``"libav"`` raise
-NotImplementedError until the libraries exist on the cluster.
+Decoders come in three tiers:
+- ``"wav"`` / ``"bmp"``: REAL decoders for the self-describing
+  formats the Python stdlib can parse (RIFF/PCM audio via ``wave``,
+  uncompressed 24-bit BI_RGB bitmaps via ``struct``+numpy) — actual
+  sample/pixel features, actual nearest-neighbor resize, round-trip
+  tested against independently-built payloads.
+- ``"fake"``: deterministic sha256 pseudo-decode, so the Spark-side
+  plumbing — schema, batching, partitioning, UDF signatures, output
+  shapes — stays testable for opaque payloads.
+- ``"pil"`` / ``"libav"``: compressed formats (png/jpeg/mp4) raise
+  NotImplementedError until the media libraries exist on the cluster;
+  the Spark plumbing does not change when they do.
 
 Scale notes: media rows are fat — the operators deliberately
 ``select`` only (id, payload) before the Python stage (column pruning
@@ -70,6 +76,116 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return (raw.astype(np.float64) / 2**32).astype(np.float32)
 
 
+# -- real stdlib decoders (WAV / uncompressed BMP) ------------------------
+
+
+def parse_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/PCM WAV → (sample_rate, mono float64 samples in [-1, 1]).
+    Pure stdlib (``wave``): 8/16/32-bit integer PCM; multi-channel
+    input is averaged to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:  # 8-bit WAV is unsigned
+        x = x - 128.0
+    x /= float(2 ** (8 * sampwidth - 1))
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return rate, x
+
+
+def parse_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB bitmap → HxWx3 uint8 RGB array.
+    Pure struct/numpy parse of BITMAPFILEHEADER + BITMAPINFOHEADER
+    (handles bottom-up and top-down rows, 4-byte row padding)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is stdlib-decodable (got bpp={bpp},"
+            f" compression={comp}); compressed images need the gated decoders"
+        )
+    stride = (w * 3 + 3) & ~3
+    rows = abs(h)
+    arr = (
+        np.frombuffer(data, np.uint8, count=stride * rows, offset=off)
+        .reshape(rows, stride)[:, : w * 3]
+        .reshape(rows, w, 3)
+    )
+    if h > 0:  # bottom-up storage
+        arr = arr[::-1]
+    return arr[..., ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → uncompressed 24-bit bottom-up BMP bytes
+    (exact inverse of ``parse_bmp``)."""
+    hgt, wid, _ = rgb.shape
+    stride = (wid * 3 + 3) & ~3
+    body = np.zeros((hgt, stride), dtype=np.uint8)
+    body[:, : wid * 3] = rgb[::-1, :, ::-1].reshape(hgt, wid * 3)
+    pix = body.tobytes()
+    header = (
+        b"BM"
+        + (14 + 40 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + wid.to_bytes(4, "little")
+        + hgt.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pix
+
+
+def _wav_features(data: bytes, dim: int) -> np.ndarray:
+    """dim-length RMS envelope over equal sample windows."""
+    _, x = parse_wav(data)
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    edges = np.linspace(0, len(x), dim + 1).astype(np.int64)
+    out = np.empty(dim, dtype=np.float32)
+    for i in range(dim):
+        seg = x[edges[i] : max(edges[i + 1], edges[i] + 1)]
+        out[i] = np.sqrt(np.mean(seg * seg))
+    return out
+
+
+def _bmp_features(data: bytes, dim: int) -> np.ndarray:
+    """Grayscale average-pool grid flattened to dim values in [0, 1]
+    (nearest-neighbor sampled g×g grid, g = ceil(sqrt(dim)))."""
+    rgb = parse_bmp(data)
+    gray = rgb.astype(np.float64).mean(axis=2) / 255.0
+    g = int(np.ceil(np.sqrt(dim)))
+    ys = (np.arange(g) * gray.shape[0] // g).clip(0, gray.shape[0] - 1)
+    xs = (np.arange(g) * gray.shape[1] // g).clip(0, gray.shape[1] - 1)
+    return gray[np.ix_(ys, xs)].ravel()[:dim].astype(np.float32)
+
+
+_DECODERS = {
+    "fake": lambda p, dim: _fake_decode(p, dim),
+    "wav": _wav_features,
+    "bmp": _bmp_features,
+}
+
+
 def extract_features(
     media: DataFrame,
     dim: int = 64,
@@ -78,20 +194,23 @@ def extract_features(
 ) -> DataFrame:
     """media(… payload binary) → (media_id, feature array<float>, feat_dim).
 
-    Real decoders are gated: install the media libs on the cluster and
-    implement the branch; the Spark plumbing does not change."""
-    if decoder not in ("fake",):
+    decoder: "wav"/"bmp" decode real payloads (stdlib formats),
+    "fake" pseudo-decodes opaque bytes; compressed formats stay gated
+    until the media libs exist on the cluster — the Spark plumbing is
+    identical for all of them."""
+    if decoder not in _DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs media libraries not present in this "
-            "environment; only the deterministic 'fake' decoder is available"
+            "environment; available: fake (opaque), wav, bmp (stdlib)"
         )
+    decode = _DECODERS[decoder]
 
     pruned = media.select("media_id", "payload")
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                [float(x) for x in _fake_decode(p, dim)] for p in pdf["payload"]
+                [float(x) for x in decode(p, dim)] for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -104,18 +223,83 @@ def extract_features(
     return pruned.mapInPandas(_proc, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — plumbing-complete, decode stubbed. Output keeps
-    the media schema with updated dims and a re-encoded payload (fake:
-    truncated/padded sha-stream standing in for the resized encoding)."""
-    pruned = media.select("media_id", "kind", "mime", "payload")
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Parse REAL metadata out of stdlib-decodable payloads: WAV
+    sample_rate/n_samples/duration, BMP width/height/mean intensity.
+    Unknown formats yield nulls (never fail the batch) — at 100 TB a
+    poison payload must quarantine, not kill the stage."""
+    pruned = media.select("media_id", "kind", "payload")
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("duration_ms", IntegerType()),
+            StructField("mean_intensity", FloatType()),
+        ]
+    )
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_payload = [
-                bytes(_fake_decode(p, (width * height) // 4).tobytes())
-                for p in pdf["payload"]
-            ]
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p or b"")
+                try:
+                    if p[:2] == b"BM":
+                        rgb = parse_bmp(p)
+                        rows.append(
+                            (mid, "bmp", rgb.shape[1], rgb.shape[0], None,
+                             None, None, float(rgb.mean() / 255.0))
+                        )
+                        continue
+                    if p[:4] == b"RIFF":
+                        rate, x = parse_wav(p)
+                        rows.append(
+                            (mid, "wav", None, None, rate, len(x),
+                             int(1000 * len(x) / rate) if rate else None,
+                             float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                        )
+                        continue
+                except Exception:
+                    pass
+                rows.append((mid, None, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return pruned.mapInPandas(_proc, schema)
+
+
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an HxWx3 array (pure numpy)."""
+    ys = (np.arange(height) * rgb.shape[0] // height).clip(0, rgb.shape[0] - 1)
+    xs = (np.arange(width) * rgb.shape[1] // width).clip(0, rgb.shape[1] - 1)
+    return rgb[np.ix_(ys, xs)]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Image resize. decoder="bmp": REAL decode → nearest-neighbor
+    resample → re-encode (payload round-trips through ``parse_bmp``).
+    decoder="fake": deterministic pseudo-payload for opaque bytes.
+    Output keeps the media schema with updated dims."""
+    if decoder not in ("fake", "bmp"):
+        raise NotImplementedError(
+            f"decoder {decoder!r} needs media libraries not present in this "
+            "environment; available: fake (opaque), bmp (stdlib)"
+        )
+    pruned = media.select("media_id", "kind", "mime", "payload")
+
+    def _one(p) -> bytes:
+        if decoder == "bmp":
+            return encode_bmp(resize_nearest(parse_bmp(bytes(p)), width, height))
+        return bytes(_fake_decode(p, (width * height) // 4).tobytes())
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -160,6 +344,56 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return pruned.mapInPandas(_proc, schema)
+
+
+def synth_wav(seed: int, ms: int = 50, rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: a seed-pitched sine burst."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * ms / 1000)) / rate
+    freq = 220.0 + 55.0 * (seed % 12)
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def synth_bmp(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic 24-bit BMP: a seeded RGB gradient."""
+    y, x = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [
+            (x * 255 // max(width - 1, 1)).astype(np.uint8),
+            (y * 255 // max(height - 1, 1)).astype(np.uint8),
+            np.full((height, width), seed % 256, dtype=np.uint8),
+        ],
+        axis=2,
+    )
+    return encode_bmp(rgb)
+
+
+def synth_real_media(spark, n: int = 30, seed: int = 42) -> DataFrame:
+    """Media table whose image/audio payloads are REAL (stdlib-
+    decodable BMP/WAV); video stays an opaque container payload."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            payload, w, h, dur = synth_bmp(i), 16, 12, 0
+        elif kind == "audio":
+            payload, w, h, dur = synth_wav(i), 0, 0, 50
+        else:
+            payload = bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
+            w, h, dur = 0, 0, 5000
+        mime = {"image": "image/bmp", "audio": "audio/wav", "video": "video/mp4"}[kind]
+        rows.append((i, kind, mime, w, h, dur, payload))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
