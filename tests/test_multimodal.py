@@ -191,3 +191,54 @@ def test_unknown_decoder_still_gated(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(synth_real_media(spark, n=3), decoder="pil")
+
+
+def test_streaming_media_ingest_matches_batch(spark, tmp_path):
+    """File-drop ingest of REAL media: .bmp/.wav files land in a dir,
+    a binaryFile stream decodes them with media_metadata, and the
+    result equals the batch read of the same directory."""
+    from auto_data_tokenize_spark.operators.multimodal import (
+        media_metadata,
+        synth_bmp,
+        synth_wav,
+    )
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    for i in range(4):
+        (d / f"img_{i}.bmp").write_bytes(synth_bmp(i))
+        (d / f"aud_{i}.wav").write_bytes(synth_wav(i))
+
+    def to_media(df):
+        return df.selectExpr(
+            "abs(hash(path)) as media_id", "'file' as kind", "content as payload"
+        )
+
+    batch = {
+        tuple(r)
+        for r in media_metadata(
+            to_media(spark.read.format("binaryFile").load(str(d)))
+        ).collect()
+    }
+
+    # binaryFile STREAMING requires the explicit source schema
+    st = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", 3)
+        .load(str(d))
+    )
+    got = set()
+    q = (
+        media_metadata(to_media(st))
+        .writeStream.foreachBatch(
+            lambda df, _eid: got.update(tuple(r) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch and len(got) == 8
+    fmts = {r[1] for r in got}
+    assert fmts == {"bmp", "wav"}
