@@ -169,18 +169,16 @@ def _wav_features(data: bytes, dim: int) -> np.ndarray:
 
 
 def _bmp_features(data: bytes, dim: int) -> np.ndarray:
-    """Grayscale average-pool grid flattened to dim values in [0, 1]
+    """Grayscale grid flattened to dim values in [0, 1]
     (nearest-neighbor sampled g×g grid, g = ceil(sqrt(dim)))."""
     rgb = parse_bmp(data)
     gray = rgb.astype(np.float64).mean(axis=2) / 255.0
     g = int(np.ceil(np.sqrt(dim)))
-    ys = (np.arange(g) * gray.shape[0] // g).clip(0, gray.shape[0] - 1)
-    xs = (np.arange(g) * gray.shape[1] // g).clip(0, gray.shape[1] - 1)
-    return gray[np.ix_(ys, xs)].ravel()[:dim].astype(np.float32)
+    return resize_nearest(gray, g, g).ravel()[:dim].astype(np.float32)
 
 
 _DECODERS = {
-    "fake": lambda p, dim: _fake_decode(p, dim),
+    "fake": _fake_decode,
     "wav": _wav_features,
     "bmp": _bmp_features,
 }
@@ -197,7 +195,9 @@ def extract_features(
     decoder: "wav"/"bmp" decode real payloads (stdlib formats),
     "fake" pseudo-decodes opaque bytes; compressed formats stay gated
     until the media libs exist on the cluster — the Spark plumbing is
-    identical for all of them."""
+    identical for all of them. Poison payloads (null / truncated /
+    wrong format) quarantine as a NULL feature instead of failing the
+    stage."""
     if decoder not in _DECODERS:
         raise NotImplementedError(
             f"decoder {decoder!r} needs media libraries not present in this "
@@ -207,11 +207,15 @@ def extract_features(
 
     pruned = media.select("media_id", "payload")
 
+    def _one(p):
+        try:
+            return [float(x) for x in decode(bytes(p or b""), dim)]
+        except Exception:
+            return None
+
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [float(x) for x in decode(p, dim)] for p in pdf["payload"]
-            ]
+            feats = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -228,7 +232,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
     sample_rate/n_samples/duration, BMP width/height/mean intensity.
     Unknown formats yield nulls (never fail the batch) — at 100 TB a
     poison payload must quarantine, not kill the stage."""
-    pruned = media.select("media_id", "kind", "payload")
+    pruned = media.select("media_id", "payload")
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -282,9 +286,11 @@ def resize_images(
     media: DataFrame, width: int, height: int, decoder: str = "fake"
 ) -> DataFrame:
     """Image resize. decoder="bmp": REAL decode → nearest-neighbor
-    resample → re-encode (payload round-trips through ``parse_bmp``).
-    decoder="fake": deterministic pseudo-payload for opaque bytes.
-    Output keeps the media schema with updated dims."""
+    resample → re-encode (payload round-trips through ``parse_bmp``);
+    unparseable/null payloads quarantine as a NULL output payload
+    instead of failing the stage. decoder="fake": deterministic
+    pseudo-payload for opaque bytes. Output keeps the media schema
+    with updated dims."""
     if decoder not in ("fake", "bmp"):
         raise NotImplementedError(
             f"decoder {decoder!r} needs media libraries not present in this "
@@ -292,9 +298,14 @@ def resize_images(
         )
     pruned = media.select("media_id", "kind", "mime", "payload")
 
-    def _one(p) -> bytes:
+    def _one(p) -> bytes | None:
         if decoder == "bmp":
-            return encode_bmp(resize_nearest(parse_bmp(bytes(p)), width, height))
+            try:
+                return encode_bmp(
+                    resize_nearest(parse_bmp(bytes(p or b"")), width, height)
+                )
+            except Exception:
+                return None
         return bytes(_fake_decode(p, (width * height) // 4).tobytes())
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

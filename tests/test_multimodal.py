@@ -157,6 +157,7 @@ def test_extract_features_real_decoders_match_driver_golden(spark):
             r["media_id"]: np.array(r["feature"], dtype=np.float32)
             for r in extract_features(sub, dim=16, decoder=dec).collect()
         }
+        assert len(got) == 4  # 12 media ids, every third is this kind
         fgold = {"bmp": _bmp_features, "wav": _wav_features}[dec]
         for mid, feat in got.items():
             assert np.allclose(feat, fgold(synth(mid), 16), atol=1e-6)
@@ -210,9 +211,7 @@ def test_streaming_media_ingest_matches_batch(spark, tmp_path):
         (d / f"aud_{i}.wav").write_bytes(synth_wav(i))
 
     def to_media(df):
-        return df.selectExpr(
-            "abs(hash(path)) as media_id", "'file' as kind", "content as payload"
-        )
+        return df.selectExpr("abs(hash(path)) as media_id", "content as payload")
 
     batch = {
         tuple(r)
@@ -242,3 +241,35 @@ def test_streaming_media_ingest_matches_batch(spark, tmp_path):
     assert got == batch and len(got) == 8
     fmts = {r[1] for r in got}
     assert fmts == {"bmp", "wav"}
+
+
+def test_poison_payloads_quarantine_not_crash(spark):
+    """Null / truncated / wrong-format payloads must yield NULL
+    outputs, never fail the stage (the 100 TB contract)."""
+    from auto_data_tokenize_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synth_bmp,
+    )
+
+    rows = [
+        (0, "image", "image/bmp", 0, 0, 0, synth_bmp(0)),   # good
+        (1, "image", "image/bmp", 0, 0, 0, None),            # null
+        (2, "image", "image/bmp", 0, 0, 0, b"BM\x01trunc"),  # truncated
+        (3, "image", "image/bmp", 0, 0, 0, b"not a bitmap"), # wrong format
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media, dim=4, decoder="bmp").collect()
+    }
+    assert len(feats) == 4
+    assert feats[0] is not None and all(feats[i] is None for i in (1, 2, 3))
+
+    resized = {
+        r["media_id"]: r["payload"]
+        for r in resize_images(media, 4, 3, decoder="bmp").collect()
+    }
+    assert len(resized) == 4
+    assert resized[0] is not None and all(resized[i] is None for i in (1, 2, 3))
