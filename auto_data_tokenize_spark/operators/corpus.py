@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # Split membership hashes through the same md5-hex-prefix construction
@@ -161,3 +163,69 @@ def duckdb_pack_sql(
         )
         SELECT *, ("offset" // {target_tokens}) AS pack_id FROM c
     """
+
+
+def pack_sequences_stream(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    part_col: str = "lang",
+):
+    """Streaming concat-and-chop packing: the per-partition token
+    stream CONTINUES across micro-batches — state (one long per
+    partition key) carries the next start offset, so an append-log
+    ingest packs identically to the batch operator run over the same
+    ordered corpus.
+
+    Ordering contract: packing is order-dependent, so the stream must
+    deliver each partition's documents in id order (the append-log /
+    ordered-file-drop shape; within a micro-batch the operator sorts
+    by id). Under that contract the output is invariant to micro-batch
+    slicing — pinned by test against the batch twin.
+
+    Scale notes: state is ONE integer per partition key (bounded by
+    key cardinality, not data volume); each micro-batch does one
+    shuffle on the key, the same shape as the batch window.
+    """
+    import re
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{part_col} string, {id_col} long, n_tokens integer, "
+        "offset long, pack_id long"
+    )
+
+    def _n_tokens(s: str) -> int:
+        # twin of ws_tokens_expr: split of a trimmed string is never
+        # empty (Spark's size(split(trim(x), '\\s+')) counts '' as 1)
+        return len(re.split(r"\s+", (s or "").strip()))
+
+    def fn(key, pdfs, state: GroupState):
+        off = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((int(off),))
+            return
+        rows = pd.concat(frames).sort_values(id_col)
+        n_tok = rows[text_col].map(_n_tokens).astype("int64")
+        starts = off + n_tok.cumsum() - n_tok
+        state.update((int(off + int(n_tok.sum())),))
+        yield pd.DataFrame(
+            {
+                part_col: key[0],
+                id_col: rows[id_col].to_numpy(),
+                "n_tokens": n_tok.astype("int32").to_numpy(),
+                "offset": starts.to_numpy(),
+                "pack_id": (starts // target_tokens).to_numpy(),
+            }
+        )
+
+    return (
+        stream_df.select(part_col, id_col, text_col)
+        .groupBy(part_col)
+        .applyInPandasWithState(
+            fn, out_schema, "off long", "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -82,3 +82,56 @@ def test_plans_are_jvm_only(spark, docs):
     for df in (split_assign(docs), pack_sequences(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+def test_pack_sequences_stream_continues_across_micro_batches(spark, tmp_path):
+    """Ordered append-log ingest: the streaming packer's state carries
+    the per-lang offset across micro-batches, so the union of
+    micro-batch outputs equals the batch packer over the same corpus —
+    at ANY micro-batch slicing."""
+    from auto_data_tokenize_spark.operators.corpus import (
+        pack_sequences,
+        pack_sequences_stream,
+    )
+
+    rows = [
+        (i, "en" if i % 3 else "de", " ".join(f"w{i}_{j}" for j in range(4 + i % 5)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    want = {
+        (r["lang"], r["doc_id"], r["n_tokens"], r["offset"], r["pack_id"])
+        for r in pack_sequences(df, target_tokens=64).collect()
+    }
+
+    # stage as ordered files: file k holds doc_ids [20k, 20k+20)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for k in range(6):
+        chunk = df.filter(
+            (F.col("doc_id") >= 20 * k) & (F.col("doc_id") < 20 * (k + 1))
+        )
+        chunk.toPandas().to_parquet(str(in_dir / f"part-{k:03d}.parquet"))
+
+    for max_files in (2, 6):  # two different slicings
+        st = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", max_files)
+            .option("latestFirst", "false")
+            .parquet(str(in_dir))
+        )
+        got = set()
+        q = (
+            pack_sequences_stream(st, target_tokens=64)
+            .writeStream.foreachBatch(
+                lambda bdf, _eid: got.update(
+                    (r["lang"], r["doc_id"], r["n_tokens"], r["offset"], r["pack_id"])
+                    for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{max_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert got == want, f"slicing maxFiles={max_files} diverged"
