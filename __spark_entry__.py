@@ -771,6 +771,46 @@ def q47_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing through the exactly-once sink: the
+    per-lang offset state carries the concat-and-chop layout across
+    micro-batches, so the committed stream output equals the batch
+    q46 layout — the oracle is the SAME SQL twin."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark.operators.corpus import pack_sequences_stream
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    base = tempfile.mkdtemp(prefix="adt_stream_q_pack_")
+    # stage the corpus as doc_id-ordered sequential files (the
+    # append-log arrival contract the streaming packer documents)
+    import numpy as np
+    import pandas as pd
+
+    pdf = (
+        pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    staged = f"{base}/in"
+    os.makedirs(staged, exist_ok=True)
+    for k, chunk in enumerate(np.array_split(pdf, 8)):
+        chunk.to_parquet(f"{staged}/part-{k:03d}.parquet")
+    sch = spark.read.parquet(staged).schema
+    st = spark.readStream.schema(sch).parquet(staged)
+    stream_df = pack_sequences_stream(
+        st.select("doc_id", "lang", "text"), target_tokens=512
+    )
+    sink = ExactlyOnceSink(f"{base}/out")
+    pipeline.run_to_sink(stream_df, sink, f"{base}/ckpt", shuffle_partitions=8)
+    out = sink.read_committed(spark)
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result.select("doc_id", "lang", "n_tokens", "offset", "pack_id")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -966,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_split_assign": _with_prep(q45_split_assign),
         "q46_pack_sequences": _with_prep(q46_pack_sequences),
         "q47_media_metadata": _with_prep(q47_media_metadata),
+        "q48_stream_pack_sequences": _with_prep(q48_stream_pack_sequences),
     }
 
 
@@ -1534,6 +1575,9 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q44_tfidf_top_terms": _duck_tfidf_sql(),
         "q45_split_assign": _duck_split_sql(),
         "q46_pack_sequences": _duck_pack_sql(),
+        # the streaming packer's committed output must equal the batch
+        # layout — same SQL twin as q46
+        "q48_stream_pack_sequences": _duck_pack_sql(),
         # expected metadata from the synth layout, never the decoder:
         # i%3==0 → 16x12 bmp, i%3==1 → 50ms/8kHz/400-sample wav,
         # i%3==2 → opaque container quarantined as nulls
