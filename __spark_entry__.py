@@ -796,10 +796,23 @@ def q48_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = f"{base}/in"
     os.makedirs(staged, exist_ok=True)
+    import time as _time
+
+    t0 = _time.time() - 100
     for k, chunk in enumerate(np.array_split(pdf, 8)):
-        chunk.to_parquet(f"{staged}/part-{k:03d}.parquet")
+        p = f"{staged}/part-{k:03d}.parquet"
+        chunk.to_parquet(p)
+        # strictly increasing mtimes: FileStreamSource orders by
+        # modification time, and ties break arbitrarily
+        os.utime(p, (t0 + k, t0 + k))
     sch = spark.read.parquet(staged).schema
-    st = spark.readStream.schema(sch).parquet(staged)
+    # maxFilesPerTrigger=2 → 4 stateful micro-batches: the gate must
+    # exercise the offset-state carry, not a single trivial batch
+    st = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
     stream_df = pack_sequences_stream(
         st.select("doc_id", "lang", "text"), target_tokens=512
     )

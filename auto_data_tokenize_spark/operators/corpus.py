@@ -186,21 +186,21 @@ def pack_sequences_stream(
 
     Scale notes: state is ONE integer per partition key (bounded by
     key cardinality, not data volume); each micro-batch does one
-    shuffle on the key, the same shape as the batch window.
+    shuffle on the key, the same shape as the batch window. The token
+    count is computed by the SAME JVM expression as the batch operator
+    and the SQL twin (``ws_tokens_expr``) BEFORE the stateful step —
+    the Python side only does the offset cumsum, so the two paths
+    cannot diverge on tokenization (Unicode whitespace, edge-empty
+    splits, null text all behave identically by construction).
     """
-    import re
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from auto_data_tokenize_spark.operators.textstats import ws_tokens_expr
 
     out_schema = (
         f"{part_col} string, {id_col} long, n_tokens integer, "
         "offset long, pack_id long"
     )
-
-    def _n_tokens(s: str) -> int:
-        # twin of ws_tokens_expr: split of a trimmed string is never
-        # empty (Spark's size(split(trim(x), '\\s+')) counts '' as 1)
-        return len(re.split(r"\s+", (s or "").strip()))
 
     def fn(key, pdfs, state: GroupState):
         off = state.get[0] if state.exists else 0
@@ -209,7 +209,7 @@ def pack_sequences_stream(
             state.update((int(off),))
             return
         rows = pd.concat(frames).sort_values(id_col)
-        n_tok = rows[text_col].map(_n_tokens).astype("int64")
+        n_tok = rows["n_tokens"].astype("int64")
         starts = off + n_tok.cumsum() - n_tok
         state.update((int(off + int(n_tok.sum())),))
         yield pd.DataFrame(
@@ -223,7 +223,9 @@ def pack_sequences_stream(
         )
 
     return (
-        stream_df.select(part_col, id_col, text_col)
+        stream_df.select(
+            part_col, id_col, ws_tokens_expr(text_col).alias("n_tokens")
+        )
         .groupBy(part_col)
         .applyInPandasWithState(
             fn, out_schema, "off long", "append", GroupStateTimeout.NoTimeout

@@ -105,13 +105,22 @@ def test_pack_sequences_stream_continues_across_micro_batches(spark, tmp_path):
     }
 
     # stage as ordered files: file k holds doc_ids [20k, 20k+20)
+    import os
+    import time
+
     in_dir = tmp_path / "in"
     in_dir.mkdir()
+    t0 = time.time() - 100
     for k in range(6):
         chunk = df.filter(
             (F.col("doc_id") >= 20 * k) & (F.col("doc_id") < 20 * (k + 1))
         )
-        chunk.toPandas().to_parquet(str(in_dir / f"part-{k:03d}.parquet"))
+        p = str(in_dir / f"part-{k:03d}.parquet")
+        chunk.toPandas().to_parquet(p)
+        # FileStreamSource orders by mtime; ties break arbitrarily —
+        # pin strictly increasing times so delivery order is the
+        # append-log contract the operator documents
+        os.utime(p, (t0 + k, t0 + k))
 
     for max_files in (2, 6):  # two different slicings
         st = (
