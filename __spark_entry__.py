@@ -824,6 +824,31 @@ def q48_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("doc_id", "lang", "n_tokens", "offset", "pack_id")
 
 
+def q49_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest pre-gate: even-id docs form the corpus;
+    incoming = odd-id docs (fresh) + exact copies of every 4th corpus
+    doc (true dups). m is deliberately small (2048 bits) so REAL false
+    positives occur — the oracle recomputes the identical bit array,
+    so the gate checks the exact maybe-set (FPs included) AND the
+    no-false-negative containment is_dup ⊆ bloom_maybe."""
+    from auto_data_tokenize_spark.operators.sketches import bloom_gate
+
+    docs = _documents(spark, sf_dir)
+    corpus = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    incoming = (
+        docs.filter("doc_id % 2 = 1")
+        .select("doc_id", "text")
+        .unionAll(
+            docs.filter("doc_id % 4 = 0").select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return bloom_gate(incoming, corpus, m_bits=2048).select(
+        "doc_id", "bloom_maybe", "is_dup"
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1020,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_pack_sequences": _with_prep(q46_pack_sequences),
         "q47_media_metadata": _with_prep(q47_media_metadata),
         "q48_stream_pack_sequences": _with_prep(q48_stream_pack_sequences),
+        "q49_bloom_dedup_gate": _with_prep(q49_bloom_dedup_gate),
     }
 
 
@@ -1192,6 +1218,18 @@ def _duck_pack_sql() -> str:
     from auto_data_tokenize_spark.operators.corpus import duckdb_pack_sql
 
     return duckdb_pack_sql("documents", target_tokens=512)
+
+
+def _duck_bloom_sql() -> str:
+    from auto_data_tokenize_spark.operators.sketches import duckdb_bloom_sql
+
+    return duckdb_bloom_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+        " UNION ALL SELECT doc_id + 1000000 AS doc_id, text"
+        " FROM documents WHERE doc_id % 4 = 0",
+        m_bits=2048,
+    )
 
 
 def _duck_kmv_tokens_sql() -> str:
@@ -1591,6 +1629,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         # the streaming packer's committed output must equal the batch
         # layout — same SQL twin as q46
         "q48_stream_pack_sequences": _duck_pack_sql(),
+        "q49_bloom_dedup_gate": _duck_bloom_sql(),
         # expected metadata from the synth layout, never the decoder:
         # i%3==0 → 16x12 bmp, i%3==1 → 50ms/8kHz/400-sample wav,
         # i%3==2 → opaque container quarantined as nulls

@@ -101,3 +101,155 @@ def duckdb_kmv_sql(
                     ELSE round(({k} - 1) / MAX(h), 6) END AS kmv_est
         FROM topk GROUP BY {group_col}
     """
+
+
+# -- Bloom-filter ingest pre-gate ------------------------------------------
+#
+# The 100 TB incremental-dedup pattern: build a bits-only summary of the
+# corpus (m bits, k hashes — kilobytes, broadcastable), test every
+# incoming document against it, and send ONLY the "maybe" rows to the
+# expensive exact join. A Bloom filter never false-negatives, so the
+# definitely-new fast path is exact; false positives are re-checked.
+# Everything is deterministic md5-family arithmetic (same construction
+# as the minhash base hash), and the bit OR is order-independent, so
+# the DuckDB oracle recomputes the IDENTICAL filter — the gate checks
+# the bits themselves, including which false positives occur.
+
+BLOOM_M = 1 << 20   # default bits; tests/queries may shrink to force FPs
+BLOOM_K = 4
+
+
+def _bloom_pos_expr(value_col: str, j: int, m_bits: int) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('{j}:', {value_col})), 1, 8), 16, 10)"
+        f" as bigint) % {m_bits}"
+    )
+
+
+def _duck_bloom_pos(value_col: str, j: int, m_bits: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{j}:' || {value_col}), 1, 8))::BIGINT % {m_bits})"
+    )
+
+
+def bloom_build(
+    corpus: DataFrame,
+    value_col: str = "text",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Corpus → (word_idx, word) rows of set 32-bit words (≤ m/32
+    rows regardless of corpus size — the broadcastable summary).
+    One narrow projection + one small aggregate; the distinct on bit
+    positions caps the shuffle at m rows."""
+    pos_arr = F.array(
+        *[F.expr(_bloom_pos_expr(value_col, j, m_bits)) for j in range(k)]
+    )
+    return (
+        corpus.select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+        .select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(w)").alias("word"))
+    )
+
+
+def bloom_gate(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    value_col: str = "text",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(id, bloom_maybe, is_dup) per incoming row.
+
+    bloom_maybe: all k probe bits set in the corpus filter (broadcast
+    join against ≤ m/32 words — no shuffle of the corpus itself).
+    is_dup: exact membership via a left-semi-shaped join on the value.
+    Structurally bloom_maybe ⊇ is_dup (no false negatives); at scale
+    the exact join runs only on the maybe subset — here both are
+    computed for every row so the gate can verify the containment and
+    the exact FP set."""
+    pos_arr = F.array(
+        *[F.expr(_bloom_pos_expr(value_col, j, m_bits)) for j in range(k)]
+    )
+    words = bloom_build(corpus, value_col, m_bits, k)
+    probes = (
+        incoming.select(F.col(id_col), F.explode(pos_arr).alias("pos"))
+        .withColumn("word_idx", F.expr("pos div 32"))
+        .withColumn(
+            "mask",
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))"),
+        )
+        .join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr("(word & mask) = mask"), F.lit(False)
+            ),
+        )
+    )
+    maybe = probes.groupBy(id_col).agg(
+        F.expr("bool_and(hit)").alias("bloom_maybe")
+    )
+    exact = (
+        incoming.select(id_col, value_col)
+        .join(
+            corpus.select(F.col(value_col).alias("_cv")).distinct(),
+            F.col(value_col) == F.col("_cv"),
+            "left",
+        )
+        .select(id_col, F.col("_cv").isNotNull().alias("is_dup"))
+    )
+    return maybe.join(exact, id_col)
+
+
+def duckdb_bloom_sql(
+    corpus_sql: str,
+    incoming_sql: str,
+    id_col: str = "doc_id",
+    value_col: str = "text",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of ``bloom_gate`` — identical bits, identical
+    false positives."""
+    cpos = " UNION ALL ".join(
+        f"SELECT {_duck_bloom_pos(value_col, j, m_bits)} AS pos FROM c"
+        for j in range(k)
+    )
+    ipos = " UNION ALL ".join(
+        f"SELECT {id_col}, {value_col},"
+        f" {_duck_bloom_pos(value_col, j, m_bits)} AS pos FROM i"
+        for j in range(k)
+    )
+    return f"""
+        WITH c AS ({corpus_sql}), i AS ({incoming_sql}),
+        bits AS (SELECT DISTINCT pos FROM ({cpos}) t),
+        words AS (
+          SELECT pos // 32 AS word_idx,
+                 bit_or(1::BIGINT << (pos % 32)::INTEGER) AS word
+          FROM bits GROUP BY 1
+        ),
+        probes AS (SELECT * FROM ({ipos}) t),
+        maybe AS (
+          SELECT {id_col},
+                 bool_and(coalesce(
+                   ((w.word >> (pos % 32)::INTEGER) & 1) = 1, false
+                 )) AS bloom_maybe
+          FROM probes LEFT JOIN words w ON w.word_idx = pos // 32
+          GROUP BY 1
+        ),
+        exact AS (
+          SELECT i.{id_col},
+                 (EXISTS (SELECT 1 FROM c WHERE c.{value_col} = i.{value_col}))
+                   AS is_dup
+          FROM i
+        )
+        SELECT m.{id_col}, m.bloom_maybe, e.is_dup
+        FROM maybe m JOIN exact e USING ({id_col})
+    """

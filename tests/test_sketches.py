@@ -72,3 +72,74 @@ def test_kmv_ignores_nulls(spark):
         spark.createDataFrame(rows[:50], "g string, v string"), "g", "v", k=16
     ).first()
     assert (r["n_hashes"], r["kmv_est"]) == (clean["n_hashes"], clean["kmv_est"])
+
+
+# -- Bloom ingest pre-gate -------------------------------------------------
+
+
+def test_bloom_gate_no_false_negatives_and_determinism(spark):
+    from auto_data_tokenize_spark.operators.sketches import bloom_gate
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        # 100 fresh + 50 exact copies of corpus texts
+        [(1000 + i, f"fresh incoming text {i}") for i in range(100)]
+        + [(2000 + i, f"corpus document number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["bloom_maybe"], r["is_dup"])
+        for r in bloom_gate(incoming, corpus, m_bits=1024).collect()
+    }
+    assert len(out) == 150
+    # every true dup is flagged maybe (structural no-false-negatives)
+    for i in range(50):
+        assert out[2000 + i] == (True, True)
+    # fresh rows are never is_dup; bloom_maybe ⊇ is_dup always
+    for i in range(100):
+        maybe, dup = out[1000 + i]
+        assert dup is False
+    assert all(m or not d for m, d in out.values())
+    # deterministic under repartitioning (bit OR is order-independent)
+    again = {
+        r["doc_id"]: (r["bloom_maybe"], r["is_dup"])
+        for r in bloom_gate(
+            incoming.repartition(7), corpus.repartition(5), m_bits=1024
+        ).collect()
+    }
+    assert again == out
+
+
+def test_bloom_small_m_produces_deterministic_false_positives(spark):
+    """With a deliberately tiny filter the maybe-set strictly contains
+    the dup-set — the FP path is real, and identical across runs."""
+    from auto_data_tokenize_spark.operators.sketches import bloom_gate
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} padding words") for i in range(300)],
+        "doc_id long, text string",
+    )
+    fresh = spark.createDataFrame(
+        [(5000 + i, f"unseen {i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = bloom_gate(fresh, corpus, m_bits=256, k=2).collect()
+    fps = [r["doc_id"] for r in out if r["bloom_maybe"]]
+    assert all(not r["is_dup"] for r in out)
+    assert fps  # 256 bits / 300 docs: false positives must occur
+    out2 = bloom_gate(fresh, corpus, m_bits=256, k=2).collect()
+    assert sorted(fps) == sorted(r["doc_id"] for r in out2 if r["bloom_maybe"])
+
+
+def test_bloom_build_is_bounded(spark):
+    from auto_data_tokenize_spark.operators.sketches import bloom_build
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(500)], "doc_id long, text string"
+    )
+    words = bloom_build(corpus, m_bits=2048).collect()
+    assert len(words) <= 2048 // 32  # summary size bounded by m, not corpus
+    assert all(w["word"] != 0 for w in words)
