@@ -32,17 +32,17 @@ SPLIT_BUCKETS = 10_000
 
 
 def _bucket_expr(id_col: str, seed: str) -> str:
-    return (
-        f"cast(conv(substring(md5(concat('{seed}', ':', cast({id_col} as string))),"
-        f" 1, 8), 16, 10) as bigint) % {SPLIT_BUCKETS}"
-    )
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+
+    inner = f"concat('{seed}', ':', cast({id_col} as string))"
+    return f"{spark_md5_prefix(inner)} % {SPLIT_BUCKETS}"
 
 
 def _duck_bucket_expr(id_col: str, seed: str) -> str:
-    return (
-        f"(('0x' || substr(md5('{seed}' || ':' || {id_col}::VARCHAR), 1, 8))::BIGINT"
-        f" % {SPLIT_BUCKETS})"
-    )
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+
+    inner = f"'{seed}' || ':' || {id_col}::VARCHAR"
+    return f"({duckdb_md5_prefix(inner)} % {SPLIT_BUCKETS})"
 
 
 def _boundaries(weights: dict[str, float]) -> list[tuple[str, int]]:

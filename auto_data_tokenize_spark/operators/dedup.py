@@ -70,21 +70,22 @@ def _affine_coeffs(n_hashes: int = 64) -> list[tuple[int, int]]:
     ]
 
 
-# Spark / DuckDB twin expressions for the per-shingle base hash:
-# first 8 hex chars of md5 as an integer (32 bits — fits bigint with
-# room to spare), reduced mod p so affine products never overflow.
+# Spark / DuckDB twin expressions for the per-shingle base hash: the
+# shared md5-hex-prefix fragment (functions/xengine.py), reduced mod p
+# so affine products never overflow.
 def _spark_base_hash(col: str) -> str:
-    return (
-        f"cast(conv(substring(md5({col}), 1, 8), 16, 10) as bigint)"
-        f" % {MINHASH_P}"
-    )
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+
+    return f"{spark_md5_prefix(col)} % {MINHASH_P}"
 
 
 def duckdb_minhash_hs_sql(col: str) -> str:
     """DuckDB twin of ``_spark_base_hash`` (hex-prefix md5 → bigint
     mod p) — both engines render md5 as lowercase hex and '0x' casts
     parse it, so the values agree bit-for-bit."""
-    return f"(('0x' || substr(md5({col}), 1, 8))::BIGINT % {MINHASH_P})"
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+
+    return f"({duckdb_md5_prefix(col)} % {MINHASH_P})"
 
 
 def duckdb_affine_coeff_lists(n_hashes: int = 64) -> tuple[str, str]:

@@ -29,15 +29,16 @@ _H32 = 4_294_967_296
 
 def _hash_expr(col: str) -> str:
     """Deterministic (0,1] hash both engines compute identically:
-    first 8 hex chars of md5 as uint32, shifted and normalized."""
-    return (
-        f"(cast(conv(substring(md5({col}), 1, 8), 16, 10) as double) + 1.0)"
-        f" / {_H32}.0"
-    )
+    the shared md5-hex-prefix fragment, shifted and normalized."""
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+
+    return f"(cast({spark_md5_prefix(col)} as double) + 1.0) / {_H32}.0"
 
 
 def duckdb_kmv_hash_sql(col: str) -> str:
-    return f"((('0x' || substr(md5({col}), 1, 8))::BIGINT::DOUBLE + 1.0) / {_H32}.0)"
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+
+    return f"(({duckdb_md5_prefix(col)}::DOUBLE + 1.0) / {_H32}.0)"
 
 
 def kmv_distinct(
@@ -120,16 +121,17 @@ BLOOM_K = 4
 
 
 def _bloom_pos_expr(value_col: str, j: int, m_bits: int) -> str:
-    return (
-        f"cast(conv(substring(md5(concat('{j}:', {value_col})), 1, 8), 16, 10)"
-        f" as bigint) % {m_bits}"
-    )
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+
+    inner = f"concat('{j}:', {value_col})"
+    return f"{spark_md5_prefix(inner)} % {m_bits}"
 
 
 def _duck_bloom_pos(value_col: str, j: int, m_bits: int) -> str:
-    return (
-        f"(('0x' || substr(md5('{j}:' || {value_col}), 1, 8))::BIGINT % {m_bits})"
-    )
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+
+    inner = f"'{j}:' || {value_col}"
+    return f"({duckdb_md5_prefix(inner)} % {m_bits})"
 
 
 def bloom_build(
@@ -145,8 +147,11 @@ def bloom_build(
     pos_arr = F.array(
         *[F.expr(_bloom_pos_expr(value_col, j, m_bits)) for j in range(k)]
     )
+    # explode_outer (house rule): keeps InferFiltersFromGenerate from
+    # re-evaluating the md5 array below the exchange if the array
+    # construction ever stops constant-folding; length is fixed k>0
     return (
-        corpus.select(F.explode(pos_arr).alias("pos"))
+        corpus.select(F.explode_outer(pos_arr).alias("pos"))
         .distinct()
         .select(
             F.expr("pos div 32").alias("word_idx"),
@@ -165,21 +170,25 @@ def bloom_gate(
     m_bits: int = BLOOM_M,
     k: int = BLOOM_K,
 ) -> DataFrame:
-    """(id, bloom_maybe, is_dup) per incoming row.
+    """(id, bloom_maybe, is_dup) per distinct incoming (id, value).
 
     bloom_maybe: all k probe bits set in the corpus filter (broadcast
     join against ≤ m/32 words — no shuffle of the corpus itself).
-    is_dup: exact membership via a left-semi-shaped join on the value.
-    Structurally bloom_maybe ⊇ is_dup (no false negatives); at scale
-    the exact join runs only on the maybe subset — here both are
-    computed for every row so the gate can verify the containment and
-    the exact FP set."""
+    is_dup: exact membership via a join on the value. The verdicts are
+    grouped on (id, value) — never id alone — so two incoming rows
+    sharing an id keep independent verdicts and the no-false-negative
+    containment bloom_maybe ⊇ is_dup holds structurally for every row.
+    At scale the exact join runs only on the maybe subset — here both
+    are computed for every row so the gate can verify the containment
+    and the exact FP set."""
     pos_arr = F.array(
         *[F.expr(_bloom_pos_expr(value_col, j, m_bits)) for j in range(k)]
     )
     words = bloom_build(corpus, value_col, m_bits, k)
     probes = (
-        incoming.select(F.col(id_col), F.explode(pos_arr).alias("pos"))
+        incoming.select(
+            F.col(id_col), F.col(value_col), F.explode_outer(pos_arr).alias("pos")
+        )
         .withColumn("word_idx", F.expr("pos div 32"))
         .withColumn(
             "mask",
@@ -193,19 +202,22 @@ def bloom_gate(
             ),
         )
     )
-    maybe = probes.groupBy(id_col).agg(
+    maybe = probes.groupBy(id_col, value_col).agg(
         F.expr("bool_and(hit)").alias("bloom_maybe")
     )
     exact = (
         incoming.select(id_col, value_col)
+        .distinct()
         .join(
             corpus.select(F.col(value_col).alias("_cv")).distinct(),
             F.col(value_col) == F.col("_cv"),
             "left",
         )
-        .select(id_col, F.col("_cv").isNotNull().alias("is_dup"))
+        .select(id_col, value_col, F.col("_cv").isNotNull().alias("is_dup"))
     )
-    return maybe.join(exact, id_col)
+    return maybe.join(exact, [id_col, value_col]).select(
+        id_col, "bloom_maybe", "is_dup"
+    )
 
 
 def duckdb_bloom_sql(
@@ -237,19 +249,19 @@ def duckdb_bloom_sql(
         ),
         probes AS (SELECT * FROM ({ipos}) t),
         maybe AS (
-          SELECT {id_col},
+          SELECT {id_col}, {value_col},
                  bool_and(coalesce(
                    ((w.word >> (pos % 32)::INTEGER) & 1) = 1, false
                  )) AS bloom_maybe
           FROM probes LEFT JOIN words w ON w.word_idx = pos // 32
-          GROUP BY 1
+          GROUP BY 1, 2
         ),
         exact AS (
-          SELECT i.{id_col},
+          SELECT DISTINCT i.{id_col}, i.{value_col},
                  (EXISTS (SELECT 1 FROM c WHERE c.{value_col} = i.{value_col}))
                    AS is_dup
           FROM i
         )
         SELECT m.{id_col}, m.bloom_maybe, e.is_dup
-        FROM maybe m JOIN exact e USING ({id_col})
+        FROM maybe m JOIN exact e USING ({id_col}, {value_col})
     """

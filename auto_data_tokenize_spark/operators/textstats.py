@@ -158,9 +158,12 @@ def winnowing_fingerprints(
     a fingerprint-equality self-join at corpus scale (one shuffle on
     uniform 32-bit keys)."""
     norm = _NORM.format(t=text_col)
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+
+    gram_hash = spark_md5_prefix(f"substring(_n, i, {k})")
     grams = (
         f"(if(length(_n) >= {k}, transform(sequence(1, length(_n) - {k} + 1),"
-        f" i -> cast(conv(substring(md5(substring(_n, i, {k})), 1, 8), 16, 10) as bigint)),"
+        f" i -> {gram_hash}),"
         " array()))"
     )
     wins = (
@@ -182,6 +185,12 @@ def winnowing_fingerprints(
     )
 
 
+def _duck_gram_hash(k: int) -> str:
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+
+    return duckdb_md5_prefix(f"substr(_n, i::INTEGER, {k})")
+
+
 def duckdb_winnowing_sql(
     table: str, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, w: int = 4,
@@ -196,7 +205,7 @@ def duckdb_winnowing_sql(
         SELECT {id_col},
                CASE WHEN length(_n) >= {k}
                  THEN list_transform(range(1, length(_n) - {k} + 2),
-                      i -> ('0x' || substr(md5(substr(_n, i::INTEGER, {k})), 1, 8))::BIGINT)
+                      i -> {_duck_gram_hash(k)})
                  ELSE [] END AS _g
         FROM n
       ), f AS (

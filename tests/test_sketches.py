@@ -143,3 +143,27 @@ def test_bloom_build_is_bounded(spark):
     words = bloom_build(corpus, m_bits=2048).collect()
     assert len(words) <= 2048 // 32  # summary size bounded by m, not corpus
     assert all(w["word"] != 0 for w in words)
+
+
+def test_bloom_gate_duplicate_ids_keep_independent_verdicts(spark):
+    """Two incoming rows sharing an id must NOT have their probe bits
+    conflated — a corpus text paired with a fresh text under the same
+    id stays (maybe=True, dup=True) for the dup row (the review-found
+    false-negative path)."""
+    from auto_data_tokenize_spark.operators.sketches import bloom_gate
+
+    corpus = spark.createDataFrame(
+        [(i, f"known text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "known text 7"), (1, "completely fresh text")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["bloom_maybe"], r["is_dup"])
+        for r in bloom_gate(incoming, corpus, m_bits=4096).collect()
+    )
+    # one row per (id, value): the dup is flagged, the fresh one is not
+    assert len(rows) == 2
+    assert (True, True) in rows
+    assert all(m or not d for m, d in rows)
