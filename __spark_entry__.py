@@ -849,6 +849,70 @@ def q49_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup ingest gate, production shape: the corpus
+    Bloom filter is collected ONCE as m/32 longs (kilobytes) and baked
+    into the stream plan as an array literal, so the maybe-test is a
+    pure codegen filter — no join, no shuffle, no state; true
+    negatives die in the scan stage. Only maybe-survivors hit the
+    exact broadcast verify. Same corpus/incoming construction as q49;
+    the oracle is the q49 bit-array twin restricted to maybe rows."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.sketches import (
+        bloom_maybe_expr,
+        bloom_words_array,
+    )
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    docs = _documents(spark, sf_dir)
+    corpus = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    words = bloom_words_array(corpus, m_bits=2048)
+
+    base = tempfile.mkdtemp(prefix="adt_stream_q_bloom_")
+    inc = (
+        pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        .loc[:, ["doc_id", "text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fresh = inc[inc.doc_id % 2 == 1]
+    copies = inc[inc.doc_id % 4 == 0].assign(doc_id=lambda d: d.doc_id + 1_000_000)
+    staged = f"{base}/in"
+    os.makedirs(staged, exist_ok=True)
+    import time as _time
+
+    t0 = _time.time() - 100
+    allinc = pd.concat([fresh, copies]).reset_index(drop=True)
+    for k, chunk in enumerate(np.array_split(allinc, 8)):
+        p = f"{staged}/part-{k:03d}.parquet"
+        chunk.to_parquet(p)
+        os.utime(p, (t0 + k, t0 + k))
+
+    st = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    survivors = st.filter(bloom_maybe_expr("text", words, m_bits=2048))
+    verified = survivors.join(
+        F.broadcast(corpus.select(F.col("text").alias("_cv")).distinct()),
+        survivors["text"] == F.col("_cv"),
+        "left",
+    ).select("doc_id", F.col("_cv").isNotNull().alias("is_dup"))
+    sink = ExactlyOnceSink(f"{base}/out")
+    pipeline.run_to_sink(verified, sink, f"{base}/ckpt")
+    out = sink.read_committed(spark)
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result.select("doc_id", "is_dup")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1046,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_media_metadata": _with_prep(q47_media_metadata),
         "q48_stream_pack_sequences": _with_prep(q48_stream_pack_sequences),
         "q49_bloom_dedup_gate": _with_prep(q49_bloom_dedup_gate),
+        "q50_stream_bloom_gate": _with_prep(q50_stream_bloom_gate),
     }
 
 
@@ -1630,6 +1695,12 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         # layout — same SQL twin as q46
         "q48_stream_pack_sequences": _duck_pack_sql(),
         "q49_bloom_dedup_gate": _duck_bloom_sql(),
+        # the streaming gate emits only maybe-survivors with their
+        # exact verdicts — the q49 bit-array twin restricted to them
+        "q50_stream_bloom_gate": f"""
+            SELECT doc_id, is_dup FROM ({_duck_bloom_sql()}) t
+            WHERE bloom_maybe
+        """,
         # expected metadata from the synth layout, never the decoder:
         # i%3==0 → 16x12 bmp, i%3==1 → 50ms/8kHz/400-sample wav,
         # i%3==2 → opaque container quarantined as nulls

@@ -265,3 +265,43 @@ def duckdb_bloom_sql(
         SELECT m.{id_col}, m.bloom_maybe, e.is_dup
         FROM maybe m JOIN exact e USING ({id_col}, {value_col})
     """
+
+
+def bloom_words_array(
+    corpus: DataFrame,
+    value_col: str = "text",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Collect the filter as a dense m/32-long word list — the ONLY
+    driver-side data is the filter itself (m/32 longs: kilobytes for
+    any corpus size; the same bounded-summary argument as IVF
+    centroids). Feed to ``bloom_maybe_expr``."""
+    arr = [0] * (m_bits // 32)
+    for r in bloom_build(corpus, value_col, m_bits, k).collect():
+        arr[int(r["word_idx"])] = int(r["word"])
+    return arr
+
+
+def bloom_maybe_expr(
+    value_col: str,
+    words: list[int],
+    m_bits: int | None = None,
+    k: int = BLOOM_K,
+):
+    """The membership test as a PURE whole-stage-codegen expression —
+    the array literal is baked into the plan, so a streaming ingest
+    filter needs no join, no shuffle, and no state: scan → filter.
+    This is the production shape of the pre-gate; true negatives never
+    leave the scan stage."""
+    m_bits = m_bits if m_bits is not None else 32 * len(words)
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    conds = []
+    for j in range(k):
+        pos = _bloom_pos_expr(value_col, j, m_bits)
+        conds.append(
+            f"((element_at({arr}, cast(({pos}) div 32 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(({pos}) % 32 as int)))"
+            f" != 0)"
+        )
+    return F.expr(" AND ".join(conds))

@@ -167,3 +167,38 @@ def test_bloom_gate_duplicate_ids_keep_independent_verdicts(spark):
     assert len(rows) == 2
     assert (True, True) in rows
     assert all(m or not d for m, d in rows)
+
+
+def test_bloom_maybe_expr_agrees_with_gate_and_is_pure_codegen(spark):
+    """The literal-expression filter must give the exact verdicts the
+    join-based gate gives, with NO join/exchange/Python in its plan."""
+    from auto_data_tokenize_spark.operators.sketches import (
+        bloom_gate,
+        bloom_maybe_expr,
+        bloom_words_array,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(200)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(1000 + i, f"probe {i}") for i in range(200)]
+        + [(2000 + i, f"doc body {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: r["bloom_maybe"]
+        for r in bloom_gate(incoming, corpus, m_bits=1024).collect()
+    }
+    words = bloom_words_array(corpus, m_bits=1024)
+    assert len(words) == 1024 // 32
+    flt = incoming.withColumn(
+        "bloom_maybe", bloom_maybe_expr("text", words, m_bits=1024)
+    )
+    got = {r["doc_id"]: r["bloom_maybe"] for r in flt.collect()}
+    assert got == want
+    plan = (
+        incoming.filter(bloom_maybe_expr("text", words, m_bits=1024))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan and "Python" not in plan
