@@ -771,6 +771,52 @@ def q47_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_append_log(pdf, staged: str, n_files: int = 8) -> str:
+    """Stage a pandas frame as doc_id-ordered sequential parquet files
+    with strictly increasing mtimes (FileStreamSource orders pending
+    files by modification time; ties break arbitrarily) — the
+    append-log arrival contract the order-dependent streaming
+    operators document."""
+    import time as _time
+
+    import numpy as np
+
+    os.makedirs(staged, exist_ok=True)
+    t0 = _time.time() - 100
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    for k, chunk in enumerate(np.array_split(pdf, n_files)):
+        p = f"{staged}/part-{k:03d}.parquet"
+        chunk.to_parquet(p)
+        os.utime(p, (t0 + k, t0 + k))
+    return staged
+
+
+def _stream_files(spark: SparkSession, staged: str, schema, max_files: int = 2):
+    """maxFilesPerTrigger-sliced file stream: ≥ 2 micro-batches so the
+    gates exercise cross-batch state, never one trivial batch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(staged)
+    )
+
+
+def _run_stream_to_sink(
+    spark: SparkSession, stream_df, base: str, shuffle_partitions: int | None = None
+):
+    """Run through the exactly-once sink, read committed rows back,
+    materialize them off the tempdir."""
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(f"{base}/out")
+    pipeline.run_to_sink(
+        stream_df, sink, f"{base}/ckpt", shuffle_partitions=shuffle_partitions
+    )
+    out = sink.read_committed(spark)
+    return spark.createDataFrame(out.toPandas(), out.schema)
+
+
 def q48_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sequence packing through the exactly-once sink: the
     per-lang offset state carries the concat-and-chop layout across
@@ -779,48 +825,21 @@ def q48_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from auto_data_tokenize_spark.operators.corpus import pack_sequences_stream
-    from auto_data_tokenize_spark.streaming import pipeline
-    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
-
-    base = tempfile.mkdtemp(prefix="adt_stream_q_pack_")
-    # stage the corpus as doc_id-ordered sequential files (the
-    # append-log arrival contract the streaming packer documents)
-    import numpy as np
     import pandas as pd
 
-    pdf = (
-        pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    staged = f"{base}/in"
-    os.makedirs(staged, exist_ok=True)
-    import time as _time
+    from auto_data_tokenize_spark.operators.corpus import pack_sequences_stream
 
-    t0 = _time.time() - 100
-    for k, chunk in enumerate(np.array_split(pdf, 8)):
-        p = f"{staged}/part-{k:03d}.parquet"
-        chunk.to_parquet(p)
-        # strictly increasing mtimes: FileStreamSource orders by
-        # modification time, and ties break arbitrarily
-        os.utime(p, (t0 + k, t0 + k))
-    sch = spark.read.parquet(staged).schema
-    # maxFilesPerTrigger=2 → 4 stateful micro-batches: the gate must
-    # exercise the offset-state carry, not a single trivial batch
-    st = (
-        spark.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(staged)
-    )
-    stream_df = pack_sequences_stream(
-        st.select("doc_id", "lang", "text"), target_tokens=512
-    )
-    sink = ExactlyOnceSink(f"{base}/out")
-    pipeline.run_to_sink(stream_df, sink, f"{base}/ckpt", shuffle_partitions=8)
-    out = sink.read_committed(spark)
-    result = spark.createDataFrame(out.toPandas(), out.schema)
-    shutil.rmtree(base, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="adt_stream_q_pack_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(spark, staged, spark.read.parquet(staged).schema)
+        stream_df = pack_sequences_stream(
+            st.select("doc_id", "lang", "text"), target_tokens=512
+        )
+        result = _run_stream_to_sink(spark, stream_df, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return result.select("doc_id", "lang", "n_tokens", "offset", "pack_id")
 
 
@@ -860,56 +879,39 @@ def q50_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    import numpy as np
     import pandas as pd
 
     from auto_data_tokenize_spark.operators.sketches import (
         bloom_maybe_expr,
         bloom_words_array,
     )
-    from auto_data_tokenize_spark.streaming import pipeline
-    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
 
     docs = _documents(spark, sf_dir)
     corpus = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
     words = bloom_words_array(corpus, m_bits=2048)
 
     base = tempfile.mkdtemp(prefix="adt_stream_q_bloom_")
-    inc = (
-        pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-        .loc[:, ["doc_id", "text"]]
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    fresh = inc[inc.doc_id % 2 == 1]
-    copies = inc[inc.doc_id % 4 == 0].assign(doc_id=lambda d: d.doc_id + 1_000_000)
-    staged = f"{base}/in"
-    os.makedirs(staged, exist_ok=True)
-    import time as _time
-
-    t0 = _time.time() - 100
-    allinc = pd.concat([fresh, copies]).reset_index(drop=True)
-    for k, chunk in enumerate(np.array_split(allinc, 8)):
-        p = f"{staged}/part-{k:03d}.parquet"
-        chunk.to_parquet(p)
-        os.utime(p, (t0 + k, t0 + k))
-
-    st = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 2)
-        .parquet(staged)
-    )
-    survivors = st.filter(bloom_maybe_expr("text", words, m_bits=2048))
-    verified = survivors.join(
-        F.broadcast(corpus.select(F.col("text").alias("_cv")).distinct()),
-        survivors["text"] == F.col("_cv"),
-        "left",
-    ).select("doc_id", F.col("_cv").isNotNull().alias("is_dup"))
-    sink = ExactlyOnceSink(f"{base}/out")
-    pipeline.run_to_sink(verified, sink, f"{base}/ckpt")
-    out = sink.read_committed(spark)
-    result = spark.createDataFrame(out.toPandas(), out.schema)
-    shutil.rmtree(base, ignore_errors=True)
+    try:
+        inc = pd.read_parquet(os.path.join(sf_dir, "documents.parquet")).loc[
+            :, ["doc_id", "text"]
+        ]
+        fresh = inc[inc.doc_id % 2 == 1]
+        copies = inc[inc.doc_id % 4 == 0].assign(
+            doc_id=lambda d: d.doc_id + 1_000_000
+        )
+        staged = _stage_append_log(
+            pd.concat([fresh, copies]).reset_index(drop=True), f"{base}/in"
+        )
+        st = _stream_files(spark, staged, "doc_id long, text string")
+        survivors = st.filter(bloom_maybe_expr("text", words, m_bits=2048))
+        verified = survivors.join(
+            F.broadcast(corpus.select(F.col("text").alias("_cv")).distinct()),
+            survivors["text"] == F.col("_cv"),
+            "left",
+        ).select("doc_id", F.col("_cv").isNotNull().alias("is_dup"))
+        result = _run_stream_to_sink(spark, verified, base)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return result.select("doc_id", "is_dup")
 
 

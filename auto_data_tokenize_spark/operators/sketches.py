@@ -277,7 +277,7 @@ def bloom_words_array(
     driver-side data is the filter itself (m/32 longs: kilobytes for
     any corpus size; the same bounded-summary argument as IVF
     centroids). Feed to ``bloom_maybe_expr``."""
-    arr = [0] * (m_bits // 32)
+    arr = [0] * ((m_bits + 31) // 32)
     for r in bloom_build(corpus, value_col, m_bits, k).collect():
         arr[int(r["word_idx"])] = int(r["word"])
     return arr
@@ -290,18 +290,27 @@ def bloom_maybe_expr(
     k: int = BLOOM_K,
 ):
     """The membership test as a PURE whole-stage-codegen expression —
-    the array literal is baked into the plan, so a streaming ingest
-    filter needs no join, no shuffle, and no state: scan → filter.
-    This is the production shape of the pre-gate; true negatives never
-    leave the scan stage."""
+    the word array is ONE shared literal Column referenced by all k
+    conjuncts (never string-rendered per conjunct: at the production
+    m = 2^20 that would be a megabyte of SQL text), so a streaming
+    ingest filter needs no join, no shuffle, and no state:
+    scan → filter. True negatives never leave the scan stage.
+
+    NULL values yield False (matching ``bloom_gate`` and the DuckDB
+    twin's coalesce). When m_bits is omitted it is inferred as
+    32*len(words) — pass it explicitly if the filter was built with an
+    m that is not a multiple of 32."""
     m_bits = m_bits if m_bits is not None else 32 * len(words)
-    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
-    conds = []
+    arr_col = F.lit(words)
+    maybe = None
     for j in range(k):
-        pos = _bloom_pos_expr(value_col, j, m_bits)
-        conds.append(
-            f"((element_at({arr}, cast(({pos}) div 32 as int) + 1)"
-            f" & shiftleft(cast(1 as bigint), cast(({pos}) % 32 as int)))"
-            f" != 0)"
+        pos = F.expr(_bloom_pos_expr(value_col, j, m_bits))
+        word = F.element_at(arr_col, F.floor(pos / 32).cast("int") + 1)
+        # F.shiftleft only takes a python-int bit count; call the SQL
+        # function directly for a column-valued shift amount
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (pos % 32).cast("int")
         )
-    return F.expr(" AND ".join(conds))
+        cond = word.bitwiseAND(mask) != 0
+        maybe = cond if maybe is None else maybe & cond
+    return F.coalesce(maybe, F.lit(False))
