@@ -915,6 +915,30 @@ def q50_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("doc_id", "is_dup")
 
 
+N_PACK_SHARDS = 4
+
+
+def q51_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the 100 TB-SAFE sharded layout: partition
+    by (lang, shard) where shard = md5-prefix(doc_id) % 4 — the layout
+    q46's own docstring prescribes for a monolingual corpus, where
+    packing by lang alone would concentrate the window onto few tasks.
+    The shard key is the portable cross-engine md5 hash, so the oracle
+    derives the identical sharding and layout in pure SQL."""
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+    from auto_data_tokenize_spark.operators.corpus import pack_sequences
+
+    docs = _documents(spark, sf_dir).withColumn(
+        "shard",
+        F.expr(
+            f"{spark_md5_prefix('cast(doc_id as string)')} % {N_PACK_SHARDS}"
+        ),
+    )
+    return pack_sequences(
+        docs, target_tokens=512, part_cols=["lang", "shard"]
+    ).select("doc_id", "lang", "shard", "n_tokens", "offset", "pack_id")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1113,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_stream_pack_sequences": _with_prep(q48_stream_pack_sequences),
         "q49_bloom_dedup_gate": _with_prep(q49_bloom_dedup_gate),
         "q50_stream_bloom_gate": _with_prep(q50_stream_bloom_gate),
+        "q51_pack_sequences_sharded": _with_prep(q51_pack_sequences_sharded),
     }
 
 
@@ -1285,6 +1310,19 @@ def _duck_pack_sql() -> str:
     from auto_data_tokenize_spark.operators.corpus import duckdb_pack_sql
 
     return duckdb_pack_sql("documents", target_tokens=512)
+
+
+def _duck_pack_sharded_sql() -> str:
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+    from auto_data_tokenize_spark.operators.corpus import duckdb_pack_sql
+
+    shard = f"{duckdb_md5_prefix('doc_id::VARCHAR')} % {N_PACK_SHARDS}"
+    sharded = (
+        f"(SELECT doc_id, lang, text, {shard} AS shard FROM documents) sd"
+    )
+    return duckdb_pack_sql(
+        sharded, target_tokens=512, part_cols=["lang", "shard"]
+    )
 
 
 def _duck_bloom_sql() -> str:
@@ -1696,6 +1734,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         # the streaming packer's committed output must equal the batch
         # layout — same SQL twin as q46
         "q48_stream_pack_sequences": _duck_pack_sql(),
+        "q51_pack_sequences_sharded": _duck_pack_sharded_sql(),
         "q49_bloom_dedup_gate": _duck_bloom_sql(),
         # the streaming gate emits only maybe-survivors with their
         # exact verdicts — the q49 bit-array twin restricted to them

@@ -157,11 +157,12 @@ def duckdb_pack_sql(
         ),
         c AS (
           SELECT *,
-                 sum(n_tokens) OVER (PARTITION BY {part} ORDER BY {id_col}
-                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+                 CAST(sum(n_tokens) OVER (PARTITION BY {part} ORDER BY {id_col}
+                                          ROWS UNBOUNDED PRECEDING) - n_tokens
+                      AS BIGINT) AS "offset"
           FROM t
         )
-        SELECT *, ("offset" // {target_tokens}) AS pack_id FROM c
+        SELECT *, CAST("offset" // {target_tokens} AS BIGINT) AS pack_id FROM c
     """
 
 

@@ -532,15 +532,19 @@ def setsim_join(
         .withColumn("_sz", F.count(F.lit(1)).over(w))
         .withColumn("_rn", F.row_number().over(w.orderBy("_df", "_s")))
     )
-    # The -1e-9 slack guards the double products: the prunes must never
-    # drop a pair whose ROUNDED Jaccard reaches t (the emission rule),
-    # so both bounds are relaxed by strictly more than the rounding
-    # window can move the score. Longer prefixes / extra candidates are
-    # only a constant-factor cost; exactness is the invariant.
+    # Slack rationale: the emission rule is round(J, 6) >= t, and
+    # rounding can lift a true J by up to 5e-7 — so the prunes must
+    # keep every pair with true J >= t - 5e-7. In the ceil/length
+    # bounds that tolerance multiplies by the set size, hence the
+    # 1e-6 * |S| term (strictly more than 5e-7 * |S|, which also
+    # absorbs float product error). Longer prefixes / extra candidates
+    # are only a constant-factor cost; exactness is the invariant.
     prefix = ranked.filter(
         F.col("_rn")
         <= F.col("_sz")
-        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        - F.ceil(
+            (F.lit(threshold) - F.lit(1e-6)) * F.col("_sz") - F.lit(1e-9)
+        )
         + 1
     ).select("_id", "_s", "_sz")
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -559,7 +563,8 @@ def setsim_join(
             (F.col("a") < F.col("b"))
             & (
                 F.least("_sza", "_szb")
-                >= F.lit(threshold) * F.greatest("_sza", "_szb") - F.lit(1e-9)
+                >= (F.lit(threshold) - F.lit(1e-6)) * F.greatest("_sza", "_szb")
+                - F.lit(1e-9)
             )
         )
         .select("a", "b")
@@ -593,8 +598,17 @@ def connected_components(
     one aggregate (two shuffles); ``localCheckpoint`` truncates the
     plan between rounds so lineage doesn't grow with iterations (on a
     cluster with dynamic executors, swap for reliable ``checkpoint``).
-    Convergence is detected with a count of changed labels — one extra
-    cheap action per round on the already-materialized label table.
+    Convergence is detected with an ANY-changed-label probe
+    (``isEmpty`` = limit(1)) on the already-materialized label table:
+    CollectLimit executes partitions incrementally, so a non-converged
+    round (the common case) short-circuits on the first changed row it
+    finds instead of counting all n — only the single final round pays
+    a full scan to prove the fixed point. A LongAccumulator inside the
+    label join would fold even that into the main job, but PySpark
+    accumulators only increment in Python-side tasks, and this plan is
+    deliberately pure JVM codegen — trading the whole pipeline off
+    Tungsten to save one bounded probe per O(log n) rounds is a
+    pessimization.
 
     Storage lifecycle: localCheckpoint blocks are NOT in the SQL cache
     manager, so ``DataFrame.unpersist`` cannot release them; Spark's
@@ -643,17 +657,17 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
+            converged = (
                 new_labels.join(
                     labels.select("id", F.col("cluster_id").alias("_old")), "id"
                 )
                 .filter(F.col("cluster_id") < F.col("_old"))
-                .count()
+                .isEmpty()
             )
             # drop the superseded round's reference so ContextCleaner
             # can reclaim its checkpoint blocks (see docstring)
             labels = new_labels
-            if changed == 0:
+            if converged:
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds "

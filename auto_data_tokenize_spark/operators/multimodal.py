@@ -299,14 +299,19 @@ def resize_images(
     pruned = media.select("media_id", "kind", "mime", "payload")
 
     def _one(p) -> bytes | None:
-        if decoder == "bmp":
-            try:
+        # both branches share the quarantine contract: a null or
+        # unparseable payload becomes a NULL output payload, never a
+        # failed stage (one poison row must not kill a 100 TB job)
+        try:
+            if decoder == "bmp":
                 return encode_bmp(
                     resize_nearest(parse_bmp(bytes(p or b"")), width, height)
                 )
-            except Exception:
-                return None
-        return bytes(_fake_decode(p, (width * height) // 4).tobytes())
+            return bytes(
+                _fake_decode(bytes(p or b""), (width * height) // 4).tobytes()
+            )
+        except Exception:
+            return None
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -21,10 +21,14 @@ Spark plumbing:
 
 Scope (enforced, not silent): records of primitives — null, boolean,
 int, long, float, double, bytes, string — nullable unions
-``["null", T]``, arrays of those, and timestamp-micros / date
-logicals. Nested records/maps/enums/fixed raise ``ValueError`` with a
-pointer to the native source; the reference's own flatten stage
-(sources/flatten.py) is the supported route for nested data.
+``["null", T]``, arrays, NESTED records (arbitrary depth; proven
+against the reference's own ``contacts5k.avro`` golden bytes),
+string-keyed maps, and timestamp-micros / date logicals. Enums, fixed,
+non-nullable multi-branch unions, and recursive named-type references
+raise ``ValueError`` with a pointer to the native source. Precision:
+longs round-trip exactly (the encode path reads Arrow batches, the
+decode path materializes nullable Int64 — never float64, which would
+silently round values above 2^53).
 """
 
 from __future__ import annotations
@@ -117,7 +121,15 @@ _AVRO_TO_SPARK = {
 }
 
 
-def _field_to_avro(dt: T.DataType) -> object:
+def _avro_name(s: str) -> str:
+    """Sanitize to a spec-legal Avro name ([A-Za-z_][A-Za-z0-9_]*)."""
+    out = "".join(c if c.isalnum() or c == "_" else "_" for c in s)
+    return out if out and not out[0].isdigit() else f"_{out}"
+
+
+def _field_to_avro(dt: T.DataType, path: str = "r") -> object:
+    """``path`` uniquifies generated record names (Avro named types
+    must not collide within one schema)."""
     for cls, name in _PRIMITIVE_TO_AVRO.items():
         if isinstance(dt, cls):
             return name
@@ -128,21 +140,38 @@ def _field_to_avro(dt: T.DataType) -> object:
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.ArrayType):
-        items = _field_to_avro(dt.elementType)
+        items = _field_to_avro(dt.elementType, f"{path}_item")
         if dt.containsNull:
             items = ["null", items]
         return {"type": "array", "items": items}
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            t = _field_to_avro(f.dataType, f"{path}_{_avro_name(f.name)}")
+            fields.append(
+                {"name": f.name, "type": ["null", t] if f.nullable else t}
+            )
+        return {"type": "record", "name": _avro_name(path), "fields": fields}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(
+                "Avro maps are string-keyed; got key type "
+                f"{dt.keyType.simpleString()}"
+            )
+        values = _field_to_avro(dt.valueType, f"{path}_value")
+        if dt.valueContainsNull:
+            values = ["null", values]
+        return {"type": "map", "values": values}
     raise ValueError(
         f"unsupported Spark type for the pure-Python Avro codec: {dt.simpleString()} "
-        "(flatten nested data first — sources/flatten.py — or use the "
-        "native spark-avro source)"
+        "(use the native spark-avro source)"
     )
 
 
 def spark_schema_to_avro(schema: T.StructType, name: str = "Record") -> dict:
     fields = []
     for f in schema.fields:
-        t = _field_to_avro(f.dataType)
+        t = _field_to_avro(f.dataType, _avro_name(f.name))
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
@@ -168,12 +197,21 @@ def _avro_type_to_spark(t: object) -> tuple[T.DataType, bool]:
         if t.get("type") == "array":
             elem, elem_nullable = _avro_type_to_spark(t["items"])
             return T.ArrayType(elem, containsNull=elem_nullable), False
+        if t.get("type") == "record":
+            fields = []
+            for f in t["fields"]:
+                dt, nullable = _avro_type_to_spark(f["type"])
+                fields.append(T.StructField(f["name"], dt, nullable))
+            return T.StructType(fields), False
+        if t.get("type") == "map":
+            vt, v_nullable = _avro_type_to_spark(t["values"])
+            return T.MapType(T.StringType(), vt, valueContainsNull=v_nullable), False
         return _avro_type_to_spark(t["type"])
     if isinstance(t, str) and t in _AVRO_TO_SPARK:
         return _AVRO_TO_SPARK[t], t == "null"
     raise ValueError(
         f"unsupported Avro type for the pure-Python codec: {t!r} "
-        "(nested records/maps/enums/fixed need the native spark-avro source)"
+        "(enums/fixed/named-type references need the native spark-avro source)"
     )
 
 
@@ -242,6 +280,28 @@ def _encoder(t: object):
                 write_long(buf, 0)
 
             return enc_arr
+        if t.get("type") == "record":
+            enc_rec = _record_encoder(t)
+
+            def enc_struct(buf, v):
+                # dict (Arrow to_pylist), or a Row-like with asDict
+                enc_rec(buf, v if isinstance(v, dict) else v.asDict())
+
+            return enc_struct
+        if t.get("type") == "map":
+            val = _item_codec_encode(t["values"])
+
+            def enc_map(buf, v):
+                # Arrow map cells arrive as [(k, v), ...]; dicts too
+                items = list(v.items()) if hasattr(v, "items") else list(v)
+                if items:
+                    write_long(buf, len(items))
+                    for k, x in items:
+                        write_bytes(buf, k.encode("utf-8"))
+                        val(buf, x)
+                write_long(buf, 0)
+
+            return enc_map
         return _encoder(t["type"])
     if t == "boolean":
         return lambda buf, v: buf.write(b"\x01" if v else b"\x00")
@@ -313,6 +373,25 @@ def _decoder(t: object):
                         out.append(item(buf))
 
             return dec_arr
+        if t.get("type") == "record":
+            return _record_decoder(t)
+        if t.get("type") == "map":
+            val = _item_codec_decode(t["values"])
+
+            def dec_map(buf):
+                out = {}
+                while True:
+                    n = read_long(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        read_long(buf)
+                        n = -n
+                    for _ in range(n):
+                        k = read_bytes(buf).decode("utf-8")
+                        out[k] = val(buf)
+
+            return dec_map
         return _decoder(t["type"])
     if t == "boolean":
         return lambda buf: buf.read(1) == b"\x01"
@@ -513,9 +592,32 @@ def _avro_files(path: str) -> list[str]:
     return files
 
 
+def _plain_int_fields(avsc: dict) -> list[str]:
+    """Field names whose Avro type is a (possibly nullable) plain
+    int/long — NOT timestamp/date logicals, which decode to datetimes."""
+    out = []
+    for f in avsc["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            non_null = [x for x in t if x != "null"]
+            t = non_null[0] if non_null else None
+        if isinstance(t, dict):
+            if t.get("logicalType"):
+                continue
+            t = t.get("type")
+        if t in ("int", "long"):
+            out.append(f["name"])
+    return out
+
+
 def _schema_and_decoder(avsc: dict):
     """Shared by the batch and streaming fallbacks: Spark schema +
-    the per-file mapInPandas decode generator for a record schema."""
+    the per-file mapInPandas decode generator for a record schema.
+
+    Precision note: nullable long columns are materialized as pandas
+    nullable Int64 (from an object frame), never float64 — a plain
+    ``pd.DataFrame(rows)`` would coerce int+None to float64 and
+    silently round values above 2^53."""
     schema = avro_schema_to_spark(avsc)
     ts_cols = [
         f.name
@@ -523,6 +625,7 @@ def _schema_and_decoder(avsc: dict):
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
     ]
     cols = [f["name"] for f in avsc["fields"]]
+    int_cols = _plain_int_fields(avsc)
 
     def _decode(batches):
         import pandas as pd
@@ -530,7 +633,9 @@ def _schema_and_decoder(avsc: dict):
         for pdf in batches:
             for data in pdf["content"]:
                 _, rows = decode_container(bytes(data))
-                out = pd.DataFrame(rows, columns=cols)
+                out = pd.DataFrame(rows, columns=cols, dtype=object)
+                for c in int_cols:
+                    out[c] = out[c].astype("Int64")
                 for c in ts_cols:
                     out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
                 yield out
@@ -538,11 +643,33 @@ def _schema_and_decoder(avsc: dict):
     return schema, _decode
 
 
-def read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+def read_avro_fallback(
+    spark: SparkSession, path: str, max_file_bytes: int = 1 << 30
+) -> DataFrame:
     """Distributed pure-Python read: one task per file via the
     binaryFile source + mapInPandas decode. The schema comes from the
-    first file's header (driver-side, reads only the header bytes)."""
+    first file's header (driver-side, reads only the header bytes).
+
+    ``max_file_bytes`` (default 1 GiB) guards the path's one-whole-
+    file-per-task memory model: binaryFile materializes each file in a
+    single task, so a 10 GB container would OOM an executor silently —
+    fail fast driver-side instead (the native spark-avro source
+    block-splits and has no such limit; shard writes, or raise the
+    guard knowingly)."""
     files = _avro_files(path)
+    big = [
+        (p, sz)
+        for p in files
+        if (sz := os.path.getsize(p)) > max_file_bytes
+    ]
+    if big:
+        worst = max(big, key=lambda t: t[1])
+        raise ValueError(
+            f"{len(big)} avro file(s) exceed max_file_bytes="
+            f"{max_file_bytes} (largest: {worst[0]} at {worst[1]} bytes); "
+            "the pure-Python fallback holds one whole file per task — "
+            "use the native spark-avro source or re-shard the writes"
+        )
     with open(files[0], "rb") as f:
         avsc, _, _ = read_header(f)
     schema, decode = _schema_and_decoder(avsc)
@@ -570,8 +697,6 @@ def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int
     streaming/sink.py; at cloud scale use the native spark-avro sink)."""
     import glob as _glob
 
-    import pandas as pd
-
     avsc = spark_schema_to_avro(df.schema)
     os.makedirs(path, exist_ok=True)
     # overwrite: retire prior contents (manifest first, so a concurrent
@@ -593,24 +718,32 @@ def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int
         ]
     )
 
-    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _encode(batches):
+        # mapInArrow, deliberately: mapInPandas would coerce nullable
+        # long columns to float64 (Arrow->pandas null coercion), and
+        # int(float) silently rounds values above 2^53. RecordBatch
+        # .to_pylist() yields exact Python ints and None.
+        import pyarrow as pa
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
 
         def row_iter():
-            for pdf in batches:
-                yield from pdf.to_dict("records")
+            for rb in batches:
+                yield from rb.to_pylist()
 
         name = f"part-{pid:05d}-{uuid.uuid4().hex}.avro"
         data, n_rows = encode_container(row_iter(), avsc, codec)
         if n_rows:
             with open(os.path.join(staging, name), "wb") as f:
                 f.write(data)
-            yield pd.DataFrame([{"file": name, "rows": n_rows}])
+            yield pa.RecordBatch.from_pylist(
+                [{"file": name, "rows": n_rows}],
+                schema=pa.schema([("file", pa.string()), ("rows", pa.int64())]),
+            )
 
-    manifest = df.mapInPandas(_encode, manifest_schema).collect()
+    manifest = df.mapInArrow(_encode, manifest_schema).collect()
     total = 0
     entries = []
     for r in manifest:

@@ -83,12 +83,30 @@ def read_jdbc(
     filter_clause: str | None = None,
     partition_column: str | None = None,
     num_partitions: int | None = None,
+    password_secret: str | None = None,
     **options,
 ) -> DataFrame:
     """JDBC scan with manual filter pushdown into the source SQL —
     semantics of TransformingReader.java:256-310 (query builder 301-309).
     Spark pushes filters on ``dbtable`` reads anyway; ``filter_clause``
-    keeps parity with the reference's explicit ``WHERE``."""
+    keeps parity with the reference's explicit ``WHERE``.
+
+    ``password_secret`` is an opaque secret *reference* resolved
+    driver-side through the registered CredentialProvider
+    (sources/credentials.py) — the reference's Secret Manager
+    indirection (TransformingReader.java:256-310, SecretsClient.java).
+    Mutually exclusive with a plain ``password`` option: the caller
+    picks one custody model, never both."""
+    if password_secret is not None:
+        if "password" in options:
+            raise ValueError(
+                "pass either password or password_secret, not both"
+            )
+        from auto_data_tokenize_spark.sources.credentials import (
+            resolve_credential,
+        )
+
+        options["password"] = resolve_credential(password_secret)
     query = build_jdbc_query(table, query, filter_clause)
     reader = (
         spark.read.format("jdbc")

@@ -148,6 +148,10 @@ def main() -> None:
     from auto_data_tokenize_spark import datagen
     from auto_data_tokenize_spark.session import get_spark
 
+    # External VM load halves absolute throughput on this shared box
+    # (BASELINE.md round-3 notes); record loadavg at start AND end so
+    # the JSON is self-describing instead of relying on prose.
+    load_start = os.getloadavg()
     sf_name = os.path.basename(os.path.normpath(SF_DIR))
     datagen.ensure_sf(sf_name)  # materialize inputs before the clock starts
     datagen.ensure_media(sf_name)
@@ -173,6 +177,10 @@ def main() -> None:
         "sf": float(sf_name.removeprefix("sf")),
         "turns_per_sec": tok_tput,
         **stream,
+        "loadavg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
     }
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         # N vs 4N in the UNSATURATED regime (2 vs 8 cores on the 32-core

@@ -90,14 +90,37 @@ def test_schema_mapping_roundtrip():
 
 
 def test_unsupported_types_raise_actionably(spark):
-    nested = spark.range(1).select(F.struct("id").alias("s"))
-    with pytest.raises(ValueError, match="flatten|spark-avro"):
-        A.spark_schema_to_avro(nested.schema)
-    with pytest.raises(ValueError, match="spark-avro|nullable"):
+    # nested records and string-keyed maps are in scope since r4;
+    # enums/fixed and non-string map keys remain clean gates
+    with pytest.raises(ValueError, match="spark-avro"):
         A.avro_schema_to_spark(
             {"type": "record", "name": "X",
-             "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+             "fields": [{"name": "e", "type": {"type": "enum", "name": "E",
+                                               "symbols": ["A", "B"]}}]}
         )
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="string-keyed"):
+        A.spark_schema_to_avro(
+            T.StructType([T.StructField(
+                "m", T.MapType(T.LongType(), T.StringType()))])
+        )
+
+
+def test_nested_record_and_map_schema_roundtrip():
+    st = A.avro_schema_to_spark(
+        {"type": "record", "name": "X", "fields": [
+            {"name": "c", "type": ["null", {
+                "type": "record", "name": "C", "fields": [
+                    {"name": "name", "type": ["null", "string"]},
+                    {"name": "nums", "type": {"type": "array", "items": {
+                        "type": "record", "name": "N", "fields": [
+                            {"name": "kind", "type": ["null", "string"]}]}}},
+                ]}]},
+            {"name": "m", "type": {"type": "map", "values": ["null", "long"]}},
+        ]}
+    )
+    assert A.avro_schema_to_spark(A.spark_schema_to_avro(st, "X")) == st
 
 
 # -- distributed Spark path ----------------------------------------------------
@@ -241,3 +264,108 @@ def test_streaming_avro_empty_dir_needs_schema(spark, tmp_path):
         A.read_avro_stream(spark, empty)
     st = A.read_avro_stream(spark, empty, avsc=AVSC)  # explicit schema OK
     assert st.isStreaming
+
+
+# -- real third-party bytes (the reference's own golden artifacts) ------------
+
+REF_CONTACTS = "/root/reference/contacts5k.avro"
+REF_USERDATA = "/root/reference/userdata.avro"
+REF_BQ_EXPORT = (
+    "/root/reference/src/test/resources/avro_records/bq_exported_tables/"
+    "table_with_date_and_timestamp.avro"
+)
+
+
+def test_reference_contacts5k_decodes(spark):
+    """Spec compliance against bytes this repo did NOT write: the
+    reference's contacts5k.avro golden input (null codec, NESTED
+    records + array-of-record) — 5 000 contact rows
+    (EncryptionPipelineTest.java:104-145 uses the same artifact)."""
+    import os
+
+    if not os.path.exists(REF_CONTACTS):
+        pytest.skip("reference artifact not present")
+    df = A.read_avro_fallback(spark, REF_CONTACTS)
+    assert [f.name for f in df.schema.fields] == ["index", "contact"]
+    rows = df.collect()
+    assert len(rows) == 5000
+    one = next(r for r in rows if r["contact"] is not None)
+    assert one["contact"]["name"]
+    assert isinstance(one["contact"]["nums"], list)
+    # nested data then flows through the reference's flatten stage
+    n_nums = df.select(F.explode_outer("contact.nums").alias("n")).count()
+    assert n_nums >= 5000
+
+
+def test_reference_bq_export_decodes(spark):
+    """Second third-party artifact: BigQuery-exported date + timestamp
+    logicals (null codec)."""
+    import os
+
+    if not os.path.exists(REF_BQ_EXPORT):
+        pytest.skip("reference artifact not present")
+    df = A.read_avro_fallback(spark, REF_BQ_EXPORT)
+    assert df.schema.simpleString() == "struct<dt:date,ts:timestamp>"
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["dt"] is not None
+
+
+def test_reference_snappy_artifact_gates_cleanly():
+    """userdata.avro is snappy-compressed; the pure-Python codec must
+    refuse with the exact actionable message, never garbage rows."""
+    import os
+
+    if not os.path.exists(REF_USERDATA):
+        pytest.skip("reference artifact not present")
+    with open(REF_USERDATA, "rb") as f:
+        data = f.read()
+    avsc, codec, _ = A.read_header(io.BytesIO(data))
+    assert codec == "snappy" and avsc["type"] == "record"  # header still parses
+    with pytest.raises(ValueError, match="unsupported codec 'snappy'"):
+        A.decode_container(data)
+
+
+# -- nested struct/map Spark round-trip + precision ---------------------------
+
+
+def test_spark_nested_struct_map_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, ("ann", [("WORK", "555-1"), ("HOME", "555-2")]), {"a": 1, "b": None}),
+            (2, None, {}),
+            (3, ("bo", []), {"z": 9}),
+        ],
+        "id long, contact struct<name:string, "
+        "nums:array<struct<kind:string,num:string>>>, m map<string,bigint>",
+    ).repartition(2)
+    path = str(tmp_path / "nested")
+    assert A.write_avro_fallback(df, path) == 3
+    back = A.read_avro_fallback(spark, path)
+    assert back.schema == df.schema
+    key = lambda r: r["id"]  # noqa: E731
+    got = sorted(back.collect(), key=key)
+    want = sorted(df.collect(), key=key)
+    assert got == want
+
+
+def test_nullable_long_precision_above_2_53(spark, tmp_path):
+    """r3 ADVICE: nullable longs must not round through float64 —
+    2^53 + 1 is the first integer float64 cannot represent."""
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, -big)], "id long, v long"
+    )
+    path = str(tmp_path / "bigint")
+    A.write_avro_fallback(df, path)
+    got = {r["id"]: r["v"] for r in A.read_avro_fallback(spark, path).collect()}
+    assert got == {1: big, 2: None, 3: -big}
+
+
+def test_max_file_bytes_guard(spark, tmp_path, transcripts_small):
+    sample = transcripts_small.limit(20).coalesce(1)
+    path = str(tmp_path / "guarded")
+    A.write_avro_fallback(sample, path)
+    with pytest.raises(ValueError, match="max_file_bytes"):
+        A.read_avro_fallback(spark, path, max_file_bytes=10)
+    assert A.read_avro_fallback(spark, path).count() == 20  # default passes

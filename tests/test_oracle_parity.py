@@ -4,9 +4,11 @@ sf0.001, compare row count + column names + order-insensitive values.
 """
 
 import math
+import numbers
 import os
 
 import duckdb
+import numpy as np
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -28,19 +30,37 @@ def duck():
     return con
 
 
+def norm(v):
+    """Normalize one cell to a type-TAGGED tuple so the comparison is
+    dtype-faithful, mirroring the driver's value hash: an integral
+    float64 (e.g. DuckDB HUGEINT -> fetchdf float) does NOT equal the
+    int64 the Spark side emits, even though Python says 0 == 0.0 —
+    that hole is exactly how the r3 q46/q48 hash failures shipped.
+    Tags also make rows totally orderable (None vs float no longer
+    raises in sorted())."""
+    if v is None:
+        return ("n",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, numbers.Integral):
+        return ("i", int(v))
+    if isinstance(v, numbers.Real):  # float / np.floating
+        f = float(v)
+        return ("n",) if math.isnan(f) else ("f", round(f, 6))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(norm(x) for x in v))
+    if isinstance(v, dict):
+        return ("d", tuple(sorted((k, norm(x)) for k, x in v.items())))
+    return ("s", str(v))
+
+
 def _normalize(df):
-    """Sort columns by name, normalize cells to comparable scalars."""
+    """Sort columns by name, normalize cells to comparable tagged tuples."""
     df = df[sorted(df.columns)]
-
-    def norm(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return None
-        if isinstance(v, float):
-            return round(v, 6)
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        return v
-
     rows = sorted(
         tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)
     )
@@ -67,6 +87,27 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: {len(mism)} mismatched rows; first: "
         f"{got_rows[mism[0]]} vs {want_rows[mism[0]]}"
     )
+
+
+def test_pack_oracle_dtypes_are_integer(duck):
+    """Regression (r3 verdict #1): DuckDB's windowed sum(BIGINT) returns
+    HUGEINT, which fetchdf() materializes as float64 unless the twin
+    casts — the driver hash then sees 0.0 != 0. Pin the casted twin's
+    dtypes so the class of bug cannot ship again."""
+    sql = entry_mod.oracle_sql(sf_name="sf0.001")["q46_pack_sequences"]
+    pdf = duck.execute(sql).fetchdf()
+    for col in ("offset", "pack_id", "n_tokens"):
+        assert pdf[col].dtype.kind in "iu", (
+            f"{col} must be integer in the oracle frame, got {pdf[col].dtype}"
+        )
+
+
+def test_norm_is_dtype_faithful():
+    assert norm(0) != norm(0.0)
+    assert norm(np.int64(7)) == norm(7)
+    assert norm(np.float64(7.0)) != norm(7)
+    assert norm(float("nan")) == norm(None)
+    assert sorted([norm(None), norm(1.5), norm(2), norm("x")])
 
 
 def test_entry_smoke(spark):

@@ -42,6 +42,93 @@ def test_jdbc_rejects_filter_on_query():
         build_jdbc_query(None, "SELECT 1", "x = 1")
 
 
+# -- Credential provider seam (TransformingReader.java:256-310) --------------
+
+
+@pytest.fixture
+def clean_credential_registry():
+    from auto_data_tokenize_spark.sources import credentials
+
+    credentials.register_credential_provider(None)
+    yield
+    credentials.register_credential_provider(None)
+
+
+def test_credential_static_provider(clean_credential_registry):
+    from auto_data_tokenize_spark.sources.credentials import (
+        StaticCredentialProvider,
+        register_credential_provider,
+        resolve_credential,
+    )
+
+    register_credential_provider(
+        StaticCredentialProvider({"db/prod/password": "s3cr3t"})
+    )
+    assert resolve_credential("db/prod/password") == "s3cr3t"
+    with pytest.raises(KeyError, match="no secret registered"):
+        resolve_credential("db/stage/password")
+
+
+def test_credential_env_fallback(clean_credential_registry, monkeypatch):
+    from auto_data_tokenize_spark.sources.credentials import resolve_credential
+
+    monkeypatch.setenv("ADT_SECRET_DB_PROD_PASSWORD", "from-env")
+    assert resolve_credential("db/prod.password") == "from-env"
+    with pytest.raises(KeyError, match="ADT_SECRET_OTHER"):
+        resolve_credential("other")
+
+
+def test_credential_registered_provider_wins_over_env(
+    clean_credential_registry, monkeypatch
+):
+    from auto_data_tokenize_spark.sources.credentials import (
+        StaticCredentialProvider,
+        register_credential_provider,
+        resolve_credential,
+    )
+
+    monkeypatch.setenv("ADT_SECRET_REF", "env-value")
+    register_credential_provider(StaticCredentialProvider({"ref": "provider-value"}))
+    assert resolve_credential("ref") == "provider-value"
+
+
+def test_credential_registry_type_guard(clean_credential_registry):
+    from auto_data_tokenize_spark.sources.credentials import (
+        register_credential_provider,
+    )
+
+    with pytest.raises(TypeError):
+        register_credential_provider(object())
+
+
+def test_read_jdbc_rejects_password_and_secret():
+    # the exclusivity guard fires before any Spark/DB interaction
+    from auto_data_tokenize_spark.sources.readers import read_jdbc
+
+    with pytest.raises(ValueError, match="not both"):
+        read_jdbc(
+            None,
+            "jdbc:mysql://h/db",
+            table="t",
+            password="plain",
+            password_secret="db/password",
+        )
+
+
+def test_read_jdbc_resolves_secret_before_load(clean_credential_registry):
+    """read_jdbc must consult the provider; an unknown reference fails
+    fast driver-side (no dangling connection attempt)."""
+    from auto_data_tokenize_spark.sources.credentials import (
+        StaticCredentialProvider,
+        register_credential_provider,
+    )
+    from auto_data_tokenize_spark.sources.readers import read_jdbc
+
+    register_credential_provider(StaticCredentialProvider({}))
+    with pytest.raises(KeyError, match="no secret registered"):
+        read_jdbc(None, "jdbc:mysql://h/db", table="t", password_secret="nope")
+
+
 # -- Avro gate ---------------------------------------------------------------
 
 
