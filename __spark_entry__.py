@@ -939,6 +939,33 @@ def q51_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "shard", "n_tokens", "offset", "pack_id")
 
 
+def q52_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition: duplicate-word fraction
+    (pure projection) + top-bigram fraction (one count shuffle with a
+    deterministic (count, gram)-struct tie-break)."""
+    from auto_data_tokenize_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir), n=2).select(
+        "doc_id", "dup_word_frac", "top_ngram_frac"
+    )
+
+
+EVAL_MOD = 29  # doc_id % EVAL_MOD == 0 plays the held-out eval set
+
+
+def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing a distinct 5-word
+    shingle with the held-out slice are flagged. The eval shingle set
+    is broadcast (benchmarks are MBs; the corpus is the 100 TB side),
+    so the corpus never shuffles except the per-doc hit count."""
+    from auto_data_tokenize_spark.operators.corpus import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    ev = docs.filter(f"doc_id % {EVAL_MOD} = 0").select("doc_id", "text")
+    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0").select("doc_id", "text")
+    return decontaminate(corpus, ev, k=5)
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1138,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_bloom_dedup_gate": _with_prep(q49_bloom_dedup_gate),
         "q50_stream_bloom_gate": _with_prep(q50_stream_bloom_gate),
         "q51_pack_sequences_sharded": _with_prep(q51_pack_sequences_sharded),
+        "q52_repetition_stats": _with_prep(q52_repetition_stats),
+        "q53_decontaminate": _with_prep(q53_decontaminate),
     }
 
 
@@ -1310,6 +1339,29 @@ def _duck_pack_sql() -> str:
     from auto_data_tokenize_spark.operators.corpus import duckdb_pack_sql
 
     return duckdb_pack_sql("documents", target_tokens=512)
+
+
+def _duck_repetition_sql() -> str:
+    from auto_data_tokenize_spark.operators.textstats import (
+        duckdb_repetition_sql,
+    )
+
+    return (
+        f"SELECT doc_id, dup_word_frac, top_ngram_frac "
+        f"FROM ({duckdb_repetition_sql('documents', n=2)}) r"
+    )
+
+
+def _duck_decontaminate_sql() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_decontaminate_sql,
+    )
+
+    return duckdb_decontaminate_sql(
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} != 0",
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0",
+        k=5,
+    )
 
 
 def _duck_pack_sharded_sql() -> str:
@@ -1735,6 +1787,8 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         # layout — same SQL twin as q46
         "q48_stream_pack_sequences": _duck_pack_sql(),
         "q51_pack_sequences_sharded": _duck_pack_sharded_sql(),
+        "q52_repetition_stats": _duck_repetition_sql(),
+        "q53_decontaminate": _duck_decontaminate_sql(),
         "q49_bloom_dedup_gate": _duck_bloom_sql(),
         # the streaming gate emits only maybe-survivors with their
         # exact verdicts — the q49 bit-array twin restricted to them

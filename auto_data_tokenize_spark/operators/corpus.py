@@ -232,3 +232,86 @@ def pack_sequences_stream(
             fn, out_schema, "off long", "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents that share at
+    least one distinct k-word shingle with any held-out evaluation
+    document (the standard pre-training hygiene step — GPT-3 appendix C
+    / PaLM-style n-gram overlap, over the same shingle construction as
+    the dedup stack). Output: (id, n_hit_shingles, contaminated).
+
+    100 TB shape: an eval/benchmark suite is megabytes while the corpus
+    is the 100 TB side, so the eval shingle set is explicitly
+    ``broadcast`` — the corpus side streams through a scan → shingle
+    explode → broadcast hash semi-join with NO corpus-wide shuffle
+    except the final per-doc count aggregation (map-side partial). The
+    left join back to the id spine keeps clean documents with a zero
+    count instead of dropping them silently.
+    """
+    from pyspark.sql import functions as FF
+    from auto_data_tokenize_spark.operators.dedup import word_shingles
+
+    ev = (
+        word_shingles(eval_df, text_col, k, out_col="_g")
+        .select(FF.explode_outer(FF.array_distinct("_g")).alias("_s"))
+        .distinct()
+    )
+    cg = word_shingles(df, text_col, k, out_col="_g").select(
+        id_col, FF.explode_outer(FF.array_distinct("_g")).alias("_s")
+    )
+    hits = (
+        cg.join(FF.broadcast(ev), "_s")
+        .groupBy(id_col)
+        .agg(FF.count(FF.lit(1)).alias("_n"))
+    )
+    n_hits = FF.coalesce(FF.col("_n"), FF.lit(0).cast("long"))
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_hits.alias("n_hit_shingles"),
+            (n_hits > 0).alias("contaminated"),
+        )
+    )
+
+
+def duckdb_decontaminate_sql(
+    corpus_sql: str, eval_sql: str, k: int = 5
+) -> str:
+    """DuckDB twin of ``decontaminate``: both inputs are SELECTs
+    yielding (doc_id, text); the shingle construction mirrors
+    ``word_shingles`` exactly (slice of lowercased whitespace split)."""
+
+    def shingles(src: str) -> str:
+        return f"""
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(w) - {k}, 0) + 1),
+                     i -> array_to_string(list_slice(w, i + 1, i + {k}), ' ')
+                 )) AS g
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM ({src}) src)
+        """
+
+    return f"""
+        WITH ev AS (
+          SELECT DISTINCT unnest(g) AS s FROM ({shingles(eval_sql)}) e
+        ),
+        cg AS (SELECT doc_id, unnest(g) AS s FROM ({shingles(corpus_sql)}) c),
+        h AS (
+          SELECT cg.doc_id, count(*) AS n FROM cg JOIN ev USING (s) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_shingles,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM ({corpus_sql}) c2) d
+        LEFT JOIN h USING (doc_id)
+    """

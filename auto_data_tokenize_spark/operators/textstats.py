@@ -382,3 +382,91 @@ def duckdb_tfidf_sql(table: str, text_col: str = "text", k: int = 5) -> str:
         FROM tf JOIN dfq USING (term), n
         QUALIFY rank <= {k}
     """
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition signals
+    (Rae et al. '21 §A1.1 adapted to whitespace word streams):
+
+    - ``dup_word_frac``: 1 - distinct/total words — a pure codegen
+      projection, no shuffle.
+    - ``top_ngram_frac``: occurrences of the single most frequent
+      word n-gram over total n-grams. Tie-break: the lexicographically
+      GREATEST gram among the max-count grams (Spark: max over a
+      (count, gram) struct; twin: ORDER BY cnt DESC, gram DESC), so
+      both engines pick the same gram deterministically.
+
+    Plan shape: one (id, gram) count shuffle with map-side partial
+    aggregation, one id-level re-aggregation, one id-equi-join back to
+    the projection — all whole-stage codegen; n-grams come from the
+    same slice construction as ``word_shingles`` (explode, not
+    higher-order lambdas, on the counted path). Repetitious documents
+    are exactly the ones an LLM pipeline drops before training.
+    """
+    from auto_data_tokenize_spark.operators.dedup import word_shingles
+
+    w = f"split(trim(lower({text_col})), '\\\\s+')"
+    dup = df.select(
+        id_col,
+        F.round(
+            F.lit(1)
+            - F.expr(f"size(array_distinct({w}))")
+            / F.expr(f"size({w})"),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    grams = word_shingles(df, text_col, n, out_col="_g").select(
+        id_col, F.explode_outer("_g").alias("_g")
+    )
+    counts = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    top = (
+        counts.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("_c"), F.col("_g"))).alias("_top"),
+            F.sum("_c").alias("_tot"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("_top._c") / F.col("_tot"), 6).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+    return dup.join(top, id_col)
+
+
+def duckdb_repetition_sql(table: str, text_col: str = "text", n: int = 2) -> str:
+    """DuckDB twin of ``repetition_stats`` — identical slice-based
+    n-gram construction and (cnt DESC, gram DESC) tie-break."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(lower({text_col})), '\\s+') AS w
+          FROM {table}
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(0, greatest(len(w) - {n}, 0) + 1),
+                     i -> array_to_string(list_slice(w, i + 1, i + {n}), ' ')
+                 )) AS g
+          FROM w
+        ),
+        c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        r AS (
+          SELECT doc_id, c,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, g DESC) AS rn,
+                 sum(c) OVER (PARTITION BY doc_id) AS tot
+          FROM c
+        )
+        SELECT w.doc_id,
+               round(1 - len(list_distinct(w.w))::DOUBLE / len(w.w), 6)
+                   AS dup_word_frac,
+               round(r.c::DOUBLE / r.tot, 6) AS top_ngram_frac
+        FROM w JOIN r ON w.doc_id = r.doc_id AND r.rn = 1
+    """

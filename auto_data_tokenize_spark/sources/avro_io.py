@@ -25,7 +25,11 @@ int, long, float, double, bytes, string — nullable unions
 against the reference's own ``contacts5k.avro`` golden bytes),
 string-keyed maps, and timestamp-micros / date logicals. Enums, fixed,
 non-nullable multi-branch unions, and recursive named-type references
-raise ``ValueError`` with a pointer to the native source. Precision:
+raise ``ValueError`` with a pointer to the native source. Codecs:
+null + deflate read AND write; snappy READ-only via a pure-Python
+raw-block decompressor with CRC32 verification (the de-facto default
+of real-world exports — all of the reference's golden .avro artifacts
+decode, byte-verified); writes stay null/deflate. Precision:
 longs round-trip exactly (the encode path reads Arrow batches, the
 decode path materializes nullable Int64 — never float64, which would
 silently round values above 2^53).
@@ -441,6 +445,83 @@ def _record_decoder(avsc: dict):
 
 
 # ---------------------------------------------------------------------------
+# snappy raw-block DECOMPRESSOR (read-only; public format description:
+# github.com/google/snappy format_description.txt). Avro snappy blocks
+# are raw-snappy payload + 4-byte big-endian CRC32 of the UNCOMPRESSED
+# data (Avro spec, "snappy" codec) — real-world exports (BigQuery,
+# Beam, the reference's own golden files) default to snappy, so the
+# fallback must at least READ it; writes stay null/deflate.
+# ---------------------------------------------------------------------------
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Decompress one raw snappy block (not the framing format)."""
+    pos, shift, length = 0, 0, 0
+    while True:  # uvarint preamble: uncompressed length
+        b = data[pos]
+        pos += 1
+        length |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63: length stored in 1..4 LE bytes
+                nb = ln - 59
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset, 3-bit length
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte LE offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte LE offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt snappy stream (bad copy offset)")
+        # overlapping copies are run-length fills: chunked append
+        # reproduces byte-at-a-time semantics
+        start = len(out) - off
+        while ln > 0:
+            take = min(off, ln)
+            out += out[start : start + take]
+            start += take
+            ln -= take
+    if len(out) != length:
+        raise ValueError(
+            f"corrupt snappy stream ({len(out)} != declared {length} bytes)"
+        )
+    return bytes(out)
+
+
+def _decompress_block(raw: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(raw, wbits=-15)
+    if codec == "snappy":
+        body, crc = raw[:-4], raw[-4:]
+        out = snappy_decompress(body)
+        if zlib.crc32(out) != int.from_bytes(crc, "big"):
+            raise ValueError("snappy block CRC mismatch (corrupt data)")
+        return out
+    return raw
+
+
+# ---------------------------------------------------------------------------
 # container file
 # ---------------------------------------------------------------------------
 
@@ -518,7 +599,7 @@ def decode_container(data: bytes) -> tuple[dict, list[dict]]:
     """-> (schema dict, rows). Pure function of the file bytes."""
     buf = io.BytesIO(data)
     avsc, codec, sync = read_header(buf)
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     dec = _record_decoder(avsc)
     rows: list[dict] = []
@@ -530,8 +611,7 @@ def decode_container(data: bytes) -> tuple[dict, list[dict]]:
         n = read_long(buf)
         size = read_long(buf)
         raw = buf.read(size)
-        if codec == "deflate":
-            raw = zlib.decompress(raw, wbits=-15)
+        raw = _decompress_block(raw, codec)
         bbuf = io.BytesIO(raw)
         for _ in range(n):
             rows.append(dec(bbuf))

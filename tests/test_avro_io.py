@@ -311,19 +311,104 @@ def test_reference_bq_export_decodes(spark):
     assert rows[0]["dt"] is not None
 
 
-def test_reference_snappy_artifact_gates_cleanly():
-    """userdata.avro is snappy-compressed; the pure-Python codec must
-    refuse with the exact actionable message, never garbage rows."""
+def test_snappy_decompress_spec_vectors():
+    """Hand-built raw-snappy streams covering all four tag kinds and
+    the run-length overlap-copy semantics."""
+    # literal only: uvarint len 5, tag (5-1)<<2, "hello"
+    assert A.snappy_decompress(bytes([5, 4 << 2]) + b"hello") == b"hello"
+    # literal "ab" + 1-byte-offset copy len 4 off 2 -> "ab" + "abab"
+    s = bytes([6, 1 << 2]) + b"ab" + bytes([(4 - 4) << 2 | 1, 2])
+    assert A.snappy_decompress(s) == b"ababab"
+    # overlap run: literal "x" + copy len 7 off 1 -> "xxxxxxxx"
+    s = bytes([8, 0]) + b"x" + bytes([(7 - 1) << 2 | 2, 1, 0])
+    assert A.snappy_decompress(s) == b"x" * 8
+    # 4-byte-offset copy kind
+    s = bytes([4, 1 << 2]) + b"yz" + bytes([(2 - 1) << 2 | 3, 2, 0, 0, 0])
+    assert A.snappy_decompress(s) == b"yzyz"
+    # corrupt: declared length mismatch
+    with pytest.raises(ValueError, match="corrupt snappy"):
+        A.snappy_decompress(bytes([9, 4 << 2]) + b"hello")
+    # corrupt: offset beyond output
+    with pytest.raises(ValueError, match="bad copy offset"):
+        A.snappy_decompress(bytes([4, 0]) + b"a" + bytes([1, 9]))
+
+
+def test_reference_userdata_snappy_decodes_to_golden():
+    """userdata.avro is snappy-compressed: the pure-Python raw-snappy
+    decompressor + CRC check must reproduce the reference's OWN golden
+    expectations (schema.json field list and record-1.json values from
+    src/test/resources/avro_records/userdata_records/)."""
     import os
 
-    if not os.path.exists(REF_USERDATA):
-        pytest.skip("reference artifact not present")
+    golden_dir = (
+        "/root/reference/src/test/resources/avro_records/userdata_records"
+    )
+    if not (os.path.exists(REF_USERDATA) and os.path.isdir(golden_dir)):
+        pytest.skip("reference artifacts not present")
     with open(REF_USERDATA, "rb") as f:
         data = f.read()
-    avsc, codec, _ = A.read_header(io.BytesIO(data))
-    assert codec == "snappy" and avsc["type"] == "record"  # header still parses
-    with pytest.raises(ValueError, match="unsupported codec 'snappy'"):
-        A.decode_container(data)
+    _, codec, _ = A.read_header(io.BytesIO(data))
+    assert codec == "snappy"
+    avsc, rows = A.decode_container(data)
+    assert len(rows) == 1000
+    with open(f"{golden_dir}/schema.json") as f:
+        golden_schema = json.load(f)
+    assert [f_["name"] for f_ in avsc["fields"]] == [
+        f_["name"] for f_ in golden_schema["fields"]
+    ]
+    with open(f"{golden_dir}/record-1.json") as f:
+        golden_row = json.load(f)
+
+    def unwrap(v):  # Avro JSON encoding tags union values: {"long": 5}
+        if isinstance(v, dict) and len(v) == 1 and next(iter(v)) in (
+            "long", "double", "string", "int", "float", "boolean", "bytes",
+        ):
+            return next(iter(v.values()))
+        return v
+
+    assert rows[0] == {k: unwrap(v) for k, v in golden_row.items()}
+
+
+def test_reference_snappy_transcripts_decode():
+    """Second/third snappy artifacts: the reference's encrypted
+    transcript goldens and its deeply nested record.avro."""
+    import os
+
+    p = "/root/reference/src/test/resources/csv/tink_encrypted_transcripts.avro"
+    if not os.path.exists(p):
+        pytest.skip("reference artifact not present")
+    with open(p, "rb") as f:
+        avsc, rows = A.decode_container(f.read())
+    assert len(rows) == 100
+    assert {f_["name"] for f_ in avsc["fields"]} >= {
+        "chatId", "userType", "encrypted_transcript",
+    }
+    nested = "/root/reference/src/test/resources/avro_records/nested_repeated/record.avro"
+    if os.path.exists(nested):
+        with open(nested, "rb") as f:
+            _, nrows = A.decode_container(f.read())
+        assert len(nrows) == 1 and nrows[0]["ticket"]["via"]["channel"] == "api"
+
+
+def test_truly_unsupported_codec_still_gates():
+    """Writes never emit snappy, and an unknown codec (zstandard)
+    refuses with the actionable message — never garbage rows."""
+    with pytest.raises(ValueError, match="unsupported codec"):
+        A.encode_container(iter(ROWS), AVSC, "snappy")
+    out = io.BytesIO()
+    out.write(A.MAGIC)
+    meta = {
+        "avro.schema": json.dumps(AVSC).encode(),
+        "avro.codec": b"zstandard",
+    }
+    A.write_long(out, len(meta))
+    for k, v in meta.items():
+        A.write_bytes(out, k.encode())
+        A.write_bytes(out, v)
+    A.write_long(out, 0)
+    out.write(b"\x00" * 16)
+    with pytest.raises(ValueError, match="unsupported codec 'zstandard'"):
+        A.decode_container(out.getvalue())
 
 
 # -- nested struct/map Spark round-trip + precision ---------------------------

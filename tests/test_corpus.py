@@ -144,3 +144,37 @@ def test_pack_sequences_stream_continues_across_micro_batches(spark, tmp_path):
         )
         q.awaitTermination(180)
         assert got == want, f"slicing maxFiles={max_files} diverged"
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from auto_data_tokenize_spark.operators.corpus import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over and more"),  # hit
+            (2, "completely unrelated text with no overlap at all here"),  # clean
+            (3, "the quick brown fox jumps over the lazy dog"),  # exact copy
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(corpus, ev, k=5).collect()}
+    assert got[1]["contaminated"] and got[1]["n_hit_shingles"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_hit_shingles"] == 0
+    assert got[3]["contaminated"]
+    # the exact copy shares every eval shingle
+    assert got[3]["n_hit_shingles"] == 5  # 9 words -> 5 distinct 5-shingles
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval side must reach the corpus join as a broadcast — the
+    100 TB contract is no corpus-side shuffle for the semi-join."""
+    from auto_data_tokenize_spark.operators.corpus import decontaminate
+
+    ev = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    plan = decontaminate(corpus, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -179,3 +179,36 @@ def test_tfidf_empty_and_whitespace_docs(spark):
     import math
 
     assert out[0]["tfidf"] == round(1 * (math.log(4 / 2) + 1), 6)
+
+
+def test_repetition_stats_known_fracs(spark):
+    from auto_data_tokenize_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 2 distinct / 6 words; "a b" bigram x3 of 5
+            (2, "u v w x y z"),      # no repetition at all
+            (3, "same same same"),   # 1 distinct / 3; "same same" x2 of 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert got[1]["dup_word_frac"] == round(1 - 2 / 6, 6)
+    assert got[1]["top_ngram_frac"] == round(3 / 5, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_ngram_frac"] == 0.2  # every bigram unique: 1 of 5
+    assert got[3]["dup_word_frac"] == round(1 - 1 / 3, 6)
+    assert got[3]["top_ngram_frac"] == 1.0
+
+
+def test_repetition_tiebreak_is_deterministic(spark):
+    """Two bigrams tie at the max count: both engines must pick the
+    lexicographically greatest — pinned here against the struct-max."""
+    from auto_data_tokenize_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "p q p q z z z")], "doc_id long, text string"
+    )
+    # bigrams: "p q" x2, "q p" x1, "q z" x1, "z z" x2 -> tie; frac same
+    row = repetition_stats(df, n=2).collect()[0]
+    assert row["top_ngram_frac"] == round(2 / 6, 6)
