@@ -108,16 +108,20 @@ def read_jdbc(
 
         options["password"] = resolve_credential(password_secret)
     query = build_jdbc_query(table, query, filter_clause)
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-        .options(**options)
-    )
+    reader = spark.read.format("jdbc").option("url", url).options(**options)
     if partition_column and num_partitions:
-        reader = reader.option("partitionColumn", partition_column).option(
-            "numPartitions", num_partitions
+        # Spark rejects partitionColumn together with the `query`
+        # option — the parallel path must go through `dbtable`, so wrap
+        # the built query as a derived table (requires lowerBound /
+        # upperBound in options, per the JDBC source contract). This is
+        # the 100 TB ingest shape: numPartitions concurrent range scans.
+        reader = (
+            reader.option("dbtable", f"({query}) adt_subq")
+            .option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()
 
 
