@@ -966,6 +966,23 @@ def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, ev, k=5)
 
 
+def _mix_rates() -> dict[str, float]:
+    # even-numbered sources kept in full, odd downsampled to 35% —
+    # a deterministic stand-in for tuned domain weights
+    return {f"src{i}": (1.0 if i % 2 == 0 else 0.35) for i in range(20)}
+
+
+def q54_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting: per-source keep rates applied
+    via the portable md5 bucket — pure filter, zero shuffles, stable
+    under re-runs and backfills."""
+    from auto_data_tokenize_spark.operators.corpus import mix_sources
+
+    return mix_sources(_documents(spark, sf_dir), _mix_rates()).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1167,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_pack_sequences_sharded": _with_prep(q51_pack_sequences_sharded),
         "q52_repetition_stats": _with_prep(q52_repetition_stats),
         "q53_decontaminate": _with_prep(q53_decontaminate),
+        "q54_mix_sources": _with_prep(q54_mix_sources),
     }
 
 
@@ -1362,6 +1380,13 @@ def _duck_decontaminate_sql() -> str:
         f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0",
         k=5,
     )
+
+
+def _duck_mix_sql() -> str:
+    from auto_data_tokenize_spark.operators.corpus import duckdb_mix_sql
+
+    inner = duckdb_mix_sql("documents", _mix_rates())
+    return f"SELECT doc_id, source, lang FROM ({inner}) m"
 
 
 def _duck_pack_sharded_sql() -> str:
@@ -1789,6 +1814,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q51_pack_sequences_sharded": _duck_pack_sharded_sql(),
         "q52_repetition_stats": _duck_repetition_sql(),
         "q53_decontaminate": _duck_decontaminate_sql(),
+        "q54_mix_sources": _duck_mix_sql(),
         "q49_bloom_dedup_gate": _duck_bloom_sql(),
         # the streaming gate emits only maybe-survivors with their
         # exact verdicts — the q49 bit-array twin restricted to them

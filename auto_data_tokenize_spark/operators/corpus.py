@@ -315,3 +315,58 @@ def duckdb_decontaminate_sql(
         FROM (SELECT doc_id FROM ({corpus_sql}) c2) d
         LEFT JOIN h USING (doc_id)
     """
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "adt-mix-v1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture rates —
+    the static domain-reweighting step of corpus assembly (keep
+    fraction r of each source, Pile/DoReMi-style fixed weights): a doc
+    survives iff md5-bucket(seed:id) < rate(source)·10000.
+
+    Pure projection + filter — ZERO shuffles at any scale — and stable:
+    survival depends only on (seed, id, source), so backfills and
+    re-runs keep exactly the same documents, and rate changes are
+    monotone (raising a source's rate only ADDS documents; the kept
+    set at rate r is a subset of the kept set at r' > r). Unknown
+    sources fall back to ``default_rate``.
+    """
+    b = F.expr(_bucket_expr(id_col, seed))
+    thr = None
+    for src, r in rates.items():
+        t = int(round(r * SPLIT_BUCKETS))
+        cond = F.col(source_col) == src
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        thr.otherwise(int(round(default_rate * SPLIT_BUCKETS)))
+        if thr is not None
+        else F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    )
+    return df.filter(b < thr)
+
+
+def duckdb_mix_sql(
+    table: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "adt-mix-v1",
+    default_rate: float = 1.0,
+) -> str:
+    """DuckDB twin of ``mix_sources`` (same buckets, same thresholds)."""
+    b = _duck_bucket_expr(id_col, seed)
+    cases = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {int(round(r * SPLIT_BUCKETS))}"
+        for src, r in rates.items()
+    )
+    default = int(round(default_rate * SPLIT_BUCKETS))
+    return f"""
+        SELECT * FROM {table}
+        WHERE {b} < (CASE {cases} ELSE {default} END)
+    """

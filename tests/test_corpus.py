@@ -178,3 +178,45 @@ def test_decontaminate_broadcasts_eval_side(spark):
     corpus = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
     plan = decontaminate(corpus, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mix_sources_rates_and_monotonicity(spark):
+    from auto_data_tokenize_spark.operators.corpus import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 2}") for i in range(2000)], "doc_id long, source string"
+    )
+    half = mix_sources(df, {"src0": 1.0, "src1": 0.5})
+    kept = half.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["src0"] == 1000            # full source untouched
+    assert 400 < by_src["src1"] < 600        # ~50% of 1000
+
+    # monotone: the kept set at 0.25 is a subset of the kept set at 0.5
+    quarter_ids = {
+        r["doc_id"]
+        for r in mix_sources(df, {"src0": 1.0, "src1": 0.25}).collect()
+    }
+    half_ids = {r["doc_id"] for r in half.collect()}
+    assert quarter_ids <= half_ids
+
+    # stable: re-evaluation keeps exactly the same documents
+    assert {r["doc_id"] for r in half.collect()} == half_ids
+
+
+def test_mix_sources_is_shuffle_free(spark):
+    from auto_data_tokenize_spark.operators.corpus import mix_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    plan = mix_sources(df, {"a": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mix_sources_default_rate(spark):
+    from auto_data_tokenize_spark.operators.corpus import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "unknown") for i in range(100)], "doc_id long, source string"
+    )
+    assert mix_sources(df, {"src0": 0.1}).count() == 100  # default keeps all
+    assert mix_sources(df, {"src0": 0.1}, default_rate=0.0).count() == 0
