@@ -70,6 +70,8 @@ def read_source(
         return df
     if st in ("JSON", "JSON_FILE", "JSONL"):
         return spark.read.options(**options).json(path)
+    if st in ("ORC", "ORC_FILE"):
+        return spark.read.options(**options).orc(path)
     if st in ("JDBC_TABLE", "JDBC_QUERY"):
         return read_jdbc(spark, **options)
     raise ValueError(f"unsupported source type: {source_type}")

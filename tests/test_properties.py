@@ -203,3 +203,85 @@ def test_prefix_filter_lemma(sets, t):
                 assert prefix(a) & prefix(b), (
                     f"qualifying pair lost: J={jac} t={t} a={sorted(a)} b={sorted(b)}"
                 )
+
+
+def _snappy_literal_encode(data: bytes) -> bytes:
+    """Minimal VALID snappy encoder (literals only) — exists solely to
+    fuzz the decompressor with arbitrary payloads."""
+    import io as _io
+
+    out = _io.BytesIO()
+    n = len(data)
+    u = n
+    while True:  # uvarint preamble
+        b = u & 0x7F
+        u >>= 7
+        out.write(bytes([b | 0x80] if u else [b]))
+        if not u:
+            break
+    pos = 0
+    while pos < n:  # chop into max-size literal elements
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.write(bytes([ln << 2]))
+        elif ln < 256:
+            out.write(bytes([60 << 2, ln]))
+        else:
+            out.write(bytes([61 << 2]) + ln.to_bytes(2, "little"))
+        out.write(chunk)
+        pos += len(chunk)
+    return out.getvalue()
+
+
+@given(st.binary(min_size=0, max_size=200_000))
+@settings(max_examples=150, deadline=None)
+def test_snappy_decompress_literal_identity(data):
+    """Any byte string encoded as literal elements must decode to
+    itself (pinning length handling across the 1/2-byte extended
+    literal encodings and multi-element streams)."""
+    from auto_data_tokenize_spark.sources.avro_io import snappy_decompress
+
+    assert snappy_decompress(_snappy_literal_encode(data)) == data
+
+
+@given(
+    st.binary(min_size=1, max_size=64),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=150, deadline=None)
+def test_snappy_decompress_copy_semantics(seed, off, ln):
+    """A copy (len, off) must replay byte-at-a-time history — the
+    run-length overlap case included. Build the stream with a 2-byte-
+    offset copy and compare against the reference semantics."""
+    import io as _io
+
+    from auto_data_tokenize_spark.sources.avro_io import snappy_decompress
+
+    off = min(off, len(seed))
+    want = bytearray(seed)
+    for _ in range(ln):
+        want.append(want[-off])
+
+    out = _io.BytesIO()
+    total = len(want)
+    u = total
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.write(bytes([b | 0x80] if u else [b]))
+        if not u:
+            break
+    lit = len(seed) - 1
+    if lit < 60:
+        out.write(bytes([lit << 2]))
+    else:
+        out.write(bytes([60 << 2, lit]))
+    out.write(seed)
+    remaining = ln
+    while remaining > 0:  # copy elements carry at most 64 bytes each
+        take = min(remaining, 64)
+        out.write(bytes([(take - 1) << 2 | 2]) + off.to_bytes(2, "little"))
+        remaining -= take
+    assert snappy_decompress(out.getvalue()) == bytes(want)

@@ -374,3 +374,16 @@ def test_read_jdbc_secret_resolution_real_database(spark, tmp_path):
         assert got.count() == 1
     finally:
         register_credential_provider(None)
+
+
+# -- ORC dispatch --------------------------------------------------------------
+
+
+def test_read_source_orc_roundtrip(spark, transcripts_small, tmp_path):
+    """ORC is native to Spark — the dispatch must round-trip it like
+    parquet (columnar alternative some warehouses export)."""
+    sample = transcripts_small.select("conv_id", "turn_idx", "role", "text").limit(50)
+    path = str(tmp_path / "orc_src")
+    sample.write.orc(path)
+    back = read_source(spark, "ORC", path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sample.collect()))
