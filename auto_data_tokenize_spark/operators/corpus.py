@@ -359,13 +359,18 @@ def duckdb_mix_sql(
     seed: str = "adt-mix-v1",
     default_rate: float = 1.0,
 ) -> str:
-    """DuckDB twin of ``mix_sources`` (same buckets, same thresholds)."""
+    """DuckDB twin of ``mix_sources`` (same buckets, same thresholds;
+    source names SQL-escaped, empty rates valid — matching the Spark
+    side's handling of both edges)."""
     b = _duck_bucket_expr(id_col, seed)
+    default = int(round(default_rate * SPLIT_BUCKETS))
+    if not rates:
+        return f"SELECT * FROM {table} WHERE {b} < {default}"
     cases = " ".join(
-        f"WHEN {source_col} = '{src}' THEN {int(round(r * SPLIT_BUCKETS))}"
+        f"WHEN {source_col} = '{src.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {int(round(r * SPLIT_BUCKETS))}"
         for src, r in rates.items()
     )
-    default = int(round(default_rate * SPLIT_BUCKETS))
     return f"""
         SELECT * FROM {table}
         WHERE {b} < (CASE {cases} ELSE {default} END)

@@ -299,17 +299,16 @@ def resize_images(
     pruned = media.select("media_id", "kind", "mime", "payload")
 
     def _one(p) -> bytes | None:
-        # both branches share the quarantine contract: a null or
-        # unparseable payload becomes a NULL output payload, never a
-        # failed stage (one poison row must not kill a 100 TB job)
+        # both branches share the quarantine contract: a NULL payload
+        # (or, for bmp, an unparseable one) becomes a NULL output —
+        # never a fabricated image, never a failed stage (one poison
+        # row must not kill a 100 TB job)
+        if p is None or (isinstance(p, float) and p != p):  # None / NaN
+            return None
         try:
             if decoder == "bmp":
-                return encode_bmp(
-                    resize_nearest(parse_bmp(bytes(p or b"")), width, height)
-                )
-            return bytes(
-                _fake_decode(bytes(p or b""), (width * height) // 4).tobytes()
-            )
+                return encode_bmp(resize_nearest(parse_bmp(bytes(p)), width, height))
+            return bytes(_fake_decode(bytes(p), (width * height) // 4).tobytes())
         except Exception:
             return None
 

@@ -126,14 +126,21 @@ _AVRO_TO_SPARK = {
 
 
 def _avro_name(s: str) -> str:
-    """Sanitize to a spec-legal Avro name ([A-Za-z_][A-Za-z0-9_]*)."""
-    out = "".join(c if c.isalnum() or c == "_" else "_" for c in s)
+    """Sanitize to a spec-legal Avro name ([A-Za-z_][A-Za-z0-9_]*) —
+    ASCII only; Unicode letters/digits are NOT legal in Avro names."""
+    out = "".join(
+        c if (c.isascii() and (c.isalnum() or c == "_")) else "_" for c in s
+    )
     return out if out and not out[0].isdigit() else f"_{out}"
 
 
-def _field_to_avro(dt: T.DataType, path: str = "r") -> object:
-    """``path`` uniquifies generated record names (Avro named types
-    must not collide within one schema)."""
+def _field_to_avro(
+    dt: T.DataType, path: str = "r", used: set[str] | None = None
+) -> object:
+    """``path`` seeds generated record names; ``used`` (threaded
+    through one spark_schema_to_avro call) guarantees uniqueness even
+    when distinct field paths sanitize to the same string (Avro named
+    types must not collide within one schema)."""
     for cls, name in _PRIMITIVE_TO_AVRO.items():
         if isinstance(dt, cls):
             return name
@@ -143,26 +150,37 @@ def _field_to_avro(dt: T.DataType, path: str = "r") -> object:
         return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
+    if used is None:
+        used = set()
     if isinstance(dt, T.ArrayType):
-        items = _field_to_avro(dt.elementType, f"{path}_item")
+        items = _field_to_avro(dt.elementType, f"{path}_item", used)
         if dt.containsNull:
             items = ["null", items]
         return {"type": "array", "items": items}
     if isinstance(dt, T.StructType):
+        name = _avro_name(path)
+        n = 2
+        while name in used:  # 'a b' and 'a_b' both sanitize to 'a_b'
+            name = f"{_avro_name(path)}_{n}"
+            n += 1
+        used.add(name)
         fields = []
         for f in dt.fields:
-            t = _field_to_avro(f.dataType, f"{path}_{_avro_name(f.name)}")
+            _check_field_name(f.name)
+            t = _field_to_avro(
+                f.dataType, f"{path}_{_avro_name(f.name)}", used
+            )
             fields.append(
                 {"name": f.name, "type": ["null", t] if f.nullable else t}
             )
-        return {"type": "record", "name": _avro_name(path), "fields": fields}
+        return {"type": "record", "name": name, "fields": fields}
     if isinstance(dt, T.MapType):
         if not isinstance(dt.keyType, T.StringType):
             raise ValueError(
                 "Avro maps are string-keyed; got key type "
                 f"{dt.keyType.simpleString()}"
             )
-        values = _field_to_avro(dt.valueType, f"{path}_value")
+        values = _field_to_avro(dt.valueType, f"{path}_value", used)
         if dt.valueContainsNull:
             values = ["null", values]
         return {"type": "map", "values": values}
@@ -172,10 +190,23 @@ def _field_to_avro(dt: T.DataType, path: str = "r") -> object:
     )
 
 
+def _check_field_name(name: str) -> None:
+    """Avro FIELD names share the name grammar; silently writing an
+    illegal one would produce files conformant readers reject."""
+    if _avro_name(name) != name:
+        raise ValueError(
+            f"column name {name!r} is not a legal Avro name "
+            "([A-Za-z_][A-Za-z0-9_]*); rename it (withColumnRenamed) "
+            "before the Avro sink"
+        )
+
+
 def spark_schema_to_avro(schema: T.StructType, name: str = "Record") -> dict:
+    used = {name}
     fields = []
     for f in schema.fields:
-        t = _field_to_avro(f.dataType, _avro_name(f.name))
+        _check_field_name(f.name)
+        t = _field_to_avro(f.dataType, _avro_name(f.name), used)
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
@@ -455,7 +486,16 @@ def _record_decoder(avsc: dict):
 
 
 def snappy_decompress(data: bytes) -> bytes:
-    """Decompress one raw snappy block (not the framing format)."""
+    """Decompress one raw snappy block (not the framing format).
+    All corruption modes raise ValueError (the codec's error
+    contract); truncated streams included."""
+    try:
+        return _snappy_decompress_inner(data)
+    except IndexError:
+        raise ValueError("corrupt snappy stream (truncated)") from None
+
+
+def _snappy_decompress_inner(data: bytes) -> bytes:
     pos, shift, length = 0, 0, 0
     while True:  # uvarint preamble: uncompressed length
         b = data[pos]
@@ -513,6 +553,8 @@ def _decompress_block(raw: bytes, codec: str) -> bytes:
     if codec == "deflate":
         return zlib.decompress(raw, wbits=-15)
     if codec == "snappy":
+        if len(raw) < 5:  # 4-byte CRC + at least the length preamble
+            raise ValueError("corrupt snappy stream (truncated block)")
         body, crc = raw[:-4], raw[-4:]
         out = snappy_decompress(body)
         if zlib.crc32(out) != int.from_bytes(crc, "big"):
@@ -839,7 +881,10 @@ def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int
 
 
 def read_avro_stream(
-    spark: SparkSession, path: str, avsc: dict | None = None
+    spark: SparkSession,
+    path: str,
+    avsc: dict | None = None,
+    max_file_bytes: int = 1 << 30,
 ) -> DataFrame:
     """STREAMING Avro ingestion without the spark-avro jar: a
     binaryFile file stream + the same per-file mapInPandas decode as
@@ -848,10 +893,20 @@ def read_avro_stream(
     omitted, from the header of a file already present (a stream over
     an initially-empty directory must pass ``avsc`` explicitly).
 
+    ``max_file_bytes`` (same memory model as the batch fallback: one
+    whole file per task) is enforced IN-PLAN as a ``length`` filter the
+    binaryFile source pushes into file listing, so an oversize drop is
+    never read into executor memory — it is SKIPPED, not failed (a
+    stream cannot raise per-file; monitor skips with a side query on
+    ``length > max_file_bytes`` if drops must be loud). A driver-side
+    pre-check could not cover files arriving after the stream starts.
+
     Scale shape: parallelism = files per trigger (each file decodes in
     one task), the natural unit for crawl/export drops; the decode is
     behind a Python eval node so no expression pushdown applies — put
     filters AFTER it knowingly."""
+    from pyspark.sql import functions as F
+
     if avsc is None:
         files = _avro_files(path)
         with open(files[0], "rb") as f:
@@ -867,6 +922,7 @@ def read_avro_stream(
         )
         .option("pathGlobFilter", "*.avro")
         .load(path)
+        .filter(F.col("length") <= max_file_bytes)
         .select("content")
     )
     return bin_stream.mapInPandas(decode, schema)

@@ -454,3 +454,63 @@ def test_max_file_bytes_guard(spark, tmp_path, transcripts_small):
     with pytest.raises(ValueError, match="max_file_bytes"):
         A.read_avro_fallback(spark, path, max_file_bytes=10)
     assert A.read_avro_fallback(spark, path).count() == 20  # default passes
+
+
+def test_generated_record_names_cannot_collide():
+    """'a b' and 'a_b' sanitize identically — the writer must still
+    emit unique named types or conformant readers reject the file."""
+    from pyspark.sql import types as T
+
+    inner = T.StructType([T.StructField("x", T.LongType())])
+    st = T.StructType(
+        [
+            T.StructField("a b", inner),
+            T.StructField("a_b", inner),
+        ]
+    )
+    # illegal FIELD name 'a b' must be rejected outright
+    with pytest.raises(ValueError, match="legal Avro name"):
+        A.spark_schema_to_avro(st)
+    st2 = T.StructType(
+        [
+            T.StructField("ok", T.StructType(
+                [T.StructField("a_b", inner)])),
+            T.StructField("ok_a_b", inner),
+        ]
+    )
+    avsc = A.spark_schema_to_avro(st2, "R")
+
+    names = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "record":
+                names.append(t["name"])
+                for f in t["fields"]:
+                    walk(f["type"])
+            elif t.get("type") == "array":
+                walk(t["items"])
+            elif t.get("type") == "map":
+                walk(t["values"])
+        elif isinstance(t, list):
+            for x in t:
+                walk(x)
+
+    walk(avsc)
+    assert len(names) == len(set(names)), names
+
+
+def test_non_ascii_field_name_gates():
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="legal Avro name"):
+        A.spark_schema_to_avro(
+            T.StructType([T.StructField("café", T.LongType())])
+        )
+
+
+def test_snappy_truncated_raises_valueerror():
+    with pytest.raises(ValueError, match="truncated"):
+        A.snappy_decompress(b"")
+    with pytest.raises(ValueError, match="corrupt|truncated"):
+        A.snappy_decompress(bytes([200, 1]))  # preamble cut mid-varint

@@ -220,3 +220,22 @@ def test_mix_sources_default_rate(spark):
     )
     assert mix_sources(df, {"src0": 0.1}).count() == 100  # default keeps all
     assert mix_sources(df, {"src0": 0.1}, default_rate=0.0).count() == 0
+
+
+def test_duckdb_mix_sql_edges():
+    """Empty rates and quote-bearing source names must stay valid SQL
+    (the Spark side handles both; the twin may not diverge)."""
+    import duckdb
+
+    from auto_data_tokenize_spark.operators.corpus import duckdb_mix_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, 'o''brien'), (2, 'x'))"
+        " v(doc_id, source)"
+    )
+    assert con.execute(duckdb_mix_sql("t", {})).fetchdf().shape[0] == 2
+    out = con.execute(
+        duckdb_mix_sql("t", {"o'brien": 0.0})
+    ).fetchdf()
+    assert set(out["source"]) <= {"x"}

@@ -274,13 +274,19 @@ def test_poison_payloads_quarantine_not_crash(spark):
     assert len(resized) == 4
     assert resized[0] is not None and all(resized[i] is None for i in (1, 2, 3))
 
-    # the fake branch shares the quarantine contract (r3 ADVICE): null
-    # payloads hash as empty bytes, they never TypeError the stage
+    # the fake branch shares the quarantine contract (r3 ADVICE): a
+    # NULL payload quarantines as NULL (never a fabricated image);
+    # non-null opaque bytes fake-decode fine
     fake = {
         r["media_id"]: r["payload"]
         for r in resize_images(media, 4, 3, decoder="fake").collect()
     }
     assert len(fake) == 4
-    assert all(fake[i] is not None for i in range(4))
-    assert fake[1] == fake[1]  # deterministic
+    assert fake[1] is None  # null payload stays null
+    assert all(fake[i] is not None for i in (0, 2, 3))
     assert fake[2] != fake[3]  # payload-dependent
+    rerun = {
+        r["media_id"]: r["payload"]
+        for r in resize_images(media, 4, 3, decoder="fake").collect()
+    }
+    assert rerun == fake  # deterministic across runs
