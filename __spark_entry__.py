@@ -983,6 +983,44 @@ def q54_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keyed upserts through the exactly-once sink's
+    merge-on-read mode: documents replay as an update stream
+    (key = doc_id % 100, version = doc_id), micro-batches APPEND
+    cheaply, and the committed read resolves each key to its
+    highest-version row — the dimension-maintenance shape. The oracle
+    is the identical window resolution in SQL."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    base = tempfile.mkdtemp(prefix="adt_stream_q_upsert_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet")).loc[
+            :, ["doc_id", "n_chars"]
+        ]
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, n_chars long")
+        updates = st.select(
+            (F.col("doc_id") % 100).alias("k"),
+            F.col("doc_id").alias("version"),
+            "n_chars",
+        )
+        sink = ExactlyOnceSink(
+            f"{base}/out", key_cols=("k",), version_col="version"
+        )
+        pipeline.run_to_sink(updates, sink, f"{base}/ckpt")
+        out = sink.read_committed(spark)
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select("k", "version", "n_chars")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1185,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_repetition_stats": _with_prep(q52_repetition_stats),
         "q53_decontaminate": _with_prep(q53_decontaminate),
         "q54_mix_sources": _with_prep(q54_mix_sources),
+        "q55_stream_upsert": _with_prep(q55_stream_upsert),
     }
 
 
@@ -1815,6 +1854,16 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q52_repetition_stats": _duck_repetition_sql(),
         "q53_decontaminate": _duck_decontaminate_sql(),
         "q54_mix_sources": _duck_mix_sql(),
+        # merge-on-read resolution is exactly a window: latest version
+        # per key, and doc_id is unique so ties cannot occur
+        "q55_stream_upsert": """
+            SELECT k, version, n_chars FROM (
+              SELECT doc_id % 100 AS k, doc_id AS version, n_chars,
+                     row_number() OVER (PARTITION BY doc_id % 100
+                                        ORDER BY doc_id DESC) AS rn
+              FROM documents
+            ) t WHERE rn = 1
+        """,
         "q49_bloom_dedup_gate": _duck_bloom_sql(),
         # the streaming gate emits only maybe-survivors with their
         # exact verdicts — the q49 bit-array twin restricted to them

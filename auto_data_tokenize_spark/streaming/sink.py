@@ -54,12 +54,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ExactlyOnceSink:
+    """See module docstring. ``key_cols``/``version_col`` switch the
+    table into UPSERT (merge-on-read) mode — the CDC / dimension-
+    maintenance shape: every micro-batch still APPENDS (cheap, no
+    table rewrite — LSM-style), and ``read_committed`` resolves each
+    key to its highest-version row, ties broken by batch id.
+    ``compact()`` then IS the merge: it materializes the resolved view
+    as the single compacted batch, discarding superseded versions.
+    Contract: (version, batch id) must order each key's updates
+    totally — reuse an event version/timestamp your CDC feed already
+    carries. ``tombstone_col`` (boolean), when set, deletes a key once
+    its winning row is a tombstone — the row disappears from reads and
+    from the next compaction, the standard LSM delete."""
+
     def __init__(
         self,
         table_path: str,
         partition_by: tuple[str, ...] = (),
         use_iceberg: bool = False,
         iceberg_table: str | None = None,
+        key_cols: tuple[str, ...] = (),
+        version_col: str | None = None,
+        tombstone_col: str | None = None,
     ):
         if "://" in table_path:
             raise ValueError(
@@ -70,10 +86,25 @@ class ExactlyOnceSink:
             )
         if use_iceberg and not iceberg_table:
             raise ValueError("use_iceberg=True requires iceberg_table=<catalog.db.name>")
+        if bool(key_cols) != bool(version_col):
+            raise ValueError(
+                "upsert mode needs BOTH key_cols and version_col (the "
+                "version orders each key's updates deterministically)"
+            )
+        if tombstone_col and not key_cols:
+            raise ValueError("tombstone_col requires upsert mode (key_cols)")
+        if use_iceberg and key_cols:
+            raise ValueError(
+                "upsert mode applies to the parquet commit-log layout; "
+                "Iceberg tables use MERGE INTO"
+            )
         self.table_path = table_path
         self.partition_by = tuple(partition_by)
         self.use_iceberg = use_iceberg
         self.iceberg_table = iceberg_table
+        self.key_cols = tuple(key_cols)
+        self.version_col = version_col
+        self.tombstone_col = tombstone_col
         self.data_dir = os.path.join(table_path, "data")
         self.commits_dir = os.path.join(table_path, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -221,7 +252,15 @@ class ExactlyOnceSink:
         target = self._batch_dir(new_id)
         if os.path.exists(target):
             shutil.rmtree(target)
-        df = spark.read.parquet(*[self._batch_dir(b) for b in ids])
+        batch_dirs = [self._batch_dir(b) for b in ids]
+        # upsert mode: compaction IS the merge — materialize the
+        # resolved latest-per-key view, dropping superseded versions
+        # and tombstoned keys for good (the LSM major compaction)
+        df = (
+            self._resolve_upserts(spark, batch_dirs)
+            if self.key_cols
+            else spark.read.parquet(*batch_dirs)
+        )
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -302,7 +341,32 @@ class ExactlyOnceSink:
         dirs = [self._batch_dir(b) for b in self.committed_batches()]
         if not dirs:
             raise ValueError(f"no committed batches under {self.table_path}")
-        return spark.read.parquet(*dirs)
+        if not self.key_cols:
+            return spark.read.parquet(*dirs)
+        return self._resolve_upserts(spark, dirs)
+
+    def _resolve_upserts(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+        """Merge-on-read: latest (version, batch_id) row per key. One
+        shuffle on the key — the same shape at any table size, since
+        resolution is per-key and batches are key-partitionable; the
+        ``basePath`` option surfaces each dir's batch_id as a partition
+        column for the tie-break."""
+        from pyspark.sql import Window, functions as F
+
+        df = spark.read.option("basePath", self.data_dir).parquet(*dirs)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.desc(self.version_col), F.desc("batch_id")
+        )
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+        if self.tombstone_col:
+            out = out.filter(
+                ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+            )
+        return out
 
     def total_rows(self) -> int:
         # Iceberg-mode markers carry row_count=None (row accounting

@@ -472,3 +472,123 @@ def test_split_assign_is_mode_agnostic(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch and len(got) == 300
+
+
+# -- upsert (merge-on-read) mode ----------------------------------------------
+
+
+def test_upsert_sink_resolves_latest_per_key(spark, tmp_path):
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(
+        str(tmp_path / "t"), key_cols=("k",), version_col="v"
+    )
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (1, 11, "a2")], "k int, v int, val string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 20, "b2"), (3, 5, "c")], "k int, v int, val string"
+    )
+    sink.foreach_batch(b0, 0)
+    sink.foreach_batch(b1, 1)
+    got = {r["k"]: (r["v"], r["val"]) for r in sink.read_committed(spark).collect()}
+    assert got == {1: (11, "a2"), 2: (20, "b2"), 3: (5, "c")}
+
+    # redelivery of an already-committed batch is a no-op
+    sink.foreach_batch(b0, 0)
+    again = {r["k"]: (r["v"], r["val"]) for r in sink.read_committed(spark).collect()}
+    assert again == got
+
+
+def test_upsert_version_tie_broken_by_batch_id(spark, tmp_path):
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(
+        str(tmp_path / "t"), key_cols=("k",), version_col="v"
+    )
+    sink.foreach_batch(
+        spark.createDataFrame([(1, 7, "old")], "k int, v int, val string"), 0
+    )
+    sink.foreach_batch(
+        spark.createDataFrame([(1, 7, "new")], "k int, v int, val string"), 1
+    )
+    rows = sink.read_committed(spark).collect()
+    assert len(rows) == 1 and rows[0]["val"] == "new"
+
+
+def test_upsert_compaction_is_the_merge(spark, tmp_path):
+    """compact() materializes the resolved view; reads after it (and
+    after FURTHER appends) still resolve correctly."""
+    import os
+
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    path = str(tmp_path / "t")
+    sink = ExactlyOnceSink(path, key_cols=("k",), version_col="v")
+    for b, rows in enumerate(
+        [[(1, 1, "x1"), (2, 1, "y1")], [(1, 2, "x2")], [(2, 3, "y3")]]
+    ):
+        sink.foreach_batch(
+            spark.createDataFrame(rows, "k int, v int, val string"), b
+        )
+    sink.compact(spark)
+    got = {r["k"]: r["val"] for r in sink.read_committed(spark).collect()}
+    assert got == {1: "x2", 2: "y3"}
+    # superseded versions are physically gone after the merge
+    compacted = spark.read.parquet(os.path.join(path, "data", "batch_id=-1"))
+    assert compacted.count() == 2
+    # appends after compaction still win on higher version
+    sink.foreach_batch(
+        spark.createDataFrame([(1, 9, "x9")], "k int, v int, val string"), 3
+    )
+    got = {r["k"]: r["val"] for r in sink.read_committed(spark).collect()}
+    assert got == {1: "x9", 2: "y3"}
+
+
+def test_upsert_tombstone_deletes_key(spark, tmp_path):
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(
+        str(tmp_path / "t"),
+        key_cols=("k",),
+        version_col="v",
+        tombstone_col="del",
+    )
+    sink.foreach_batch(
+        spark.createDataFrame(
+            [(1, 1, "a", False), (2, 1, "b", False)],
+            "k int, v int, val string, del boolean",
+        ),
+        0,
+    )
+    sink.foreach_batch(
+        spark.createDataFrame(
+            [(1, 2, None, True)], "k int, v int, val string, del boolean"
+        ),
+        1,
+    )
+    assert {r["k"] for r in sink.read_committed(spark).collect()} == {2}
+    # the delete survives compaction (key physically dropped)
+    sink.compact(spark)
+    assert {r["k"] for r in sink.read_committed(spark).collect()} == {2}
+
+
+def test_upsert_mode_guards(tmp_path):
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    with _pytest.raises(ValueError, match="BOTH key_cols and version_col"):
+        ExactlyOnceSink(str(tmp_path / "a"), key_cols=("k",))
+    with _pytest.raises(ValueError, match="BOTH key_cols and version_col"):
+        ExactlyOnceSink(str(tmp_path / "b"), version_col="v")
+    with _pytest.raises(ValueError, match="tombstone_col requires"):
+        ExactlyOnceSink(str(tmp_path / "c"), tombstone_col="del")
+    with _pytest.raises(ValueError, match="MERGE INTO"):
+        ExactlyOnceSink(
+            str(tmp_path / "d"),
+            use_iceberg=True,
+            iceberg_table="c.d.t",
+            key_cols=("k",),
+            version_col="v",
+        )
