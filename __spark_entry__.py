@@ -1021,6 +1021,18 @@ def q55_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("k", "version", "n_chars")
 
 
+def q56_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: per-(lang, source) doc counts and token-length
+    distribution — one partial-aggregated groupBy over the shared
+    token contract."""
+    from auto_data_tokenize_spark.operators.textstats import dataset_report
+
+    return dataset_report(_documents(spark, sf_dir)).select(
+        "lang", "source", "n_docs", "total_tokens",
+        "min_tokens", "avg_tokens", "max_tokens",
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1224,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_decontaminate": _with_prep(q53_decontaminate),
         "q54_mix_sources": _with_prep(q54_mix_sources),
         "q55_stream_upsert": _with_prep(q55_stream_upsert),
+        "q56_dataset_report": _with_prep(q56_dataset_report),
     }
 
 
@@ -1426,6 +1439,14 @@ def _duck_mix_sql() -> str:
 
     inner = duckdb_mix_sql("documents", _mix_rates())
     return f"SELECT doc_id, source, lang FROM ({inner}) m"
+
+
+def _duck_dataset_report_sql() -> str:
+    from auto_data_tokenize_spark.operators.textstats import (
+        duckdb_dataset_report_sql,
+    )
+
+    return duckdb_dataset_report_sql("documents")
 
 
 def _duck_pack_sharded_sql() -> str:
@@ -1864,6 +1885,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
               FROM documents
             ) t WHERE rn = 1
         """,
+        "q56_dataset_report": _duck_dataset_report_sql(),
         "q49_bloom_dedup_gate": _duck_bloom_sql(),
         # the streaming gate emits only maybe-survivors with their
         # exact verdicts — the q49 bit-array twin restricted to them

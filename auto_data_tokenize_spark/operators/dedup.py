@@ -676,8 +676,15 @@ def connected_components(
         )
     finally:
         # prompt reclamation of the per-round checkpoint blocks whose
-        # references just went out of scope
+        # references just went out of scope: Python's cyclic GC first
+        # (the take(1)-based probe leaves DataFrame cycles that
+        # refcounting alone does not free, and py4j only releases the
+        # JVM-side handles once the Python wrappers die), then the JVM
+        # GC so ContextCleaner sees the dropped references
         try:
+            import gc
+
+            gc.collect()
             edges.sparkSession.sparkContext._jvm.System.gc()
         except Exception:
             pass

@@ -470,3 +470,49 @@ def duckdb_repetition_sql(table: str, text_col: str = "text", n: int = 2) -> str
                round(r.c::DOUBLE / r.tot, 6) AS top_ngram_frac
         FROM w JOIN r ON w.doc_id = r.doc_id AND r.rn = 1
     """
+
+
+def dataset_report(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group dataset card: document count, token totals, and
+    document-length distribution (min/mean/max) — the summary table a
+    corpus release ships with. One partial-aggregated groupBy; every
+    measure derives from the shared ``ws_tokens_expr`` contract so the
+    SQL twin is exact."""
+    group_cols = group_cols or ["lang", "source"]
+    n_tok = ws_tokens_expr(text_col)
+    return (
+        df.withColumn("_nt", n_tok)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.min("_nt").alias("min_tokens"),
+            F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )
+
+
+def duckdb_dataset_report_sql(
+    table: str,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``dataset_report``."""
+    group_cols = group_cols or ["lang", "source"]
+    g = ", ".join(group_cols)
+    nt = duckdb_ws_tokens_sql(text_col)
+    return f"""
+        SELECT {g},
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               min(nt) AS min_tokens,
+               round(avg(nt), 6) AS avg_tokens,
+               max(nt) AS max_tokens
+        FROM (SELECT {g}, {nt} AS nt FROM {table}) t
+        GROUP BY {g}
+    """
