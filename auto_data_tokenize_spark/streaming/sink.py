@@ -76,6 +76,7 @@ class ExactlyOnceSink:
         key_cols: tuple[str, ...] = (),
         version_col: str | None = None,
         tombstone_col: str | None = None,
+        merge_schema: bool = False,
     ):
         if "://" in table_path:
             raise ValueError(
@@ -105,6 +106,11 @@ class ExactlyOnceSink:
         self.key_cols = tuple(key_cols)
         self.version_col = version_col
         self.tombstone_col = tombstone_col
+        # schema evolution: batches may add columns over the table's
+        # life (the CDC reality); readers then union schemas, with
+        # NULLs where an old batch lacks a new column. Off by default —
+        # merged-footer reads cost a footer pass per file.
+        self.merge_schema = merge_schema
         self.data_dir = os.path.join(table_path, "data")
         self.commits_dir = os.path.join(table_path, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -259,7 +265,7 @@ class ExactlyOnceSink:
         df = (
             self._resolve_upserts(spark, batch_dirs)
             if self.key_cols
-            else spark.read.parquet(*batch_dirs)
+            else self._read_parquet(spark, batch_dirs)
         )
         writer = df.write.mode("overwrite")
         if self.partition_by:
@@ -342,8 +348,14 @@ class ExactlyOnceSink:
         if not dirs:
             raise ValueError(f"no committed batches under {self.table_path}")
         if not self.key_cols:
-            return spark.read.parquet(*dirs)
+            return self._read_parquet(spark, dirs)
         return self._resolve_upserts(spark, dirs)
+
+    def _read_parquet(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+        reader = spark.read
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     def _resolve_upserts(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
         """Merge-on-read: latest (version, batch_id) row per key. One
@@ -353,7 +365,10 @@ class ExactlyOnceSink:
         column for the tie-break."""
         from pyspark.sql import Window, functions as F
 
-        df = spark.read.option("basePath", self.data_dir).parquet(*dirs)
+        reader = spark.read.option("basePath", self.data_dir)
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*dirs)
         w = Window.partitionBy(*self.key_cols).orderBy(
             F.desc(self.version_col), F.desc("batch_id")
         )

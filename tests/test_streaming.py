@@ -592,3 +592,32 @@ def test_upsert_mode_guards(tmp_path):
             key_cols=("k",),
             version_col="v",
         )
+
+
+def test_sink_schema_evolution(spark, tmp_path):
+    """merge_schema=True: a later batch may ADD columns; reads union
+    schemas with NULLs for old batches, and upsert resolution still
+    works across the evolution boundary."""
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(
+        str(tmp_path / "t"),
+        key_cols=("k",),
+        version_col="v",
+        merge_schema=True,
+    )
+    sink.foreach_batch(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k int, v int, val string"), 0
+    )
+    sink.foreach_batch(
+        spark.createDataFrame(
+            [(1, 2, "a2", "extra")], "k int, v int, val string, note string"
+        ),
+        1,
+    )
+    got = {r["k"]: (r["val"], r["note"]) for r in sink.read_committed(spark).collect()}
+    assert got == {1: ("a2", "extra"), 2: ("b", None)}
+    # compaction carries the evolved schema forward
+    sink.compact(spark)
+    got = {r["k"]: (r["val"], r["note"]) for r in sink.read_committed(spark).collect()}
+    assert got == {1: ("a2", "extra"), 2: ("b", None)}
