@@ -1033,6 +1033,38 @@ def q56_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with a 1-hour tolerance: each view event picks the
+    user's NEXT purchase within 3600 s (merge_asof semantics Spark
+    lacks natively; same single-shuffle union+window plan as q33, the
+    tolerance a codegen post-filter). Oracle: DuckDB LATERAL pick."""
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="user_id",
+        right_cols=["purchase_id", "value"],
+        right_tiebreak="purchase_id",
+        direction="forward",
+        tolerance=3600,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("purchase_id_asof").alias("purchase_id"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1237,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_mix_sources": _with_prep(q54_mix_sources),
         "q55_stream_upsert": _with_prep(q55_stream_upsert),
         "q56_dataset_report": _with_prep(q56_dataset_report),
+        "q57_asof_forward_tolerance": _with_prep(q57_asof_forward_tolerance),
     }
 
 
@@ -1886,6 +1919,23 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             ) t WHERE rn = 1
         """,
         "q56_dataset_report": _duck_dataset_report_sql(),
+        # forward as-of with tolerance: LATERAL next-purchase pick,
+        # same (ts ASC, event_id DESC) tie order as the Spark tiebreak
+        "q57_asof_forward_tolerance": """
+            SELECT v.event_id, v.user_id, v.ts,
+                   rr.ts AS purchase_ts, rr.event_id AS purchase_id,
+                   rr.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN LATERAL (
+              SELECT p.ts, p.event_id, p.value
+              FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                AND p.ts >= v.ts
+                AND epoch(p.ts) - epoch(v.ts) <= 3600
+              ORDER BY p.ts ASC, p.event_id DESC
+              LIMIT 1
+            ) rr ON TRUE
+        """,
         "q49_bloom_dedup_gate": _duck_bloom_sql(),
         # the streaming gate emits only maybe-survivors with their
         # exact verdicts — the q49 bit-array twin restricted to them

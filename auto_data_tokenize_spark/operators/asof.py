@@ -112,9 +112,12 @@ def asof_join(
     suffix: str = "_asof",
     how: str = "inner",
     right_tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left rows + the latest right row at-or-before each left row's
-    timestamp, per ``on`` key.
+    """Left rows + the closest right row at-or-before
+    (``direction='backward'``, the default) or at-or-after
+    (``'forward'``) each left row's timestamp, per ``on`` key.
 
     ``right_cols``: right columns to carry (default: all but key+ts);
     each lands as ``<name><suffix>``; the matched right timestamp lands
@@ -123,9 +126,16 @@ def asof_join(
     right rows share (key, ts), pick the one with the LARGEST value of
     this right column (deterministic; without it the pick is
     partition-order-dependent, same as DuckDB's ASOF on duplicate ts).
+    ``tolerance``: maximum |left ts − matched ts| in seconds (numeric
+    ts columns: in their own units) — farther matches become misses,
+    the pandas ``merge_asof`` contract. Both additions keep the plan
+    shape: one shuffle on the key, the tolerance applied as a codegen
+    post-filter on the filled struct.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     carry = [right_ts] + list(right_cols)
@@ -183,11 +193,15 @@ def asof_join(
     )
 
     u = l_tag.unionByName(r_tag)
-    # right rows sort BEFORE left rows at the same ts → at-or-before;
-    # the tiebreak orders equal-ts right rows so last() is deterministic
-    # (left rows carry a null struct there: nulls_first keeps them
-    # unaffected within their own (_ats, _is_right=0) group)
-    order = [F.col("_ats").asc(), F.col("_is_right").desc()]
+    # backward: ascending ts scan — last right in the prefix is the
+    # latest at-or-before. forward: DESCENDING ts scan — last right in
+    # the prefix is the earliest at-or-after. Right rows sort BEFORE
+    # left rows at the same ts either way (_is_right desc) so equal
+    # timestamps match; the tiebreak orders equal-ts right rows so
+    # last() is deterministic (left rows carry a null struct there:
+    # nulls_first keeps them unaffected in their own group)
+    ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    order = [ats, F.col("_is_right").desc()]
     if right_tiebreak is not None:
         order.append(F.col("_r").getField(right_tiebreak).asc_nulls_first())
     w = (
@@ -198,6 +212,27 @@ def asof_join(
     filled = u.select(
         "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_f")
     ).filter(F.col("_is_right") == 0)
+    if tolerance is not None:
+        from pyspark.sql import types as T
+
+        def _seconds(col, dtype):
+            # TIMESTAMP_NTZ has no direct double cast; reinterpret in
+            # the session tz first (both sides shift identically, so
+            # the DIFFERENCE is exact)
+            if isinstance(dtype, T.TimestampNTZType):
+                col = col.cast("timestamp")
+            return col.cast("double")
+
+        matched = _seconds(
+            F.col("_f").getField(right_ts), right.schema[right_ts].dataType
+        )
+        anchor = _seconds(F.col("_ats"), left.schema[left_ts].dataType)
+        gap = anchor - matched if direction == "backward" else matched - anchor
+        # a too-far match becomes a miss (null struct); a null match
+        # stays null (when() propagates it)
+        filled = filled.withColumn(
+            "_f", F.when(gap <= F.lit(float(tolerance)), F.col("_f"))
+        )
 
     out = filled.select(
         *[c for c in left.columns],

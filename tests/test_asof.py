@@ -241,3 +241,45 @@ def test_range_join_rejects_collisions(spark):
     left2 = _ts(spark, [("u", "2026-01-01 01:00:00", 1)], "k string, s string, rid_r int")
     with pytest.raises(ValueError, match="suffix"):
         range_join(left2, right, on="k", lower_s=-3600, upper_s=0)
+
+
+def test_asof_forward_and_tolerance_match_pandas(spark):
+    """Cross-check direction/tolerance against pandas merge_asof (an
+    independent reference implementation) on numeric timestamps."""
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "ts": [10.0, 20.0, 35.0, 5.0, 50.0]}
+    ).sort_values("ts")
+    right_pd = pd.DataFrame(
+        {"k": [1, 1, 1, 2], "ts": [12.0, 30.0, 100.0, 4.0], "val": [1, 2, 3, 4]}
+    ).sort_values("ts")
+
+    for direction, tol in [("forward", None), ("forward", 15.0),
+                           ("backward", None), ("backward", 8.0)]:
+        want = pd.merge_asof(
+            left_pd, right_pd, on="ts", by="k", direction=direction,
+            tolerance=tol,
+        )
+        left = spark.createDataFrame(left_pd)
+        right = spark.createDataFrame(right_pd)
+        got = asof_join(
+            left, right, on="k", right_cols=["val"], how="left",
+            direction=direction, tolerance=tol, right_tiebreak="val",
+        ).toPandas()
+        w = {(r.k, r.ts): r.val for r in want.itertuples()}
+        g = {(r["k"], r["ts"]): r["val_asof"] for _, r in got.iterrows()}
+        norm = lambda d: {k: (None if pd.isna(v) else int(v)) for k, v in d.items()}  # noqa: E731
+        assert norm(g) == norm(w), (direction, tol)
+
+
+def test_asof_direction_guard(spark):
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, ts double")
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(df, df, on="k", direction="nearest")
