@@ -110,3 +110,59 @@ def test_prepare_corpus_filters_then_dedups(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(r["doc_id"] for r in prepare_corpus(df, CorpusPrepConfig()).collect())
     assert got == [0, 5]
+
+
+def test_round4_operators_stay_jvm_side(spark):
+    """The round-4 corpus/text operators must plan with zero Python
+    eval nodes — whole-stage codegen end to end."""
+    from auto_data_tokenize_spark.operators.corpus import (
+        decontaminate,
+        mix_sources,
+    )
+    from auto_data_tokenize_spark.operators.textstats import (
+        dataset_report,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter("doc_id % 29 = 0").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 29 != 0").select("doc_id", "text")
+    for df in (
+        repetition_stats(docs),
+        dataset_report(docs),
+        mix_sources(docs, {"src0": 0.5}),
+        decontaminate(corpus, ev),
+    ):
+        plan = _executed(df)
+        for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert bad not in plan, plan
+
+
+def test_asof_tolerance_single_shuffle(spark):
+    """direction/tolerance must not change the plan shape: exactly one
+    Exchange (the key window shuffle), no join, no Python."""
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+    r = spark.createDataFrame([(1, 12.0, 3)], "k int, ts double, v int")
+    plan = _executed(
+        asof_join(l, r, on="k", right_cols=["v"], how="left",
+                  direction="forward", tolerance=5.0)
+    )
+    # local createDataFrame parallelizes without scan exchanges; the
+    # only shuffle is the window partitioning on the key
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
+def test_upsert_resolution_single_shuffle(spark, tmp_path):
+    """Merge-on-read resolution is one key shuffle + window filter."""
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "t"), key_cols=("k",), version_col="v")
+    sink.foreach_batch(spark.createDataFrame([(1, 1, "a")], "k int, v int, val string"), 0)
+    sink.foreach_batch(spark.createDataFrame([(1, 2, "b")], "k int, v int, val string"), 1)
+    plan = _executed(sink.read_committed(spark))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
