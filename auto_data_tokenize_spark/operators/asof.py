@@ -116,8 +116,10 @@ def asof_join(
     tolerance: float | None = None,
 ) -> DataFrame:
     """Left rows + the closest right row at-or-before
-    (``direction='backward'``, the default) or at-or-after
-    (``'forward'``) each left row's timestamp, per ``on`` key.
+    (``direction='backward'``, the default), at-or-after
+    (``'forward'``), or by smallest absolute gap (``'nearest'``, ties
+    prefer backward — pandas semantics) for each left row's timestamp,
+    per ``on`` key.
 
     ``right_cols``: right columns to carry (default: all but key+ts);
     each lands as ``<name><suffix>``; the matched right timestamp lands
@@ -134,8 +136,10 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     carry = [right_ts] + list(right_cols)
@@ -193,41 +197,70 @@ def asof_join(
     )
 
     u = l_tag.unionByName(r_tag)
-    # backward: ascending ts scan — last right in the prefix is the
-    # latest at-or-before. forward: DESCENDING ts scan — last right in
-    # the prefix is the earliest at-or-after. Right rows sort BEFORE
-    # left rows at the same ts either way (_is_right desc) so equal
-    # timestamps match; the tiebreak orders equal-ts right rows so
-    # last() is deterministic (left rows carry a null struct there:
-    # nulls_first keeps them unaffected in their own group)
-    ats = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
-    order = [ats, F.col("_is_right").desc()]
-    if right_tiebreak is not None:
-        order.append(F.col("_r").getField(right_tiebreak).asc_nulls_first())
-    w = (
-        Window.partitionBy(on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_f")
-    ).filter(F.col("_is_right") == 0)
-    if tolerance is not None:
-        from pyspark.sql import types as T
 
-        def _seconds(col, dtype):
-            # TIMESTAMP_NTZ has no direct double cast; reinterpret in
-            # the session tz first (both sides shift identically, so
-            # the DIFFERENCE is exact)
-            if isinstance(dtype, T.TimestampNTZType):
-                col = col.cast("timestamp")
-            return col.cast("double")
+    from pyspark.sql import types as T
 
-        matched = _seconds(
-            F.col("_f").getField(right_ts), right.schema[right_ts].dataType
+    def _seconds(col, dtype):
+        # TIMESTAMP_NTZ has no direct double cast; reinterpret in
+        # the session tz first (both sides shift identically, so
+        # the DIFFERENCE is exact)
+        if isinstance(dtype, T.TimestampNTZType):
+            col = col.cast("timestamp")
+        return col.cast("double")
+
+    def _fill(d: str):
+        # backward: ascending ts scan — last right in the prefix is
+        # the latest at-or-before. forward: DESCENDING ts scan — last
+        # right in the prefix is the earliest at-or-after. Right rows
+        # sort BEFORE left rows at the same ts either way (_is_right
+        # desc) so equal timestamps match; the tiebreak orders
+        # equal-ts right rows so last() is deterministic (left rows
+        # carry a null struct there: nulls_first keeps them unaffected
+        # in their own group)
+        ats = F.col("_ats").asc() if d == "backward" else F.col("_ats").desc()
+        order = [ats, F.col("_is_right").desc()]
+        if right_tiebreak is not None:
+            order.append(F.col("_r").getField(right_tiebreak).asc_nulls_first())
+        w = (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        anchor = _seconds(F.col("_ats"), left.schema[left_ts].dataType)
-        gap = anchor - matched if direction == "backward" else matched - anchor
+        return F.last(F.col("_r"), ignorenulls=True).over(w)
+
+    anchor = _seconds(F.col("_ats"), left.schema[left_ts].dataType)
+    r_dtype = right.schema[right_ts].dataType
+
+    def _match_ts(struct_col):
+        return _seconds(struct_col.getField(right_ts), r_dtype)
+
+    if direction == "nearest":
+        # both scans share the key partitioning — ONE Exchange, two
+        # window sorts, zero joins. Ties prefer backward (the pandas
+        # merge_asof contract, pinned by test).
+        fb, ff = _fill("backward"), _fill("forward")
+        gb = anchor - _match_ts(fb)
+        gf = _match_ts(ff) - anchor
+        chosen = (
+            F.when(ff.isNull(), fb)
+            .when(fb.isNull(), ff)
+            .when(gb <= gf, fb)
+            .otherwise(ff)
+        )
+        filled = u.select("*", chosen.alias("_f")).filter(
+            F.col("_is_right") == 0
+        )
+    else:
+        filled = u.select("*", _fill(direction).alias("_f")).filter(
+            F.col("_is_right") == 0
+        )
+    if tolerance is not None:
+        matched = _match_ts(F.col("_f"))
+        gap = {
+            "backward": anchor - matched,
+            "forward": matched - anchor,
+            "nearest": F.abs(anchor - matched),
+        }[direction]
         # a too-far match becomes a miss (null struct); a null match
         # stays null (when() propagates it)
         filled = filled.withColumn(

@@ -258,7 +258,8 @@ def test_asof_forward_and_tolerance_match_pandas(spark):
     ).sort_values("ts")
 
     for direction, tol in [("forward", None), ("forward", 15.0),
-                           ("backward", None), ("backward", 8.0)]:
+                           ("backward", None), ("backward", 8.0),
+                           ("nearest", None), ("nearest", 6.0)]:
         want = pd.merge_asof(
             left_pd, right_pd, on="ts", by="k", direction=direction,
             tolerance=tol,
@@ -275,11 +276,26 @@ def test_asof_forward_and_tolerance_match_pandas(spark):
         assert norm(g) == norm(w), (direction, tol)
 
 
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Equidistant left/right neighbors: pandas picks the backward one
+    — pinned here so the tie rule never drifts."""
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10.0)], "k int, ts double")
+    r = spark.createDataFrame(
+        [(1, 5.0, "back"), (1, 15.0, "fwd")], "k int, ts double, v string"
+    )
+    got = asof_join(
+        l, r, on="k", right_cols=["v"], how="left", direction="nearest"
+    ).collect()
+    assert got[0]["v_asof"] == "back"
+
+
 def test_asof_direction_guard(spark):
     import pytest as _pytest
 
     from auto_data_tokenize_spark.operators.asof import asof_join
 
     df = spark.createDataFrame([(1, 1.0)], "k int, ts double")
-    with _pytest.raises(ValueError, match="backward|forward"):
-        asof_join(df, df, on="k", direction="nearest")
+    with _pytest.raises(ValueError, match="backward|forward|nearest"):
+        asof_join(df, df, on="k", direction="sideways")
