@@ -802,14 +802,19 @@ def _stream_files(spark: SparkSession, staged: str, schema, max_files: int = 2):
 
 
 def _run_stream_to_sink(
-    spark: SparkSession, stream_df, base: str, shuffle_partitions: int | None = None
+    spark: SparkSession,
+    stream_df,
+    base: str,
+    shuffle_partitions: int | None = None,
+    sink=None,
 ):
     """Run through the exactly-once sink, read committed rows back,
-    materialize them off the tempdir."""
+    materialize them off the tempdir. ``sink`` overrides the default
+    plain-append sink (e.g. upsert mode)."""
     from auto_data_tokenize_spark.streaming import pipeline
     from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
 
-    sink = ExactlyOnceSink(f"{base}/out")
+    sink = sink or ExactlyOnceSink(f"{base}/out")
     pipeline.run_to_sink(
         stream_df, sink, f"{base}/ckpt", shuffle_partitions=shuffle_partitions
     )
@@ -995,7 +1000,6 @@ def q55_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from auto_data_tokenize_spark.streaming import pipeline
     from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
 
     base = tempfile.mkdtemp(prefix="adt_stream_q_upsert_")
@@ -1013,9 +1017,7 @@ def q55_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink = ExactlyOnceSink(
             f"{base}/out", key_cols=("k",), version_col="version"
         )
-        pipeline.run_to_sink(updates, sink, f"{base}/ckpt")
-        out = sink.read_committed(spark)
-        result = spark.createDataFrame(out.toPandas(), out.schema)
+        result = _run_stream_to_sink(spark, updates, base, sink=sink)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result.select("k", "version", "n_chars")

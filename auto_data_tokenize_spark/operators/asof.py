@@ -201,11 +201,18 @@ def asof_join(
     from pyspark.sql import types as T
 
     def _seconds(col, dtype):
-        # TIMESTAMP_NTZ has no direct double cast; reinterpret in
-        # the session tz first (both sides shift identically, so
-        # the DIFFERENCE is exact)
+        # TIMESTAMP_NTZ is wall-clock with no zone: routing it through
+        # a session-tz cast would corrupt differences across DST gaps
+        # (verified: a 2 h wall gap over spring-forward reads as 1 h),
+        # so decompose it tz-free — epoch day count + time of day,
+        # date_part('SECOND') carrying the microsecond fraction.
         if isinstance(dtype, T.TimestampNTZType):
-            col = col.cast("timestamp")
+            return (
+                F.unix_date(col.cast("date")).cast("double") * 86400.0
+                + F.hour(col).cast("double") * 3600.0
+                + F.minute(col).cast("double") * 60.0
+                + F.date_part(F.lit("SECOND"), col).cast("double")
+            )
         return col.cast("double")
 
     def _fill(d: str):
@@ -254,6 +261,13 @@ def asof_join(
         filled = u.select("*", _fill(direction).alias("_f")).filter(
             F.col("_is_right") == 0
         )
+    # a left row with a NULL timestamp can never match. backward gets
+    # this for free (ASC = NULLS FIRST puts it before every right
+    # row), but forward's DESC scan ends with nulls LAST — every right
+    # row in its prefix — which would hand it a spurious match.
+    filled = filled.withColumn(
+        "_f", F.when(F.col("_ats").isNotNull(), F.col("_f"))
+    )
     if tolerance is not None:
         matched = _match_ts(F.col("_f"))
         gap = {

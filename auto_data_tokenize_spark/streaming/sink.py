@@ -175,6 +175,17 @@ class ExactlyOnceSink:
         return os.path.join(self.data_dir, f"batch_id={batch_id}")
 
     def foreach_batch(self, df: DataFrame, batch_id: int) -> None:
+        if self.key_cols:
+            # upsert resolution surfaces the batch dir as a `batch_id`
+            # partition column and uses `_rn` internally — same-named
+            # data columns would break or silently be dropped (the
+            # asof_join collision rule, applied here)
+            clash = {"batch_id", "_rn"}.intersection(df.columns)
+            if clash:
+                raise ValueError(
+                    f"column(s) {sorted(clash)} collide with upsert-mode "
+                    "internals; rename them before the sink"
+                )
         if self.is_committed(batch_id):
             return  # redelivery after restart — exactly-once dedupe
         if self.use_iceberg:
@@ -260,10 +271,15 @@ class ExactlyOnceSink:
             shutil.rmtree(target)
         batch_dirs = [self._batch_dir(b) for b in ids]
         # upsert mode: compaction IS the merge — materialize the
-        # resolved latest-per-key view, dropping superseded versions
-        # and tombstoned keys for good (the LSM major compaction)
+        # resolved latest-per-key view, dropping superseded versions.
+        # Tombstone rows are RETAINED (keep_tombstones): physically
+        # dropping one would erase its version, and a late/replayed
+        # LOWER-version update for that key would then resurrect it —
+        # the classic LSM delete hazard. Readers keep filtering them;
+        # they cost one row per deleted key until the feed can
+        # guarantee no older redeliveries remain.
         df = (
-            self._resolve_upserts(spark, batch_dirs)
+            self._resolve_upserts(spark, batch_dirs, keep_tombstones=True)
             if self.key_cols
             else self._read_parquet(spark, batch_dirs)
         )
@@ -357,12 +373,19 @@ class ExactlyOnceSink:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
-    def _resolve_upserts(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+    def _resolve_upserts(
+        self,
+        spark: SparkSession,
+        dirs: list[str],
+        keep_tombstones: bool = False,
+    ) -> DataFrame:
         """Merge-on-read: latest (version, batch_id) row per key. One
         shuffle on the key — the same shape at any table size, since
         resolution is per-key and batches are key-partitionable; the
         ``basePath`` option surfaces each dir's batch_id as a partition
-        column for the tie-break."""
+        column for the tie-break. ``keep_tombstones`` is the compaction
+        path: the winning tombstone row is RETAINED so its version
+        keeps suppressing late/replayed lower-version updates."""
         from pyspark.sql import Window, functions as F
 
         reader = spark.read.option("basePath", self.data_dir)
@@ -377,7 +400,7 @@ class ExactlyOnceSink:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "batch_id")
         )
-        if self.tombstone_col:
+        if self.tombstone_col and not keep_tombstones:
             out = out.filter(
                 ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
             )

@@ -299,3 +299,53 @@ def test_asof_direction_guard(spark):
     df = spark.createDataFrame([(1, 1.0)], "k int, ts double")
     with _pytest.raises(ValueError, match="backward|forward|nearest"):
         asof_join(df, df, on="k", direction="sideways")
+
+
+def test_asof_null_left_ts_never_matches(spark):
+    """A left row with NULL ts must miss in EVERY direction (forward's
+    DESC scan would otherwise hand it the whole right side)."""
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, None), (1, 10.0)], "k int, ts double")
+    r = spark.createDataFrame([(1, 5.0, "x")], "k int, ts double, v string")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r_["ts"]: r_["v_asof"]
+            for r_ in asof_join(
+                l, r, on="k", right_cols=["v"], how="left", direction=direction
+            ).collect()
+        }
+        assert got[None] is None, direction
+    # and inner mode drops the null-ts row
+    inner = asof_join(l, r, on="k", right_cols=["v"], direction="forward")
+    assert inner.count() == 0  # 10.0 has no right at-or-after either
+
+
+def test_asof_ntz_tolerance_is_dst_proof(spark):
+    """TIMESTAMP_NTZ gaps are wall-clock: across the US spring-forward
+    gap in a non-UTC session tz, a 2 h wall gap must still read as
+    7200 s (the old session-tz cast read 3600 and wrongly matched)."""
+    import datetime
+
+    from auto_data_tokenize_spark.operators.asof import asof_join
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        l = spark.createDataFrame(
+            [(1, datetime.datetime(2026, 3, 8, 3, 30))], "k int, ts timestamp_ntz"
+        )
+        r = spark.createDataFrame(
+            [(1, datetime.datetime(2026, 3, 8, 1, 30), "x")],
+            "k int, ts timestamp_ntz, v string",
+        )
+        got = asof_join(
+            l, r, on="k", right_cols=["v"], how="left", tolerance=5400.0
+        ).collect()
+        assert got[0]["v_asof"] is None  # 7200 s wall gap > 5400 s
+        got2 = asof_join(
+            l, r, on="k", right_cols=["v"], how="left", tolerance=7200.0
+        ).collect()
+        assert got2[0]["v_asof"] == "x"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -621,3 +621,33 @@ def test_sink_schema_evolution(spark, tmp_path):
     sink.compact(spark)
     got = {r["k"]: (r["val"], r["note"]) for r in sink.read_committed(spark).collect()}
     assert got == {1: ("a2", "extra"), 2: ("b", None)}
+
+
+def test_upsert_tombstone_survives_compaction_vs_replay(spark, tmp_path):
+    """The LSM delete hazard: compaction must RETAIN the winning
+    tombstone so a late/replayed LOWER-version update cannot
+    resurrect the deleted key."""
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(
+        str(tmp_path / "t"), key_cols=("k",), version_col="v",
+        tombstone_col="del",
+    )
+    schema = "k int, v int, val string, del boolean"
+    sink.foreach_batch(spark.createDataFrame([(1, 1, "a", False)], schema), 0)
+    sink.foreach_batch(spark.createDataFrame([(1, 2, None, True)], schema), 1)
+    sink.compact(spark)
+    # CDC redelivery of the OLD (v=1) update after the delete compacted
+    sink.foreach_batch(spark.createDataFrame([(1, 1, "a", False)], schema), 2)
+    assert sink.read_committed(spark).filter("k = 1").count() == 0
+
+
+def test_upsert_rejects_internal_column_collisions(spark, tmp_path):
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(str(tmp_path / "t"), key_cols=("k",), version_col="v")
+    bad = spark.createDataFrame([(1, 1, 5)], "k int, v int, batch_id int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide with upsert-mode"):
+        sink.foreach_batch(bad, 0)
