@@ -350,9 +350,14 @@ def q20_column_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         tokenize_columns,
     )
 
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-        "c_custkey", "c_name", "c_acctbal"
-    )
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
+    # the scan partition count IS the crypto parallelism here (pure
+    # projection, no shuffle) — a single small parquet file would
+    # otherwise serialize the per-value AES-SIV onto one core
+    cust = ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    ).select("c_custkey", "c_name", "c_acctbal")
     enc = tokenize_columns(cust, ["c_name", "c_acctbal"], scope_col="c_custkey")
     # no original_types dict: restoration flows through the
     # ORIGINAL_TYPE column metadata tokenize_columns stamped
@@ -476,7 +481,12 @@ def q34_nested_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         tokenize_nested,
     )
 
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
+    # scan partitions = crypto parallelism (see q20)
+    cust = ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    )
     nested = cust.select(
         "c_custkey",
         F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")).alias("profile"),
