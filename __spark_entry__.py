@@ -234,6 +234,10 @@ def q16_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.operators.similarity import cosine_topk
 
+    # NO ensure_parallelism here, measured deliberately: repartitioning
+    # the wide embedding arrays costs more than the single-task scan
+    # saves at this scale (1.06 s -> 1.42 s), unlike the crypto
+    # round-trips where per-row work dominates
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -253,6 +257,8 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddling the threshold) otherwise. The q18 oracle recomputes the
     identical augmentation in DuckDB, so both engines score the same
     corpus with real pairs on both sides of the cut."""
+    # no ensure_parallelism: measured 3.0 s -> 4.5 s WITH it (the
+    # embedding-array shuffle dominates; see q17's note)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     base = emb.select(
         "vec_id",
