@@ -651,3 +651,43 @@ def test_upsert_rejects_internal_column_collisions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="collide with upsert-mode"):
         sink.foreach_batch(bad, 0)
+
+
+def test_upsert_sink_kill_and_resume(spark, tmp_path):
+    """North-rule resumability for the upsert mode: drain half the
+    update log, then resume from the SAME checkpoint into the SAME
+    sink — the final resolved state must equal a single uninterrupted
+    run (no duplicate keys, latest versions win across the restart)."""
+    import pandas as _pd
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # ordered update log: two updates per key, second halves carry
+    # higher versions for half the keys
+    rows = [(k, v, f"val-{k}-{v}") for k in range(20) for v in (1, 2)]
+    pdf = _pd.DataFrame(rows, columns=["k", "v", "val"])
+    first = pdf[pdf.v == 1]                      # every key at v1
+    second = pdf[(pdf.v == 2) & (pdf.k % 2 == 0)]  # even keys updated
+    first.to_parquet(f"{in_dir}/a.parquet")
+
+    sink = ExactlyOnceSink(
+        str(tmp_path / "out"), key_cols=("k",), version_col="v"
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        st = (
+            spark.readStream.schema("k long, v long, val string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        pipeline.run_to_sink(st, sink, ckpt)
+
+    run()
+    mid = {r["k"]: r["v"] for r in sink.read_committed(spark).collect()}
+    assert len(mid) == 20  # every key present after the first drain
+    second.to_parquet(f"{in_dir}/b.parquet")
+    run()  # resume from the same checkpoint
+    got = {(r["k"], r["v"]) for r in sink.read_committed(spark).collect()}
+    want = {(k, 2 if k % 2 == 0 else 1) for k in range(20)}
+    assert got == want
