@@ -140,6 +140,10 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if tolerance is not None and float(tolerance) < 0:
+        # pandas merge_asof raises here too; silently nulling every
+        # match (every gap comparison false) is the worse failure
+        raise ValueError(f"tolerance must be >= 0, got {tolerance!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     carry = [right_ts] + list(right_cols)

@@ -337,6 +337,13 @@ def mix_sources(
     set at rate r is a subset of the kept set at r' > r). Unknown
     sources fall back to ``default_rate``.
     """
+    for src, r in {**rates, "<default_rate>": default_rate}.items():
+        if not 0.0 <= float(r) <= 1.0:
+            # a typo like rate=35 (meaning 35%) would otherwise
+            # silently keep 100%; negatives would silently drop all
+            raise ValueError(
+                f"rate for {src!r} must be in [0, 1], got {r!r}"
+            )
     b = F.expr(_bucket_expr(id_col, seed))
     thr = None
     for src, r in rates.items():

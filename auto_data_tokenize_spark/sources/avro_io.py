@@ -26,10 +26,12 @@ against the reference's own ``contacts5k.avro`` golden bytes),
 string-keyed maps, and timestamp-micros / date logicals. Enums, fixed,
 non-nullable multi-branch unions, and recursive named-type references
 raise ``ValueError`` with a pointer to the native source. Codecs:
-null + deflate read AND write; snappy READ-only via a pure-Python
-raw-block decompressor with CRC32 verification (the de-facto default
-of real-world exports — all of the reference's golden .avro artifacts
-decode, byte-verified); writes stay null/deflate. Precision:
+null + deflate + snappy, read AND write, via pure-Python raw-block
+snappy (greedy hash-match compressor + decompressor with CRC32
+verification — the de-facto default of real-world exports and the
+reference's own write codec, EncryptionPipeline.java:125-132; all of
+the reference's golden .avro artifacts decode, byte-verified, and
+round-trip identity is hypothesis-fuzzed). Precision:
 longs round-trip exactly (the encode path reads Arrow batches, the
 decode path materializes nullable Int64 — never float64, which would
 silently round values above 2^53).
@@ -476,12 +478,15 @@ def _record_decoder(avsc: dict):
 
 
 # ---------------------------------------------------------------------------
-# snappy raw-block DECOMPRESSOR (read-only; public format description:
+# snappy raw-block codec (public format description:
 # github.com/google/snappy format_description.txt). Avro snappy blocks
 # are raw-snappy payload + 4-byte big-endian CRC32 of the UNCOMPRESSED
 # data (Avro spec, "snappy" codec) — real-world exports (BigQuery,
-# Beam, the reference's own golden files) default to snappy, so the
-# fallback must at least READ it; writes stay null/deflate.
+# Beam, the reference's own golden files) default to snappy, and the
+# reference WRITES snappy (EncryptionPipeline.java:125-132), so the
+# fallback does both: the decompressor handles every element kind; the
+# compressor is a single-pass greedy hash-match emitter (kind-2 copies
+# + literals — a strict, spec-legal subset any decoder accepts).
 # ---------------------------------------------------------------------------
 
 
@@ -514,9 +519,16 @@ def _snappy_decompress_inner(data: bytes) -> bytes:
             ln = tag >> 2
             if ln >= 60:  # 60..63: length stored in 1..4 LE bytes
                 nb = ln - 59
+                if pos + nb > n:
+                    raise ValueError("corrupt snappy stream (truncated)")
                 ln = int.from_bytes(data[pos : pos + nb], "little")
                 pos += nb
             ln += 1
+            # a slice past the end silently shortens — and if the short
+            # output happened to equal the declared length the corrupt
+            # stream would decode "successfully"; check, don't slice
+            if pos + ln > n:
+                raise ValueError("corrupt snappy stream (truncated)")
             out += data[pos : pos + ln]
             pos += ln
             continue
@@ -526,10 +538,14 @@ def _snappy_decompress_inner(data: bytes) -> bytes:
             pos += 1
         elif kind == 2:  # copy, 2-byte LE offset
             ln = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise ValueError("corrupt snappy stream (truncated)")
             off = int.from_bytes(data[pos : pos + 2], "little")
             pos += 2
         else:  # copy, 4-byte LE offset
             ln = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise ValueError("corrupt snappy stream (truncated)")
             off = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4
         if off == 0 or off > len(out):
@@ -546,6 +562,61 @@ def _snappy_decompress_inner(data: bytes) -> bytes:
         raise ValueError(
             f"corrupt snappy stream ({len(out)} != declared {length} bytes)"
         )
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Compress one raw snappy block. Greedy single-pass matcher: a
+    hash table of 4-byte prefixes proposes the most recent earlier
+    occurrence; matches within 64 KiB become kind-2 copies (length
+    4..64), everything else is emitted as literals. Output is a strict
+    subset of the format — ``snappy_decompress(snappy_compress(x))``
+    is the identity for all x (hypothesis-fuzzed)."""
+    n = len(data)
+    out = bytearray()
+    v = n
+    while True:  # uvarint preamble: uncompressed length
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            ln = min(hi - lo, 1 << 16)
+            enc = ln - 1
+            if enc < 60:
+                out.append(enc << 2)
+            else:
+                nb = (enc.bit_length() + 7) // 8
+                out.append((59 + nb) << 2)
+                out.extend(enc.to_bytes(nb, "little"))
+            out.extend(data[lo : lo + ln])
+            lo += ln
+
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF:
+            m = 4
+            max_m = min(n - i, 64)  # kind-2 copy length cap
+            while m < max_m and data[j + m] == data[i + m]:
+                m += 1
+            emit_literal(lit_start, i)
+            out.append(((m - 1) << 2) | 2)
+            out.extend((i - j).to_bytes(2, "little"))
+            i += m
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
     return bytes(out)
 
 
@@ -573,7 +644,7 @@ def encode_container(
 ) -> tuple[bytes, int]:
     """Encode rows (dicts keyed by field name) into one container
     file; -> (file bytes, row count)."""
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     sync = uuid.uuid4().bytes
     out = io.BytesIO()
@@ -610,6 +681,8 @@ def _flush_block(out, block, n, codec, sync) -> None:
     raw = block.getvalue()
     if codec == "deflate":  # raw deflate, no zlib header (per spec)
         raw = zlib.compress(raw)[2:-4]
+    elif codec == "snappy":  # payload + 4-byte BE CRC32 of the raw data
+        raw = snappy_compress(raw) + zlib.crc32(raw).to_bytes(4, "big")
     write_long(out, n)
     write_long(out, len(raw))
     out.write(raw)
@@ -880,11 +953,24 @@ def write_avro_fallback(df: DataFrame, path: str, codec: str = "deflate") -> int
     return total
 
 
+def _bin_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    # the binaryFile STREAMING source requires its (fixed) schema upfront
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+    )
+
+
 def read_avro_stream(
     spark: SparkSession,
     path: str,
     avsc: dict | None = None,
-    max_file_bytes: int = 1 << 30,
+    max_file_bytes: int | None = None,
 ) -> DataFrame:
     """STREAMING Avro ingestion without the spark-avro jar: a
     binaryFile file stream + the same per-file mapInPandas decode as
@@ -897,14 +983,14 @@ def read_avro_stream(
     whole file per task) is enforced IN-PLAN as a ``length`` filter the
     binaryFile source pushes into file listing, so an oversize drop is
     never read into executor memory — it is SKIPPED, not failed (a
-    stream cannot raise per-file; monitor skips with a side query on
-    ``length > max_file_bytes`` if drops must be loud). A driver-side
-    pre-check could not cover files arriving after the stream starts.
-
-    Scale shape: parallelism = files per trigger (each file decodes in
-    one task), the natural unit for crawl/export drops; the decode is
-    behind a Python eval node so no expression pushdown applies — put
-    filters AFTER it knowingly."""
+    stream cannot raise per-file). A driver-side pre-check could not
+    cover files arriving after the stream starts. Because an in-plan
+    skip is SILENT data loss from the committed output's point of view,
+    the guard is OPT-IN (default None = no filter, matching the batch
+    fallback's loud failure posture: an oversize file then OOM-kills
+    the task loudly instead of vanishing); callers that set it must
+    also run :func:`oversize_avro_stream` on the same path and route it
+    somewhere monitored, so every skipped file is accounted for."""
     from pyspark.sql import functions as F
 
     if avsc is None:
@@ -913,19 +999,29 @@ def read_avro_stream(
             avsc, _, _ = read_header(f)
     schema, decode = _schema_and_decoder(avsc)
 
-    # the binaryFile STREAMING source requires its (fixed) schema upfront
-    bin_stream = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path string, modificationTime timestamp, "
-            "length long, content binary"
-        )
-        .option("pathGlobFilter", "*.avro")
-        .load(path)
-        .filter(F.col("length") <= max_file_bytes)
-        .select("content")
-    )
+    bin_stream = _bin_file_stream(spark, path)
+    if max_file_bytes is not None:
+        bin_stream = bin_stream.filter(F.col("length") <= max_file_bytes)
     return bin_stream.mapInPandas(decode, schema)
+
+
+def oversize_avro_stream(
+    spark: SparkSession, path: str, max_file_bytes: int
+) -> DataFrame:
+    """The loud side of ``read_avro_stream(max_file_bytes=...)``: a
+    streaming DataFrame of (path, length, modificationTime) for every
+    ``.avro`` drop the main stream's in-plan guard skips. Run it as a
+    parallel query into an alert sink/metric so a skipped 1.1 GiB file
+    is an incident, not silence. Reads file METADATA only (the
+    binaryFile source pushes the length predicate into file listing and
+    the content column is pruned away)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _bin_file_stream(spark, path)
+        .filter(F.col("length") > max_file_bytes)
+        .select("path", "length", "modificationTime")
+    )
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
@@ -938,6 +1034,15 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     if _native_avro_available(df.sparkSession):
-        df.write.format("avro").mode("overwrite").save(path)
+        (
+            df.write.format("avro")
+            # null/deflate/snappy both paths; spark-avro spells "null"
+            # as "uncompressed"
+            .option(
+                "compression", "uncompressed" if codec == "null" else codec
+            )
+            .mode("overwrite")
+            .save(path)
+        )
         return
     write_avro_fallback(df, path, codec)

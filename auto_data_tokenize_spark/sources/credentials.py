@@ -44,7 +44,15 @@ class EnvCredentialProvider(CredentialProvider):
     """Reads ``<prefix><REF>`` from the environment (ref uppercased,
     non-alphanumerics mapped to ``_``); raises if unset — registering
     this provider makes the secret MANDATORY, the reference's posture
-    (no secret, no source)."""
+    (no secret, no source).
+
+    ALIASING, by design: the mapping collapses every non-alphanumeric
+    character to ``_``, so refs that differ only in separators —
+    ``db/prod``, ``db.prod``, ``db prod`` — all resolve to the SAME
+    variable (``ADT_SECRET_DB_PROD``). Environment variable names
+    cannot carry the distinction; if two secrets must differ, give
+    their refs distinct alphanumeric stems or register a provider
+    (Static/Vault/SecretManager) that keys on the raw ref."""
 
     def __init__(self, prefix: str = "ADT_SECRET_"):
         self.prefix = prefix

@@ -4,8 +4,10 @@ common/TransformingReader.java:183-253).
 The reference reads 7 source types and converts everything to
 FlatRecords; Spark's DataSource V2 already gives us typed, prunable,
 pushdown-capable scans, so "dispatch" is just choosing the reader.
-JDBC/BigQuery-style sources are represented by ``read_jdbc`` (untested
-in this sandbox — no database), CSV mirrors the reference's
+JDBC/BigQuery-style sources are represented by ``read_jdbc``,
+integration-tested against a REAL embedded Derby database (round-trip,
+pushdown, query mode, secret-resolved credentials, partitioned range
+reads — tests/test_sources_and_sinks.py); CSV mirrors the reference's
 header/delimiter handling (common/CsvIO.java:94-124,453-499).
 
 ``ensure_parallelism``: UDF-heavy stages need ≥ one partition per core.

@@ -167,6 +167,17 @@ def test_asof_rejects_output_suffix_collisions(spark):
         asof_join(left, right, on="k")
 
 
+def test_asof_rejects_negative_tolerance(spark):
+    # pandas merge_asof parity: a negative tolerance raises instead of
+    # silently nulling every match
+    left = _ts(spark, [("u", "2026-01-01 00:00:01", 0)], "k string, s string, x int")
+    right = _ts(
+        spark, [("u", "2026-01-01 00:00:00", 1.0)], "k string, s string, px double"
+    )
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, on="k", tolerance=-1.0)
+
+
 # -- range_join ----------------------------------------------------------------
 
 

@@ -59,7 +59,7 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_container_roundtrip(codec):
     data, n = A.encode_container(iter(ROWS), AVSC, codec)
     assert n == 2
@@ -391,10 +391,10 @@ def test_reference_snappy_transcripts_decode():
 
 
 def test_truly_unsupported_codec_still_gates():
-    """Writes never emit snappy, and an unknown codec (zstandard)
-    refuses with the actionable message — never garbage rows."""
+    """An unknown codec (zstandard) refuses with the actionable
+    message on BOTH paths — never garbage rows."""
     with pytest.raises(ValueError, match="unsupported codec"):
-        A.encode_container(iter(ROWS), AVSC, "snappy")
+        A.encode_container(iter(ROWS), AVSC, "zstandard")
     out = io.BytesIO()
     out.write(A.MAGIC)
     meta = {
@@ -514,3 +514,92 @@ def test_snappy_truncated_raises_valueerror():
         A.snappy_decompress(b"")
     with pytest.raises(ValueError, match="corrupt|truncated"):
         A.snappy_decompress(bytes([200, 1]))  # preamble cut mid-varint
+    # the sneaky case: a literal overruns the buffer but the shortened
+    # slice happens to match the declared uncompressed length — before
+    # the bounds check this decoded "successfully" to corrupt data
+    with pytest.raises(ValueError, match="truncated"):
+        A.snappy_decompress(bytes([2, 4 << 2]) + b"he")  # tag says 5 bytes
+    # extended literal length bytes cut off
+    with pytest.raises(ValueError, match="truncated"):
+        A.snappy_decompress(bytes([100, 61 << 2, 0x63]))
+    # 2-byte copy offset cut off
+    with pytest.raises(ValueError, match="truncated"):
+        A.snappy_decompress(bytes([4, 0]) + b"a" + bytes([(2 - 1) << 2 | 2, 1]))
+
+
+def test_snappy_compress_roundtrip_shapes():
+    """Deterministic shapes that force every compressor branch:
+    incompressible, all-repeat (long overlap copies), periodic,
+    >64 KiB literals (extended length encodings), empty."""
+    import random
+
+    rnd = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"abc" * 40_000,            # periodic, matches at offset 3
+        b"x" * 100_000,             # run -> overlap copies
+        bytes(rnd.randrange(256) for _ in range(70_000)),  # incompressible
+        (b"the quick brown fox " * 2000) + bytes(range(256)) * 10,
+    ]
+    for data in cases:
+        comp = A.snappy_compress(data)
+        assert A.snappy_decompress(comp) == data
+    # compressible inputs actually shrink (it's a compressor, not an
+    # escape hatch): kind-2 copies cap at 64 bytes/3-byte element, so a
+    # pure run compresses to ~len/21 — assert the ratio, with headroom
+    assert len(A.snappy_compress(b"x" * 100_000)) < 100_000 / 15
+
+
+def test_spark_snappy_write_read_roundtrip(spark, transcripts_small, tmp_path):
+    """q37-style gate on a SNAPPY-written container: the fallback sink
+    writes codec=snappy (the reference's own write codec,
+    EncryptionPipeline.java:125-132), a fresh read must round-trip, and
+    the file's header must declare the codec."""
+    sample = transcripts_small.select("conv_id", "turn_idx", "text").limit(100)
+    out = str(tmp_path / "snappy_ds")
+    import os as _os
+
+    n = A.write_avro_fallback(sample, out, codec="snappy")
+    assert n == 100
+    files = [p for p in _os.listdir(out) if p.endswith(".avro")]
+    with open(_os.path.join(out, files[0]), "rb") as f:
+        _, codec, _ = A.read_header(f)
+    assert codec == "snappy"
+    got = A.read_avro_fallback(spark, out)
+    assert got.count() == 100
+    assert got.exceptAll(sample).count() == 0
+    assert sample.exceptAll(got).count() == 0
+
+
+def test_stream_oversize_guard_is_opt_in_and_loud(spark, transcripts_small, tmp_path):
+    """Default: no length filter (nothing silently dropped). Opt-in
+    guard: oversize drops are skipped in-plan AND surfaced by the
+    companion oversize_avro_stream monitor."""
+    sample = transcripts_small.select("conv_id", "turn_idx", "text").limit(60)
+    drop = str(tmp_path / "drops")
+    A.write_avro(sample.coalesce(1), drop)
+    # default = no filter: every row arrives
+    st = A.read_avro_stream(spark, drop)
+    n_default = (
+        st.writeStream.format("memory").queryName("all_rows")
+        .trigger(availableNow=True).start()
+    )
+    n_default.awaitTermination(60)
+    assert spark.sql("select count(*) c from all_rows").first()["c"] == 60
+    # opt-in guard: the single file is "oversize" at a 10-byte limit
+    gated = A.read_avro_stream(spark, drop, max_file_bytes=10)
+    q = (
+        gated.writeStream.format("memory").queryName("gated_rows")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("select count(*) c from gated_rows").first()["c"] == 0
+    mon = A.oversize_avro_stream(spark, drop, max_file_bytes=10)
+    m = (
+        mon.writeStream.format("memory").queryName("oversize_files")
+        .trigger(availableNow=True).start()
+    )
+    m.awaitTermination(60)
+    rows = spark.sql("select * from oversize_files").collect()
+    assert len(rows) == 1 and rows[0]["length"] > 10

@@ -222,6 +222,18 @@ def test_mix_sources_default_rate(spark):
     assert mix_sources(df, {"src0": 0.1}, default_rate=0.0).count() == 0
 
 
+def test_mix_sources_validates_rates(spark):
+    from auto_data_tokenize_spark.operators.corpus import mix_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match=r"rate for 'a'"):
+        mix_sources(df, {"a": 35})  # "35%" typo would silently keep all
+    with pytest.raises(ValueError, match=r"rate for 'a'"):
+        mix_sources(df, {"a": -0.1})  # would silently drop the source
+    with pytest.raises(ValueError, match="default_rate"):
+        mix_sources(df, {"a": 0.5}, default_rate=2.0)
+
+
 def test_duckdb_mix_sql_edges():
     """Empty rates and quote-bearing source names must stay valid SQL
     (the Spark side handles both; the twin may not diverge)."""

@@ -285,3 +285,21 @@ def test_snappy_decompress_copy_semantics(seed, off, ln):
         out.write(bytes([(take - 1) << 2 | 2]) + off.to_bytes(2, "little"))
         remaining -= take
     assert snappy_decompress(out.getvalue()) == bytes(want)
+
+
+@given(
+    st.binary(min_size=0, max_size=5_000),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_snappy_compress_roundtrip_property(chunk, reps):
+    """decompress(compress(x)) == x for arbitrary bytes, including
+    repetitive inputs that exercise the copy-emission path (the WRITE
+    side of the Avro snappy codec)."""
+    from auto_data_tokenize_spark.sources.avro_io import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    data = chunk * reps
+    assert snappy_decompress(snappy_compress(data)) == data
