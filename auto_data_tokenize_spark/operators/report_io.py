@@ -1,8 +1,23 @@
 """Inspection-report file sinks — parity with the reference's report
-layout (common/InspectionReportFileWriter.java:61-86):
+layout (common/InspectionReportFileWriter.java:50-88):
 
-    <report_dir>/col-<sanitized_column>.json   one file per column
+    <report_dir>/col-<sanitized_column>-00000-of-00001.json
+                                               one file per column
     <report_dir>/schema.json                   single-shard schema file
+
+Byte-level contract, pinned against the reference's OWN golden files
+(src/test/resources/catalog_schema_items/col-*.json,
+tests/test_report_io.py):
+
+- File naming: ``"col-" + columnName`` with ``[.$[]]+`` runs mapped to
+  ``-`` and dash runs collapsed (InspectionReportFileWriter.java:83-84),
+  plus Beam ``defaultNaming``'s ``-00000-of-00001`` shard suffix —
+  the writer is single-shard per column, like the reference's
+  ``withNoSpilling()`` dynamic write.
+- JSON shape: proto3 JSON of ``ColumnInformation`` (proto:87-104 via
+  JsonConvertor.asJsonString) — camelCase field names (``columnName``,
+  ``infoTypes``/``infoType``) and int64 counts serialized as STRINGS,
+  per the proto3 JSON mapping.
 
 The per-column fan-out is tiny (one row per column), so the files are
 written from collected rows on the driver — the same effective
@@ -19,32 +34,61 @@ import re
 
 from pyspark.sql import DataFrame
 
+SHARD_SUFFIX = "-00000-of-00001"
+
 
 def _sanitize(name: str) -> str:
-    # InspectionReportFileWriter.java:83-84 semantics
-    return re.sub(r"[^A-Za-z0-9_]+", "-", name).strip("-")
+    # InspectionReportFileWriter.java:83-84 semantics, applied to the
+    # whole "col-<name>" prefix: JSONPath separators/indices become
+    # dashes, then dash runs collapse (so "col-" + "$.a" is
+    # "col-a", not "col--a")
+    return re.sub(r"-+", "-", "col-" + re.sub(r"[.$\[\]]+", "-", name))
+
+
+def column_info_json(column_name: str, info_types: list[dict]) -> dict:
+    """proto3-JSON shape of one ColumnInformation (proto:87-104):
+    camelCase keys, int64 count as a string."""
+    return {
+        "columnName": column_name,
+        "infoTypes": [
+            {"infoType": it["info_type"], "count": str(it["count"])}
+            for it in info_types
+        ],
+    }
 
 
 def write_column_reports(col_report: DataFrame, out_dir: str) -> list[str]:
-    """One ``col-<name>.json`` per ColumnInformation row."""
+    """One ``col-<name>-00000-of-00001.json`` per ColumnInformation
+    row, in the reference's proto3-JSON shape (see module docstring)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for row in col_report.collect():
         d = row.asDict(recursive=True)
-        p = os.path.join(out_dir, f"col-{_sanitize(d['column_name'])}.json")
+        p = os.path.join(
+            out_dir, f"{_sanitize(d['column_name'])}{SHARD_SUFFIX}.json"
+        )
         with open(p, "w") as f:
-            json.dump(d, f, sort_keys=True)
+            json.dump(column_info_json(d["column_name"], d["info_types"]), f)
         paths.append(p)
     return paths
 
 
-def write_schema_file(df: DataFrame, out_dir: str) -> str:
+def write_schema_file(
+    df: DataFrame, out_dir: str, avro_schema: dict | None = None
+) -> str:
     """Single ``schema.json`` with the source schema (single-shard
-    TextIO semantics, InspectionReportFileWriter.java:61-67)."""
+    TextIO semantics, InspectionReportFileWriter.java:61-67). The
+    reference writes the source's AVRO schema verbatim; pass
+    ``avro_schema`` (e.g. the container's embedded schema, or
+    ``sources.avro_io.spark_schema_to_avro(df.schema)``) for that
+    parity — without it the Spark schema JSON is written."""
     os.makedirs(out_dir, exist_ok=True)
     p = os.path.join(out_dir, "schema.json")
     with open(p, "w") as f:
-        f.write(df.schema.json())
+        if avro_schema is not None:
+            json.dump(avro_schema, f)
+        else:
+            f.write(df.schema.json())
     return p
 
 

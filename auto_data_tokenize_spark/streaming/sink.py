@@ -30,13 +30,23 @@ write in parallel; only the O(1) marker publish is driver-side), but
 the table root itself must be driver-visible. A production deployment
 on non-POSIX storage would swap the marker log for the table format's
 native atomic snapshot pointer — which is exactly what
-``use_iceberg=True`` does: data routes through a real Iceberg table
-(``df.writeTo(table).append()``, snapshot property ``adt.batch-id``),
-gated on the Iceberg runtime jar being present. Remaining gap in
-Iceberg mode, documented not hidden: a crash between the Iceberg
-append and the marker publish re-appends on redelivery (plain-parquet
-mode deletes the partial dir instead); closing it needs Iceberg's
-write-audit-publish flow, which this sandbox cannot exercise.
+``use_iceberg=True`` does: data routes through a real Iceberg table,
+gated on the Iceberg runtime jar being present. Iceberg mode is
+exactly-once on BOTH sides of the marker now:
+
+- append mode stamps every snapshot with ``adt.batch-id`` and checks
+  the table's snapshot summaries for that stamp BEFORE appending
+  (WAP-lite): a crash between the Iceberg commit and the marker
+  publish makes the redelivery a no-op instead of a double append.
+- upsert mode (``key_cols``) routes through ``MERGE INTO`` whose
+  update condition is strictly monotone in (version, batch id) — a
+  redelivered batch merges to a no-op by construction, so the
+  crash window needs no stamp at all.
+
+All Iceberg catalog operations go through an :class:`IcebergAdapter`
+seam so the exactly-once orchestration is testable hermetically (the
+reference's DlpServiceStub pattern, test/testing/stubs/) even where
+the runtime jar is absent; the real adapter is jar-gated.
 """
 
 from __future__ import annotations
@@ -51,6 +61,105 @@ import uuid
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_merge_sql(
+    table: str,
+    source_view: str,
+    key_cols: tuple[str, ...],
+    version_col: str,
+) -> str:
+    """The upsert MERGE statement. The update condition is strictly
+    monotone in (version, _adt_batch): a redelivered micro-batch finds
+    every key matched with EQUAL version and batch id, every condition
+    false, and commits a no-op snapshot — idempotence by construction,
+    no write-audit-publish dance needed. Ties on version across
+    batches break to the higher batch id, the same contract as the
+    parquet commit-log resolution. Tombstone rows are UPDATED/INSERTED
+    like any other row (retained, filtered at read) so a late
+    lower-version redelivery cannot resurrect a deleted key — the same
+    LSM-delete reasoning as ``compact(keep_tombstones=True)``."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    v = version_col
+    cond = f"s.{v} > t.{v} OR (s.{v} = t.{v} AND s._adt_batch > t._adt_batch)"
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND ({cond}) THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+class IcebergAdapter:
+    """Real Iceberg catalog operations (jar-gated). This is the seam a
+    hermetic test fake implements (the reference's service-stub
+    pattern: test/testing/stubs/dlp/Base64EncodingDlpStub.java) so the
+    sink's exactly-once orchestration — WAP-lite stamp check, merge
+    idempotence, marker interplay — is testable without the runtime
+    jar; with the jar, this class is the production path."""
+
+    def __init__(self, table: str):
+        self.table = table
+
+    def ensure_available(self, spark: SparkSession) -> None:
+        from auto_data_tokenize_spark.streaming.source import iceberg_available
+
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "use_iceberg=True but the Iceberg Spark runtime jar is not "
+                "on the classpath (need iceberg-spark-runtime and a "
+                "configured catalog); rerun with plain-parquet mode or add "
+                "the jar via spark.jars.packages"
+            )
+
+    def table_exists(self, spark: SparkSession) -> bool:
+        return spark.catalog.tableExists(self.table)
+
+    def has_batch(self, spark: SparkSession, batch_id: int) -> bool:
+        """WAP-lite: did ANY committed snapshot carry this batch's
+        stamp? Checked before append so a crash between the Iceberg
+        commit and the local marker publish cannot double-append."""
+        if not self.table_exists(spark):
+            return False
+        from pyspark.sql import functions as F
+
+        snaps = spark.read.table(f"{self.table}.snapshots")
+        return (
+            snaps.filter(
+                F.expr(f"summary['adt.batch-id'] = '{int(batch_id)}'")
+            ).limit(1).count()
+            > 0
+        )
+
+    def _writer(self, df: DataFrame, batch_id: int):
+        return df.writeTo(self.table).option(
+            "snapshot-property.adt.batch-id", str(batch_id)
+        )
+
+    def create(self, df: DataFrame, batch_id: int) -> None:
+        self._writer(df, batch_id).create()
+
+    def append(self, df: DataFrame, batch_id: int) -> None:
+        self._writer(df, batch_id).append()
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        batch_id: int,
+        key_cols: tuple[str, ...],
+        version_col: str,
+    ) -> None:
+        view = f"adt_merge_src_{uuid.uuid4().hex}"
+        source.createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                iceberg_merge_sql(self.table, view, key_cols, version_col)
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.table(self.table)
 
 
 class ExactlyOnceSink:
@@ -77,6 +186,7 @@ class ExactlyOnceSink:
         version_col: str | None = None,
         tombstone_col: str | None = None,
         merge_schema: bool = False,
+        iceberg_adapter: IcebergAdapter | None = None,
     ):
         if "://" in table_path:
             raise ValueError(
@@ -94,11 +204,12 @@ class ExactlyOnceSink:
             )
         if tombstone_col and not key_cols:
             raise ValueError("tombstone_col requires upsert mode (key_cols)")
-        if use_iceberg and key_cols:
-            raise ValueError(
-                "upsert mode applies to the parquet commit-log layout; "
-                "Iceberg tables use MERGE INTO"
-            )
+        if iceberg_adapter is not None and not use_iceberg:
+            raise ValueError("iceberg_adapter requires use_iceberg=True")
+        self._iceberg = (
+            iceberg_adapter
+            or (IcebergAdapter(iceberg_table) if use_iceberg else None)
+        )
         self.table_path = table_path
         self.partition_by = tuple(partition_by)
         self.use_iceberg = use_iceberg
@@ -177,10 +288,11 @@ class ExactlyOnceSink:
     def foreach_batch(self, df: DataFrame, batch_id: int) -> None:
         if self.key_cols:
             # upsert resolution surfaces the batch dir as a `batch_id`
-            # partition column and uses `_rn` internally — same-named
+            # partition column and uses `_rn` internally (parquet mode)
+            # or stores `_adt_batch` (Iceberg merge mode) — same-named
             # data columns would break or silently be dropped (the
             # asof_join collision rule, applied here)
-            clash = {"batch_id", "_rn"}.intersection(df.columns)
+            clash = {"batch_id", "_rn", "_adt_batch"}.intersection(df.columns)
             if clash:
                 raise ValueError(
                     f"column(s) {sorted(clash)} collide with upsert-mode "
@@ -325,23 +437,43 @@ class ExactlyOnceSink:
                 pass
 
     def _foreach_batch_iceberg(self, df: DataFrame, batch_id: int) -> None:
-        """Gated Iceberg data path: append with the batch id stamped as
-        a snapshot property, then publish the local marker. See module
-        docstring for the crash-window caveat vs plain-parquet mode."""
-        from auto_data_tokenize_spark.streaming.source import iceberg_available
+        """Gated Iceberg data path, then publish the local marker.
 
-        if not iceberg_available(df.sparkSession):
-            raise RuntimeError(
-                "use_iceberg=True but the Iceberg Spark runtime jar is not "
-                "on the classpath (need iceberg-spark-runtime and a "
-                "configured catalog); rerun with plain-parquet mode or add "
-                "the jar via spark.jars.packages"
+        Append mode: WAP-lite — every snapshot carries the
+        ``adt.batch-id`` stamp and the stamp is CHECKED before
+        appending, so a crash between the Iceberg commit and the
+        marker publish redelivers into a no-op, never a double append.
+
+        Upsert mode (``key_cols``): the batch is deduplicated to its
+        latest row per key, stamped with ``_adt_batch``, and applied
+        via ``MERGE INTO`` whose update condition is strictly monotone
+        in (version, batch id) — see :func:`iceberg_merge_sql` for why
+        redelivery is a structural no-op."""
+        spark = df.sparkSession
+        a = self._iceberg
+        a.ensure_available(spark)
+        if self.key_cols:
+            from pyspark.sql import Window, functions as F
+
+            w = Window.partitionBy(*self.key_cols).orderBy(
+                F.desc(self.version_col)
             )
-        (
-            df.writeTo(self.iceberg_table)
-            .option("snapshot-property.adt.batch-id", str(batch_id))
-            .append()
-        )
+            src = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .withColumn("_adt_batch", F.lit(int(batch_id)))
+            )
+            if not a.table_exists(spark):
+                a.create(src, batch_id)
+            else:
+                a.merge(spark, src, batch_id, self.key_cols, self.version_col)
+        elif a.has_batch(spark, batch_id):
+            pass  # crashed after the Iceberg commit: data is in; marker only
+        elif a.table_exists(spark):
+            a.append(df, batch_id)
+        else:
+            a.create(df, batch_id)
         commit = {
             "batch_id": batch_id,
             "row_count": None,  # row accounting lives in the Iceberg snapshot
@@ -359,7 +491,18 @@ class ExactlyOnceSink:
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         if self.use_iceberg:
-            return spark.read.table(self.iceberg_table)
+            from pyspark.sql import functions as F
+
+            out = self._iceberg.read(spark)
+            if self.key_cols:
+                # merge mode keeps the batch stamp as a physical column
+                # and retains tombstone rows (see iceberg_merge_sql)
+                out = out.drop("_adt_batch")
+                if self.tombstone_col:
+                    out = out.filter(
+                        ~F.coalesce(F.col(self.tombstone_col), F.lit(False))
+                    )
+            return out
         dirs = [self._batch_dir(b) for b in self.committed_batches()]
         if not dirs:
             raise ValueError(f"no committed batches under {self.table_path}")

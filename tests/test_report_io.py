@@ -17,13 +17,80 @@ from auto_data_tokenize_spark.operators.identify import (
 def test_write_column_reports_layout(spark, transcripts_small, tmp_path):
     rep = column_report(column_infotype_counts(transcripts_small, ["text"]))
     paths = report_io.write_column_reports(rep, str(tmp_path))
-    assert [os.path.basename(p) for p in paths] == ["col-text.json"]
+    # reference naming: col-<sanitized> + Beam's -00000-of-00001 shard
+    assert [os.path.basename(p) for p in paths] == [
+        "col-text-00000-of-00001.json"
+    ]
     d = json.load(open(paths[0]))
-    assert d["column_name"] == "$.text"
-    assert {it["info_type"] for it in d["info_types"]} == {
+    # proto3-JSON shape: camelCase keys, int64 counts as strings
+    assert d["columnName"] == "$.text"
+    assert {it["infoType"] for it in d["infoTypes"]} == {
         "EMAIL_ADDRESS", "PHONE_NUMBER", "CREDIT_CARD_NUMBER",
         "US_SOCIAL_SECURITY_NUMBER",
     }
+    assert all(
+        isinstance(it["count"], str) and it["count"].isdigit()
+        for it in d["infoTypes"]
+    )
+
+
+REF_ITEMS = "/root/reference/src/test/resources/catalog_schema_items"
+
+
+@pytest.mark.parametrize(
+    "golden",
+    [
+        "col-topLevelRecord-person_name-00000-of-00001.json",
+        "col-topLevelRecord-contact_number-00000-of-00001.json",
+    ],
+)
+def test_column_report_shape_matches_reference_goldens(tmp_path, golden):
+    """Field-for-field parity with the reference's OWN golden report
+    files (DlpInspectionPipelineTest.java:96-131 reads these shapes
+    back as ColumnInformation protos): feeding the golden's data
+    through our writer must reproduce the golden's parsed JSON exactly
+    — keys, nesting, stringified counts — AND its file name."""
+    with open(os.path.join(REF_ITEMS, golden)) as f:
+        want = json.load(f)
+    rows = [
+        {
+            "column_name": want["columnName"],
+            "info_types": [
+                {"info_type": it["infoType"], "count": int(it["count"])}
+                for it in want["infoTypes"]
+            ],
+        }
+    ]
+
+    class _FakeDF:  # the writer only calls .collect()
+        def collect(self):
+            class _R:
+                def __init__(self, d):
+                    self._d = d
+
+                def asDict(self, recursive=False):
+                    return self._d
+
+            return [_R(r) for r in rows]
+
+    paths = report_io.write_column_reports(_FakeDF(), str(tmp_path))
+    assert [os.path.basename(p) for p in paths] == [golden]
+    assert json.load(open(paths[0])) == want
+
+
+def test_column_name_sanitization_matches_reference():
+    """InspectionReportFileWriter.java:83-84: [.$[]]+ -> '-', collapse
+    dash runs — including the nested/array flat-key shapes the
+    reference's goldens use."""
+    cases = {
+        "$.text": "col-text",
+        "$.topLevelRecord.person_name": "col-topLevelRecord-person_name",
+        "$.__root__.contact.__s_0.nums.__s_1.number":
+            "col-__root__-contact-__s_0-nums-__s_1-number",
+        "$.contacts[1].contact.number": "col-contacts-1-contact-number",
+    }
+    for name, want in cases.items():
+        assert report_io._sanitize(name) == want
 
 
 def test_schema_file(spark, transcripts_small, tmp_path):
@@ -32,6 +99,21 @@ def test_schema_file(spark, transcripts_small, tmp_path):
     assert {f["name"] for f in s["fields"]} == {
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     }
+
+
+def test_schema_file_avro_mode_reference_parity(spark, transcripts_small, tmp_path):
+    """The reference writes the source's AVRO schema verbatim into
+    schema.json; avro_schema= does the same — for an Avro source the
+    container's embedded schema round-trips byte-identically (modulo
+    JSON whitespace, which json.load normalizes)."""
+    from auto_data_tokenize_spark.sources import avro_io as A
+
+    with open("/root/reference/contacts5k.avro", "rb") as f:
+        avsc, _, _ = A.read_header(f)
+    p = report_io.write_schema_file(
+        transcripts_small, str(tmp_path), avro_schema=avsc
+    )
+    assert json.load(open(p)) == avsc
 
 
 def test_inspection_report_shape(spark, transcripts_small):

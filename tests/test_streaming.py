@@ -292,44 +292,81 @@ def test_compact_gc_collects_prior_crash_orphans(spark, tmp_path):
     assert sink.read_committed(spark).count() == 30
 
 
-def test_iceberg_redelivery_window_duplicates_documented(tmp_path, monkeypatch):
-    """Pin the DOCUMENTED Iceberg-mode gap (streaming/sink.py module
-    docstring): a crash after the Iceberg append but before the marker
-    publish re-appends the batch on redelivery (duplicates). Plain-
-    parquet mode deletes the partial dir instead; this test keeps the
-    difference visible if anyone flips the default."""
-    import os
+class FakeIcebergAdapter:
+    """Hermetic stand-in for the Iceberg catalog (the reference's
+    Base64EncodingDlpStub pattern): an in-memory table keyed by row
+    identity plus the snapshot-summary list the WAP-lite check reads.
+    ``merge`` applies the LITERAL per-row semantics of the statement
+    :func:`iceberg_merge_sql` generates — written independently of the
+    sink's window-based resolution so the two cross-check each other.
+    """
 
-    import pytest
+    def __init__(self):
+        self.rows: list[dict] = []  # append mode: plain row log
+        self.by_key: dict[tuple, dict] = {}  # merge mode: current row per key
+        self.snapshots: list[dict] = []  # summaries, newest last
+        self.merge_mode = False
+
+    def ensure_available(self, spark):
+        pass
+
+    def table_exists(self, spark):
+        return bool(self.snapshots)
+
+    def has_batch(self, spark, batch_id):
+        return any(
+            s.get("adt.batch-id") == str(int(batch_id)) for s in self.snapshots
+        )
+
+    def _stamp(self, batch_id):
+        self.snapshots.append({"adt.batch-id": str(int(batch_id))})
+
+    def create(self, df, batch_id):
+        self.append(df, batch_id)
+
+    def append(self, df, batch_id):
+        self.rows.extend(r.asDict() for r in df.collect())
+        self._stamp(batch_id)
+
+    def merge(self, spark, source, batch_id, key_cols, version_col):
+        self.merge_mode = True
+        for r in source.collect():
+            s = r.asDict()
+            k = tuple(s[c] for c in key_cols)
+            t = self.by_key.get(k)
+            if t is None:  # WHEN NOT MATCHED THEN INSERT *
+                self.by_key[k] = s
+            elif s[version_col] > t[version_col] or (
+                s[version_col] == t[version_col]
+                and s["_adt_batch"] > t["_adt_batch"]
+            ):  # WHEN MATCHED AND (<monotone cond>) THEN UPDATE SET *
+                self.by_key[k] = s
+        self._stamp(batch_id)
+
+    def read(self, spark):
+        rows = list(self.by_key.values()) if self.merge_mode else self.rows
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_iceberg_append_crash_window_closed(spark, tmp_path, monkeypatch):
+    """The round-3/4 documented gap, now CLOSED: a crash after the
+    Iceberg commit but before the marker publish must NOT double-append
+    on redelivery — the WAP-lite ``adt.batch-id`` snapshot stamp is
+    checked before appending."""
+    import os as _os
 
     from auto_data_tokenize_spark.streaming import sink as sink_mod
-    from auto_data_tokenize_spark.streaming import source as source_mod
 
-    monkeypatch.setattr(source_mod, "iceberg_available", lambda spark: True)
-
-    appends = []
-
-    class _FakeWriter:
-        def __init__(self, table):
-            self.table = table
-
-        def option(self, k, v):
-            self.batch = v
-            return self
-
-        def append(self):
-            appends.append(self.batch)
-
-    class _FakeDF:
-        sparkSession = None
-
-        def writeTo(self, table):
-            return _FakeWriter(table)
-
+    fake = FakeIcebergAdapter()
     sink = sink_mod.ExactlyOnceSink(
-        str(tmp_path / "ice"), use_iceberg=True, iceberg_table="cat.db.t"
+        str(tmp_path / "ice"),
+        use_iceberg=True,
+        iceberg_table="cat.db.t",
+        iceberg_adapter=fake,
     )
-    real_replace = os.replace
+    df = spark.range(10).withColumnRenamed("id", "v")
+
+    real_replace = _os.replace
     calls = {"n": 0}
 
     def crash_once(a, b):
@@ -340,12 +377,93 @@ def test_iceberg_redelivery_window_duplicates_documented(tmp_path, monkeypatch):
 
     monkeypatch.setattr(sink_mod.os, "replace", crash_once)
     with pytest.raises(OSError, match="simulated crash"):
-        sink.foreach_batch(_FakeDF(), 7)
-    assert appends == ["7"] and not sink.is_committed(7)
+        sink.foreach_batch(df, 7)
+    # Iceberg committed, local marker did not
+    assert len(fake.rows) == 10 and not sink.is_committed(7)
 
-    sink.foreach_batch(_FakeDF(), 7)  # redelivery
-    assert appends == ["7", "7"]  # the documented duplicate append
+    sink.foreach_batch(df, 7)  # checkpoint redelivery
+    assert len(fake.rows) == 10  # NO duplicate append
     assert sink.is_committed(7)
+    assert sink.read_committed(spark).count() == 10
+
+    sink.foreach_batch(df, 8)  # a genuinely new batch still appends
+    assert len(fake.rows) == 20
+
+
+def test_iceberg_upsert_merge_exactly_once(spark, tmp_path):
+    """Upsert mode over Iceberg: MERGE INTO with the monotone
+    (version, batch) condition. Redelivery is a no-op, ties break to
+    the later batch, tombstones delete at read but keep suppressing
+    late lower-version replays, and the resolved table equals the
+    parquet commit-log sink fed the same batches."""
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, v int, ver long, del boolean")
+
+    batches = [
+        (0, mk([("a", 1, 1, False), ("b", 1, 1, False)])),
+        # update a, insert c, tombstone b; within-batch dupe for a
+        (1, mk([("a", 2, 2, False), ("a", 99, 1, False),
+                ("c", 1, 1, False), ("b", None, 2, True)])),
+        # late LOWER-version replay for b must not resurrect it
+        (2, mk([("b", 7, 1, False)])),
+    ]
+
+    fake = FakeIcebergAdapter()
+    ice = ExactlyOnceSink(
+        str(tmp_path / "ice"),
+        use_iceberg=True,
+        iceberg_table="cat.db.t",
+        key_cols=("k",),
+        version_col="ver",
+        tombstone_col="del",
+        iceberg_adapter=fake,
+    )
+    pq_sink = ExactlyOnceSink(
+        str(tmp_path / "pq"),
+        key_cols=("k",),
+        version_col="ver",
+        tombstone_col="del",
+    )
+    for bid, df in batches:
+        ice.foreach_batch(df, bid)
+        pq_sink.foreach_batch(df, bid)
+    # checkpoint redelivery of every batch: markers dedupe, and even
+    # with markers wiped the MERGE condition itself is a no-op
+    for bid, df in batches:
+        ice.foreach_batch(df, bid)
+    os.unlink(ice._commit_path(1))
+    ice.foreach_batch(batches[1][1], 1)
+
+    got = {
+        (r["k"], r["v"], r["ver"])
+        for r in ice.read_committed(spark).collect()
+    }
+    assert got == {("a", 2, 2), ("c", 1, 1)}  # b tombstoned, a updated
+    want = {
+        (r["k"], r["v"], r["ver"])
+        for r in pq_sink.read_committed(spark).collect()
+    }
+    assert got == want  # mode equivalence on identical input
+    assert "_adt_batch" not in ice.read_committed(spark).columns
+
+
+def test_iceberg_merge_sql_shape():
+    """Pin the generated MERGE statement: null-safe key equality and
+    the strictly-monotone update condition that makes redelivery a
+    structural no-op."""
+    from auto_data_tokenize_spark.streaming.sink import iceberg_merge_sql
+
+    sql = iceberg_merge_sql("cat.db.t", "src_v", ("k1", "k2"), "ver")
+    assert "MERGE INTO cat.db.t t USING src_v s" in sql
+    assert "ON t.k1 <=> s.k1 AND t.k2 <=> s.k2" in sql
+    assert (
+        "WHEN MATCHED AND (s.ver > t.ver OR "
+        "(s.ver = t.ver AND s._adt_batch > t._adt_batch)) "
+        "THEN UPDATE SET *" in sql
+    )
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
 
 
 def test_stream_rollup_matches_batch_twin(spark, tmp_path):
@@ -584,14 +702,8 @@ def test_upsert_mode_guards(tmp_path):
         ExactlyOnceSink(str(tmp_path / "b"), version_col="v")
     with _pytest.raises(ValueError, match="tombstone_col requires"):
         ExactlyOnceSink(str(tmp_path / "c"), tombstone_col="del")
-    with _pytest.raises(ValueError, match="MERGE INTO"):
-        ExactlyOnceSink(
-            str(tmp_path / "d"),
-            use_iceberg=True,
-            iceberg_table="c.d.t",
-            key_cols=("k",),
-            version_col="v",
-        )
+    with _pytest.raises(ValueError, match="requires use_iceberg"):
+        ExactlyOnceSink(str(tmp_path / "d"), iceberg_adapter=FakeIcebergAdapter())
 
 
 def test_sink_schema_evolution(spark, tmp_path):
