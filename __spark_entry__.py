@@ -1083,6 +1083,58 @@ def q57_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_extended_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-infoType detection stream over the planted
+    PERSON_NAME/DATE_OF_BIRTH fixture — the reference demo's own
+    transcript config (csv_dlp_tokenize_config.json:5-8 tokenizes
+    PERSON_NAME, EMAIL_ADDRESS, DATE_OF_BIRTH; its chat fixture is
+    tagged by a CUSTOM_FIRST_NAME_DETECTOR, i.e. a first-name
+    dictionary). Same narrow detect→explode plan as q02, detector set
+    selected per the DlpEncryptConfig infoType-list posture."""
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.functions.detectors import EXTENDED_INFO_TYPES
+    from auto_data_tokenize_spark.operators.identify import detections
+    from auto_data_tokenize_spark.sources.readers import read_transcripts
+
+    d = datagen.ensure_extended(_sf_name(sf_dir))
+    tr = read_transcripts(spark, os.path.join(d, "transcripts_ext.parquet"))
+    return detections(tr, info_types=EXTENDED_INFO_TYPES).select(
+        "conv_id", "turn_idx", "info_type", "start", "end", "token"
+    )
+
+
+def q59_stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time eval-set decontamination (stream twin of q53): the
+    corpus replays as an ingest stream and each arriving doc's distinct
+    5-word shingles hash-join the broadcast eval shingle set — a
+    stateless stream-static gate through the exactly-once sink. Output
+    is the exact (doc_id, shingle) hit pairs, so the oracle (the same
+    shingle construction in SQL) checks the gate decision pairwise."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.corpus import DecontaminationGate
+
+    docs = _documents(spark, sf_dir)
+    ev = docs.filter(f"doc_id % {EVAL_MOD} = 0").select("doc_id", "text")
+
+    base = tempfile.mkdtemp(prefix="adt_q59_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet")).loc[
+            :, ["doc_id", "text"]
+        ]
+        pdf = pdf[pdf["doc_id"] % EVAL_MOD != 0]
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, text string")
+        with DecontaminationGate(ev) as gate:
+            result = _run_stream_to_sink(spark, gate.apply(st), base)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select("doc_id", "shingle")
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1288,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_stream_upsert": _with_prep(q55_stream_upsert),
         "q56_dataset_report": _with_prep(q56_dataset_report),
         "q57_asof_forward_tolerance": _with_prep(q57_asof_forward_tolerance),
+        "q58_extended_detections": _with_prep(q58_extended_detections),
+        "q59_stream_decontaminate_gate": _with_prep(q59_stream_decontaminate_gate),
     }
 
 
@@ -1485,6 +1539,18 @@ def _duck_decontaminate_sql() -> str:
     )
 
 
+def _duck_decontaminate_hits_sql() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_decontaminate_hits_sql,
+    )
+
+    return duckdb_decontaminate_hits_sql(
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} != 0",
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0",
+        k=5,
+    )
+
+
 def _duck_mix_sql() -> str:
     from auto_data_tokenize_spark.operators.corpus import duckdb_mix_sql
 
@@ -1559,6 +1625,11 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
     tr = f"read_parquet('{dd}/transcripts.parquet')"
     det = f"read_parquet('{dd}/detections.parquet')"
     tok = f"read_parquet('{dd}/tokenized_turns.parquet')"
+    # materialize the extended-PII golden even if the oracle runs
+    # before the Spark side (idempotent marker check)
+    from auto_data_tokenize_spark import datagen
+
+    datagen.ensure_extended(sf_name)
 
     return {
         "q01_tokenize_turns": f"""
@@ -1937,6 +2008,13 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             ) t WHERE rn = 1
         """,
         "q56_dataset_report": _duck_dataset_report_sql(),
+        # golden computed by the pure-Python span oracle over the
+        # planted extended-PII fixture (datagen.golden_detections_ext)
+        "q58_extended_detections": f"""
+            SELECT conv_id, turn_idx, info_type, start, "end", token
+            FROM read_parquet('{dd}/detections_ext.parquet')
+        """,
+        "q59_stream_decontaminate_gate": _duck_decontaminate_hits_sql(),
         # forward as-of with tolerance: LATERAL next-purchase pick,
         # same (ts ASC, event_id DESC) tie order as the Spark tiebreak
         "q57_asof_forward_tolerance": """

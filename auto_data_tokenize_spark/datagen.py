@@ -304,6 +304,122 @@ def transcripts_path(sf_name: str, data_root: str = DATA_ROOT) -> str:
     return os.path.join(ensure_sf(sf_name, data_root), "transcripts.parquet")
 
 
+# -- extended-detector fixture (PERSON_NAME + DATE_OF_BIRTH) ---------------
+#
+# The reference's transcript demo tokenizes PERSON_NAME, EMAIL_ADDRESS,
+# DATE_OF_BIRTH (csv_dlp_tokenize_config.json:5-8; its chat fixture is
+# pre-tagged by a CUSTOM_FIRST_NAME_DETECTOR — a first-name dictionary).
+# A separate planted table keeps the base goldens byte-stable while the
+# extended set gets its own computable oracle.
+
+_TEMPLATES_EXT = [
+    "Customer {NAME} verified identity, DOB: {DOB_ISO}.",
+    "Patient {NAME} was born on {DOB_US} per the intake form.",
+    "{NAME} <{EMAIL}> asked about the invoice.",
+    "account holder: {NAME}, date of birth {DOB_ISO}, phone {PHONE}",
+    "{FIRST} called earlier about the refund request.",
+    # no trailing period after {CC}: the CC pattern's decimal guard
+    # (?![\d.]) rejects "…8357." by design
+    "d.o.b. {DOB_US} on file for {NAME}; card {CC} per billing",
+    # planted NEGATIVES — must NOT detect:
+    "the grace period ends soon, no action needed.",  # lowercase dictionary word
+    "meeting scheduled on {DOB_ISO} in the main office.",  # date, no birth context
+    "born on 2026-02-31, which is not a real day.",  # calendar-implausible
+    "ancestor born on 1/1/1880 per the genealogy record.",  # year out of range
+]
+
+
+def _mk_dob(rng: np.random.Generator, iso: bool) -> str:
+    y = int(rng.integers(1940, 2010))
+    m = int(rng.integers(1, 13))
+    d = int(rng.integers(1, 29))  # always calendar-valid
+    return f"{y:04d}-{m:02d}-{d:02d}" if iso else f"{m}/{d}/{y}"
+
+
+def gen_transcripts_ext(sf: float, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic extended-PII transcript table (~``3000*sf`` turns,
+    same schema as ``gen_transcripts``): plants gazetteer names and
+    birth dates (plus negatives) so EXTENDED_INFO_TYPES goldens are
+    computable."""
+    from auto_data_tokenize_spark.functions.detectors import FIRST_NAMES, LAST_NAMES
+
+    rng = np.random.default_rng([seed + 11, int(sf * 1_000_000)])
+    n = max(200, int(3000 * sf))
+    rows = []
+    ts = BASE_TS
+    for i in range(n):
+        conv_id = f"convx_{i // 8:06d}"
+        tpl = _TEMPLATES_EXT[int(rng.integers(len(_TEMPLATES_EXT)))]
+        first = FIRST_NAMES[int(rng.integers(len(FIRST_NAMES)))]
+        last = LAST_NAMES[int(rng.integers(len(LAST_NAMES)))]
+        name = first if rng.random() < 0.3 else f"{first} {last}"
+        text = (
+            tpl.replace("{NAME}", name)
+            .replace("{FIRST}", first)
+            .replace("{DOB_ISO}", _mk_dob(rng, iso=True))
+            .replace("{DOB_US}", _mk_dob(rng, iso=False))
+            .replace("{EMAIL}", _mk_email(rng))
+            .replace("{PHONE}", _mk_phone(rng))
+            .replace("{CC}", _mk_cc(rng))
+        )
+        ts = ts + pd.Timedelta(seconds=int(rng.integers(5, 91)))
+        rows.append((conv_id, i % 8 + 1, ["customer", "agent"][i % 2], text, None, ts))
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array([r[0] for r in rows], dtype="string"),
+            "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+            "role": pd.array([r[2] for r in rows], dtype="string"),
+            "text": pd.array([r[3] for r in rows], dtype="string"),
+            "tool": pd.array([r[4] for r in rows], dtype="string"),
+            "ts": pd.Series([r[5] for r in rows]).astype("datetime64[us]"),
+        }
+    )
+
+
+def golden_detections_ext(
+    transcripts: pd.DataFrame, root_key: bytes = DEFAULT_ROOT_KEY
+) -> pd.DataFrame:
+    """Pure-Python oracle for the EXTENDED_INFO_TYPES detection stream."""
+    tok = Tokenizer(root_key)
+    recs = []
+    for conv_id, turn_idx, text, ts in zip(
+        transcripts["conv_id"], transcripts["turn_idx"], transcripts["text"], transcripts["ts"]
+    ):
+        for s in detectors.find_spans(text, detectors.EXTENDED_INFO_TYPES):
+            recs.append(
+                (
+                    conv_id,
+                    int(turn_idx),
+                    s.info_type,
+                    int(s.start),
+                    int(s.end),
+                    tok.token(conv_id, s.info_type, s.text),
+                    ts,
+                )
+            )
+    df = pd.DataFrame(
+        recs, columns=["conv_id", "turn_idx", "info_type", "start", "end", "token", "ts"]
+    )
+    return df.astype(
+        {"conv_id": "string", "turn_idx": "int32", "info_type": "string",
+         "start": "int32", "end": "int32", "token": "string",
+         "ts": "datetime64[us]"}
+    )
+
+
+def ensure_extended(sf_name: str, data_root: str = DATA_ROOT, force: bool = False) -> str:
+    """Idempotently add transcripts_ext.parquet + detections_ext.parquet
+    (golden) next to the base fixtures."""
+    out_dir = ensure_sf(sf_name, data_root)
+    marker = os.path.join(out_dir, "detections_ext.parquet")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    tr = gen_transcripts_ext(sf_name_to_sf(sf_name))
+    _write(tr, os.path.join(out_dir, "transcripts_ext.parquet"), _ARROW_SCHEMA)
+    _write(golden_detections_ext(tr), marker)
+    return out_dir
+
+
 # -- multimodal fixture ------------------------------------------------------
 
 _MEDIA_ARROW = pa.schema(

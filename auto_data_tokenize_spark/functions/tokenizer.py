@@ -204,11 +204,21 @@ class Tokenizer:
 
     # -- free-form text ops (the transcript hot path) ----------------------
 
-    def tokenize_text(self, conv_id: str, text: str | None) -> str | None:
+    def tokenize_text(
+        self,
+        conv_id: str,
+        text: str | None,
+        info_types: tuple[str, ...] | None = None,
+    ) -> str | None:
         """Replace every detected span with its deterministic token
-        (free_form_column=true semantics, csv_dlp_tokenize_config.json:1-21)."""
+        (free_form_column=true semantics, csv_dlp_tokenize_config.json:1-21).
+        ``info_types`` selects the detector set (the DlpEncryptConfig
+        infoType-list posture, proto:183-205); ``None`` keeps the
+        default four so existing goldens are stable."""
         return detectors.replace_spans(
-            text, lambda info_type, matched: self.token(conv_id, info_type, matched)
+            text,
+            lambda info_type, matched: self.token(conv_id, info_type, matched),
+            info_types,
         )
 
     def detokenize_text(self, conv_id: str, text: str | None) -> str | None:

@@ -50,10 +50,14 @@ def _get_tokenizer(root_key: bytes) -> Tokenizer:
     return t
 
 
-def tokenize_text_udf(root_key: bytes | None = None):
+def tokenize_text_udf(
+    root_key: bytes | None = None,
+    info_types: tuple[str, ...] | None = None,
+):
     """(conv_id, text) -> tokenized text. Free-form span tokenization
     (semantics of EncryptingFlatRecordTokenizer.java:75-118 +
     free_form_column=true, csv_dlp_tokenize_config.json:1-21).
+    ``info_types`` selects the detector set (None = default four).
 
     Inner loop: one compiled-regex pass per row over the Arrow batch
     with per-(conv, infoType) cipher caching. Measured ~45k rows/s/core
@@ -68,7 +72,9 @@ def tokenize_text_udf(root_key: bytes | None = None):
         tokenize_text = tok.tokenize_text
         return pd.Series(
             [
-                tokenize_text(c, t) if (t is not None and t == t) else None
+                tokenize_text(c, t, info_types)
+                if (t is not None and t == t)
+                else None
                 for c, t in zip(conv, text)
             ],
             index=text.index,
@@ -111,12 +117,16 @@ SPAN_SCHEMA = ArrayType(
 )
 
 
-def detect_spans_udf(root_key: bytes | None = None):
+def detect_spans_udf(
+    root_key: bytes | None = None,
+    info_types: tuple[str, ...] | None = None,
+):
     """(conv_id, text) -> array<struct<info_type,start,end,token>>.
 
     The local analogue of dlp.inspectContent findings
     (dlp/DlpBatchInspect.java:114-136), plus the deterministic token each
-    span would map to (so detections can join the token dictionary)."""
+    span would map to (so detections can join the token dictionary).
+    ``info_types`` selects the detector set (None = default four)."""
     root_key = resolve_root_key(root_key)
 
     @pandas_udf(SPAN_SCHEMA)
@@ -132,7 +142,7 @@ def detect_spans_udf(root_key: bytes | None = None):
                     "end": sp.end,
                     "token": token(c, sp.info_type, sp.text),
                 }
-                for sp in find_spans(t)
+                for sp in find_spans(t, info_types)
             ]
             if (t is not None and t == t)
             else []
@@ -143,14 +153,14 @@ def detect_spans_udf(root_key: bytes | None = None):
     return _detect
 
 
-def info_types_udf():
+def info_types_udf(info_types: tuple[str, ...] | None = None):
     """text -> array<string> of detected infoTypes (no tokens; cheapest
     detection shape for identify/sampling paths)."""
 
     @pandas_udf(ArrayType(StringType()))
     def _info_types(text: pd.Series) -> pd.Series:
         return text.map(
-            lambda t: [sp.info_type for sp in detectors.find_spans(t)]
+            lambda t: [sp.info_type for sp in detectors.find_spans(t, info_types)]
             if t is not None and t == t
             else []
         )

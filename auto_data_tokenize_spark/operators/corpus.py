@@ -317,6 +317,105 @@ def duckdb_decontaminate_sql(
     """
 
 
+class DecontaminationGate:
+    """Streaming ingest-time eval-set decontamination: flag an arriving
+    document BEFORE it lands in the corpus when it shares a k-word
+    shingle with the held-out evaluation suite — the continuous twin of
+    :func:`decontaminate` and the same lifecycle/plan pattern as
+    ``dedup.NearDupGate``.
+
+        with DecontaminationGate(eval_df) as gate:
+            hits = gate.apply(incoming_stream)   # (id, shingle) pairs
+            ... run the stream ...
+
+    100 TB shape: the eval suite is megabytes while the ingest stream
+    is unbounded, so the distinct eval shingle set is persisted once
+    and **broadcast** into every micro-batch; the stream side is a
+    stateless per-row shingle projection → explode → broadcast hash
+    join (no watermark, no state store, no stream-side shuffle beyond
+    the initial repartition that spreads a single staged file across
+    cores). Output is the exact (id, shingle) hit pairs — strictly
+    more information than a per-doc flag, and aggregation-free so the
+    gate stays stateless; count/flag summaries are one batch groupBy
+    over the committed output.
+    """
+
+    def __init__(
+        self,
+        eval_df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 5,
+        persist_eval: bool = True,
+    ):
+        from auto_data_tokenize_spark.operators.dedup import word_shingles
+
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        ev = (
+            word_shingles(eval_df, text_col, k, out_col="_g")
+            .select(F.explode_outer(F.array_distinct("_g")).alias("shingle"))
+            .distinct()
+        )
+        self._persisted = bool(persist_eval and not eval_df.isStreaming)
+        if self._persisted:
+            ev = ev.persist()
+        self.eval_shingles = ev
+
+    def apply(self, incoming: DataFrame) -> DataFrame:
+        from auto_data_tokenize_spark.operators.dedup import word_shingles
+
+        parallelism = incoming.sparkSession.sparkContext.defaultParallelism
+        incoming = incoming.repartition(parallelism)
+        pairs = word_shingles(incoming, self.text_col, self.k, out_col="_g").select(
+            self.id_col, F.explode_outer(F.array_distinct("_g")).alias("shingle")
+        )
+        return pairs.join(F.broadcast(self.eval_shingles), "shingle").select(
+            self.id_col, "shingle"
+        )
+
+    def close(self) -> None:
+        if self._persisted:
+            self.eval_shingles.unpersist()
+            self._persisted = False
+
+    def __enter__(self) -> "DecontaminationGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def duckdb_decontaminate_hits_sql(
+    corpus_sql: str, eval_sql: str, k: int = 5
+) -> str:
+    """DuckDB twin of ``DecontaminationGate.apply``: the distinct
+    (doc_id, shingle) hit pairs (shared shingle construction with
+    :func:`duckdb_decontaminate_sql`)."""
+
+    def shingles(src: str) -> str:
+        return f"""
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(w) - {k}, 0) + 1),
+                     i -> array_to_string(list_slice(w, i + 1, i + {k}), ' ')
+                 )) AS g
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM ({src}) src)
+        """
+
+    return f"""
+        WITH ev AS (
+          SELECT DISTINCT unnest(g) AS shingle FROM ({shingles(eval_sql)}) e
+        ),
+        cg AS (
+          SELECT doc_id, unnest(g) AS shingle FROM ({shingles(corpus_sql)}) c
+        )
+        SELECT cg.doc_id, cg.shingle FROM cg JOIN ev USING (shingle)
+    """
+
+
 def mix_sources(
     df: DataFrame,
     rates: dict[str, float],

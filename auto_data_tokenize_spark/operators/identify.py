@@ -25,11 +25,16 @@ def detections(
     text_col: str = "text",
     extra_cols: tuple[str, ...] = ("turn_idx", "ts"),
     root_key: bytes | None = None,
+    info_types: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """One row per detected span: (conv_id, *extra, info_type, start,
     end, token). The detection *event stream* that feeds windowed
-    aggregates and the token-dictionary join."""
-    spans = detect_spans_udf(root_key)(F.col(conv_col), F.col(text_col))
+    aggregates and the token-dictionary join. ``info_types`` selects
+    the detector set (None = the default four; pass
+    ``detectors.EXTENDED_INFO_TYPES`` to add PERSON_NAME +
+    DATE_OF_BIRTH, the reference demo's transcript config —
+    csv_dlp_tokenize_config.json:5-8)."""
+    spans = detect_spans_udf(root_key, info_types)(F.col(conv_col), F.col(text_col))
     return (
         df.select(conv_col, *extra_cols, F.explode(spans).alias("span"))
         .select(

@@ -35,10 +35,13 @@ def tokenize_turns(
     out_col: str = "text_tok",
     keep_original: bool = False,
     root_key: bytes | None = None,
+    info_types: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Transcript free-form tokenization: ``text`` → ``text_tok``."""
+    """Transcript free-form tokenization: ``text`` → ``text_tok``.
+    ``info_types`` selects the detector set (None = default four)."""
     out = df.withColumn(
-        out_col, tokenize_text_udf(root_key)(F.col(conv_col), F.col(text_col))
+        out_col,
+        tokenize_text_udf(root_key, info_types)(F.col(conv_col), F.col(text_col)),
     )
     if not keep_original and out_col != text_col:
         out = out.drop(text_col)

@@ -251,3 +251,62 @@ def test_duckdb_mix_sql_edges():
         duckdb_mix_sql("t", {"o'brien": 0.0})
     ).fetchdf()
     assert set(out["source"]) <= {"x"}
+
+
+def test_decontamination_gate_matches_batch(spark):
+    """The streaming gate's (id, shingle) hit pairs imply exactly the
+    batch operator's contaminated set, and the pair counts equal
+    n_hit_shingles (the gate is the stateless ingest twin of q53)."""
+    from auto_data_tokenize_spark.operators.corpus import (
+        DecontaminationGate,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated content with its own words here"),
+        (3, "we saw the quick brown fox jumps over the fence"),
+        (4, None),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "a tale where the quick brown fox jumps over everything")],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: r["n_hit_shingles"]
+        for r in decontaminate(corpus, ev, k=5).collect()
+    }
+    with DecontaminationGate(ev, k=5) as gate:
+        pairs = gate.apply(corpus).collect()
+    got = {}
+    for r in pairs:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+    assert {k for k, v in batch.items() if v > 0} == set(got)
+    for k, v in got.items():
+        assert batch[k] == v
+    assert batch[2] == 0 and batch[4] == 0
+
+
+def test_extended_fixture_deterministic_and_negative_clean():
+    """gen_transcripts_ext regenerates byte-identically and plants all
+    six infoTypes; the planted negatives yield zero detections."""
+    import pandas as pd
+
+    from auto_data_tokenize_spark import datagen
+
+    a = datagen.gen_transcripts_ext(0.001)
+    b = datagen.gen_transcripts_ext(0.001)
+    pd.testing.assert_frame_equal(a, b)
+    det = datagen.golden_detections_ext(a)
+    assert {
+        "PERSON_NAME", "DATE_OF_BIRTH", "EMAIL_ADDRESS",
+        "PHONE_NUMBER", "CREDIT_CARD_NUMBER",
+    } <= set(det["info_type"])
+    neg = a["text"].str.contains(
+        "2026-02-31|1/1/1880|grace period|meeting scheduled"
+    )
+    hits = a.loc[neg, ["conv_id", "turn_idx"]].merge(
+        det, on=["conv_id", "turn_idx"]
+    )
+    assert hits.empty
