@@ -318,6 +318,7 @@ _TEMPLATES_EXT = [
     "{NAME} <{EMAIL}> asked about the invoice.",
     "account holder: {NAME}, date of birth {DOB_ISO}, phone {PHONE}",
     "{FIRST} called earlier about the refund request.",
+    "Customer {NAME}, born {DOB_LONG}, passed verification.",
     # no trailing period after {CC}: the CC pattern's decimal guard
     # (?![\d.]) rejects "…8357." by design
     "d.o.b. {DOB_US} on file for {NAME}; card {CC} per billing",
@@ -334,6 +335,15 @@ def _mk_dob(rng: np.random.Generator, iso: bool) -> str:
     m = int(rng.integers(1, 13))
     d = int(rng.integers(1, 29))  # always calendar-valid
     return f"{y:04d}-{m:02d}-{d:02d}" if iso else f"{m}/{d}/{y}"
+
+
+def _mk_dob_long(rng: np.random.Generator) -> str:
+    from auto_data_tokenize_spark.functions.detectors import _MONTHS
+
+    y = int(rng.integers(1940, 2010))
+    m = int(rng.integers(1, 13))
+    d = int(rng.integers(1, 29))
+    return f"{_MONTHS[m - 1]} {d}, {y}"
 
 
 def gen_transcripts_ext(sf: float, seed: int = SEED) -> pd.DataFrame:
@@ -358,6 +368,7 @@ def gen_transcripts_ext(sf: float, seed: int = SEED) -> pd.DataFrame:
             .replace("{FIRST}", first)
             .replace("{DOB_ISO}", _mk_dob(rng, iso=True))
             .replace("{DOB_US}", _mk_dob(rng, iso=False))
+            .replace("{DOB_LONG}", _mk_dob_long(rng))
             .replace("{EMAIL}", _mk_email(rng))
             .replace("{PHONE}", _mk_phone(rng))
             .replace("{CC}", _mk_cc(rng))

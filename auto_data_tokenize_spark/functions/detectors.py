@@ -112,10 +112,15 @@ _NAME = (
 # followed by a date — ISO (YYYY-MM-DD) or US (M/D/YYYY). The context
 # requirement mirrors DLP's DATE_OF_BIRTH vs plain DATE distinction;
 # the date part is validated for calendar + year plausibility.
+_MONTHS = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
 _DOB = (
     r"(?P<DOB_CTX>(?i:\b(?:date\s+of\s+birth|birth\s*date|"
     r"born(?:\s+on)?|d\.?o\.?b\.?)\b[:\s]+))"
-    r"(?P<DOB_DATE>\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4})(?!\d)"
+    r"(?P<DOB_DATE>\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4}"
+    r"|(?:" + "|".join(_MONTHS) + r") \d{1,2}, \d{4})(?!\d)"
 )
 
 _PATTERNS = {
@@ -194,9 +199,15 @@ def ssn_structure_valid(ssn: str) -> bool:
 def dob_plausible(date_str: str) -> bool:
     """Calendar-valid date with a plausible birth year (1900-2026).
     ``1987-04-12`` is ISO year-month-day; ``4/12/1987`` is US
-    month/day/year. Feb 30, month 13, year 1830 all demote."""
+    month/day/year; ``April 12, 1987`` is month-name form (capitalized
+    English month, matching the pattern). Feb 30, month 13, year 1830
+    all demote."""
     try:
-        if "-" in date_str:
+        if "," in date_str:
+            mon, rest = date_str.split(" ", 1)
+            d, y = (int(x) for x in rest.replace(",", "").split())
+            mth = _MONTHS.index(mon) + 1
+        elif "-" in date_str:
             y, mth, d = (int(x) for x in date_str.split("-"))
         else:
             mth, d, y = (int(x) for x in date_str.split("/"))

@@ -138,6 +138,16 @@ def test_dob_requires_birth_context():
     assert xspans("meeting on 1987-04-12") == []
 
 
+def test_dob_month_name_format():
+    assert xspans("born on April 12, 1987 in Ohio") == [
+        ("DATE_OF_BIRTH", "April 12, 1987")
+    ]
+    assert xspans("DOB: May 1, 1955") == [("DATE_OF_BIRTH", "May 1, 1955")]
+    assert xspans("on April 12, 1987 no context") == []
+    assert xspans("born on February 30, 1987 x") == []  # no Feb 30
+    assert xspans("born on April 1, 1830 x") == []  # implausible year
+
+
 def test_dob_plausibility_demotes():
     assert xspans("born on 1987-02-30 x") == []  # no Feb 30
     assert xspans("born on 13/1/1987 x") == []  # month 13
