@@ -1135,6 +1135,53 @@ def q59_stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     return result.select("doc_id", "shingle")
 
 
+def q60_config_driven_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven tokenization: the reference's own transcript demo
+    config (csv_dlp_tokenize_config.json — freeFormColumn with
+    PERSON_NAME/EMAIL_ADDRESS/DATE_OF_BIRTH) parsed and applied as one
+    declarative plan over the extended-PII fixture; PHONE/CC spans must
+    stay plaintext. Oracle: the pure-Python tokenizer golden under the
+    same 3-infoType selection."""
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.dlp_config import (
+        apply_encrypt_config,
+        parse_encrypt_config,
+    )
+    from auto_data_tokenize_spark.sources.readers import read_transcripts
+
+    ref_cfg = "/root/reference/csv_dlp_tokenize_config.json"
+    if os.path.exists(ref_cfg):
+        specs = parse_encrypt_config(ref_cfg)
+        # the reference file names its CSV column "transcript"; our
+        # fixture column is "text" — same shape, engine-local name
+        specs = [
+            s.__class__(
+                column_id="$.CsvRecord.text", parts=("text",),
+                free_form=s.free_form, info_types=s.info_types,
+                key_ref=s.key_ref,
+            )
+            for s in specs
+        ]
+    else:  # hermetic fallback: the identical shape inline
+        specs = parse_encrypt_config(
+            {
+                "transforms": [
+                    {
+                        "columnId": "$.CsvRecord.text",
+                        "freeFormColumn": "true",
+                        "infoTypes": list(datagen.CONFIG_INFO_TYPES),
+                    }
+                ]
+            }
+        )
+
+    d = datagen.ensure_extended(_sf_name(sf_dir))
+    tr = read_transcripts(spark, os.path.join(d, "transcripts_ext.parquet"))
+    return apply_encrypt_config(tr, specs, scope_col="conv_id").select(
+        "conv_id", "turn_idx", "text"
+    )
+
+
 def q24_detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from auto_data_tokenize_spark.functions.udfs import detokenize_text_udf
     from auto_data_tokenize_spark.operators.tokenize import tokenize_turns
@@ -1342,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_asof_forward_tolerance": _with_prep(q57_asof_forward_tolerance),
         "q58_extended_detections": _with_prep(q58_extended_detections),
         "q59_stream_decontaminate_gate": _with_prep(q59_stream_decontaminate_gate),
+        "q60_config_driven_tokenize": _with_prep(q60_config_driven_tokenize),
     }
 
 
@@ -2015,6 +2063,12 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM read_parquet('{dd}/detections_ext.parquet')
         """,
         "q59_stream_decontaminate_gate": _duck_decontaminate_hits_sql(),
+        # golden computed by the pure-Python tokenizer under the
+        # reference config's own 3-infoType selection
+        "q60_config_driven_tokenize": f"""
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{dd}/tokenized_ext3.parquet')
+        """,
         # forward as-of with tolerance: LATERAL next-purchase pick,
         # same (ts ASC, event_id DESC) tie order as the Spark tiebreak
         "q57_asof_forward_tolerance": """

@@ -418,16 +418,36 @@ def golden_detections_ext(
     )
 
 
+# exactly the reference transcript demo's configured infoTypes
+# (csv_dlp_tokenize_config.json:5-8)
+CONFIG_INFO_TYPES = ("PERSON_NAME", "EMAIL_ADDRESS", "DATE_OF_BIRTH")
+
+
+def golden_tokenized_ext3(
+    transcripts: pd.DataFrame, root_key: bytes = DEFAULT_ROOT_KEY
+) -> pd.DataFrame:
+    """Free-form tokenization golden under the reference config's
+    3-infoType selection (q60's oracle: PHONE/CC stay plaintext)."""
+    tok = Tokenizer(root_key)
+    out = transcripts[["conv_id", "turn_idx"]].copy()
+    out["text"] = [
+        tok.tokenize_text(c, t, CONFIG_INFO_TYPES)
+        for c, t in zip(transcripts["conv_id"], transcripts["text"])
+    ]
+    return out.astype({"conv_id": "string", "turn_idx": "int32", "text": "string"})
+
+
 def ensure_extended(sf_name: str, data_root: str = DATA_ROOT, force: bool = False) -> str:
     """Idempotently add transcripts_ext.parquet + detections_ext.parquet
-    (golden) next to the base fixtures."""
+    + tokenized_ext3.parquet (goldens) next to the base fixtures."""
     out_dir = ensure_sf(sf_name, data_root)
-    marker = os.path.join(out_dir, "detections_ext.parquet")
+    marker = os.path.join(out_dir, "tokenized_ext3.parquet")
     if os.path.exists(marker) and not force:
         return out_dir
     tr = gen_transcripts_ext(sf_name_to_sf(sf_name))
     _write(tr, os.path.join(out_dir, "transcripts_ext.parquet"), _ARROW_SCHEMA)
-    _write(golden_detections_ext(tr), marker)
+    _write(golden_detections_ext(tr), os.path.join(out_dir, "detections_ext.parquet"))
+    _write(golden_tokenized_ext3(tr), marker)
     return out_dir
 
 

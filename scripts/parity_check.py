@@ -4,9 +4,11 @@ the same per-query record shape as the driver's CORRECTNESS_r{N}.json
 (rows_match / schema_match / hash_match, dtype-faithful).
 
 Usage:
-    python scripts/parity_check.py [sf_dir] [out.json]
+    python scripts/parity_check.py [sf_dir] [out.json] [only,names]
 
 Defaults: sf_dir=/root/testdata/sf0.01, out=LOCAL_PARITY_<sfname>.json.
+With a comma-separated name filter, only those queries run and their
+records MERGE into an existing out.json (incremental re-check).
 Exists because the driver's correctness file has historically enumerated
 at most 50 queries per round — this records the hard signal for every
 registered query at the driver's own gate scale (see tests/
@@ -81,9 +83,15 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql(sf_name=sf_name)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     results = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
     n_bad = 0
     for name in sorted(queries):
+        if only is not None and name not in only:
+            continue
         rec = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": None, "oracle_rows": None, "err": None,
