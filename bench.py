@@ -155,6 +155,7 @@ def main() -> None:
     sf_name = os.path.basename(os.path.normpath(SF_DIR))
     datagen.ensure_sf(sf_name)  # materialize inputs before the clock starts
     datagen.ensure_media(sf_name)
+    datagen.ensure_extended(sf_name)
 
     spark = get_spark("adt-bench", cores=CPUS, shuffle_partitions=CPUS)
     try:

@@ -310,3 +310,23 @@ def test_extended_fixture_deterministic_and_negative_clean():
         det, on=["conv_id", "turn_idx"]
     )
     assert hits.empty
+
+
+def test_decontamination_gate_plan_broadcasts_eval(spark):
+    """The gate's 100 TB contract: the eval shingle side is broadcast
+    (no corpus-side shuffle for the join) and the whole plan is
+    Python-free."""
+    from auto_data_tokenize_spark.operators.corpus import DecontaminationGate
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon eta")], "doc_id long, text string"
+    )
+    with DecontaminationGate(ev, k=5) as gate:
+        plan = gate.apply(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
