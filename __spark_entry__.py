@@ -1328,6 +1328,183 @@ def _with_prep(fn):
     return wrapped
 
 
+def q61_deidentify_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The public PrimitiveTransformation oneof the reference's
+    ColumnTransform embeds (auto_tokenize_messages.proto:203-205),
+    config-driven over a whole table: characterMask, redact,
+    deterministic dateShift (context-consistent per customer),
+    fixedSizeBucketing, typed replace. Every transform is a narrow
+    codegen projection — zero shuffles at any scale (plan-asserted in
+    tests/test_deidentify.py)."""
+    from auto_data_tokenize_spark.operators.dlp_config import (
+        apply_encrypt_config,
+        parse_encrypt_config,
+    )
+
+    specs = parse_encrypt_config(
+        {
+            "transforms": [
+                {
+                    "columnId": "$.Orders.o_orderpriority",
+                    "transform": {
+                        "characterMaskConfig": {
+                            "maskingCharacter": "*",
+                            "numberToMask": 1,
+                        }
+                    },
+                },
+                {
+                    "columnId": "$.Orders.o_orderstatus",
+                    "transform": {"redactConfig": {}},
+                },
+                {   # shift BEFORE the custkey replace below erases context
+                    "columnId": "$.Orders.o_orderdate",
+                    "transform": {
+                        "dateShiftConfig": {
+                            "lowerBoundDays": -100,
+                            "upperBoundDays": 100,
+                            "context": {"name": "o_custkey"},
+                        }
+                    },
+                },
+                {
+                    "columnId": "$.Orders.o_totalprice",
+                    "transform": {
+                        "fixedSizeBucketingConfig": {
+                            "lowerBound": 0,
+                            "upperBound": 500000,
+                            "bucketSize": 50000,
+                        }
+                    },
+                },
+                {
+                    "columnId": "$.Orders.o_custkey",
+                    "transform": {
+                        "replaceConfig": {"newValue": {"integerValue": 0}}
+                    },
+                },
+            ]
+        }
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return apply_encrypt_config(orders, specs).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        # ISO-render the shifted date so the cross-engine compare is
+        # dtype-proof (DuckDB DATE surfaces as datetime64 via pandas)
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+    )
+
+
+def q62_pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cryptoHash (HMAC-SHA256 keyed pseudonyms, the one-way analogue
+    of the reference's reversible tokens), timePart generalization of
+    the timestamp, and explicit bucketingConfig on the value — over the
+    events stream. The HMAC is the only Python stage (Arrow-batched,
+    inherent per-value crypto); the rest is codegen."""
+    from auto_data_tokenize_spark.operators.dlp_config import (
+        apply_encrypt_config,
+        parse_encrypt_config,
+    )
+
+    specs = parse_encrypt_config(
+        {
+            "transforms": [
+                {
+                    "columnId": "$.Event.user_id",
+                    "transform": {"cryptoHashConfig": {}},
+                },
+                {
+                    "columnId": "$.Event.ts",
+                    "transform": {"timePartConfig": {"partToExtract": "HOUR_OF_DAY"}},
+                },
+                {
+                    "columnId": "$.Event.value",
+                    "transform": {
+                        "bucketingConfig": {
+                            "buckets": [
+                                {"max": 0, "replacementValue": {"stringValue": "neg"}},
+                                {"min": 0, "max": 100,
+                                 "replacementValue": {"stringValue": "small"}},
+                                {"min": 100,
+                                 "replacementValue": {"stringValue": "large"}},
+                            ]
+                        }
+                    },
+                },
+            ]
+        }
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return apply_encrypt_config(ev, specs).select(
+        "event_id",
+        F.col("user_id").alias("user_pseudonym"),
+        F.col("ts").alias("hour_of_day"),
+        "event_type",
+        F.col("value").alias("value_bucket"),
+    )
+
+
+def q63_k_anonymity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLP-style k-anonymity class-size histogram over customer
+    quasi-identifiers (risk-analysis analogue: the metric an operator
+    of the reference pipeline runs on its de-identified output). Two
+    keyed partial-agg groupBys; no collects."""
+    from auto_data_tokenize_spark.operators.risk import k_anonymity_histogram
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return k_anonymity_histogram(cust, ["c_mktsegment", "c_nationkey"]).select(
+        "class_size", "num_classes", "num_records"
+    )
+
+
+def q64_l_diversity_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity per equivalence class: quasi-identifiers
+    (c_mktsegment, c_nationkey), sensitive attribute = account balance
+    generalized to 1000-unit bands. Exact distinct (matches the SQL
+    twin); approx_count_distinct is the documented 100 TB alternative."""
+    from auto_data_tokenize_spark.operators.risk import l_diversity
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    banded = cust.withColumn(
+        "acct_band", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    )
+    return l_diversity(
+        banded, ["c_mktsegment", "c_nationkey"], "acct_band"
+    ).select("c_mktsegment", "c_nationkey", "class_size", "distinct_sensitive")
+
+
+def q65_freeform_infotype_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form replaceWithInfoTypeConfig: every validated finding in
+    the transcript text becomes ``[INFO_TYPE]`` — the irreversible
+    sibling of q60's config-driven tokenization, same span machinery,
+    same Arrow batch shape. Oracle: pure-Python golden
+    (datagen.golden_labeled_ext) under the extended detector set."""
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.functions.detectors import EXTENDED_INFO_TYPES
+    from auto_data_tokenize_spark.operators.dlp_config import (
+        apply_encrypt_config,
+        parse_encrypt_config,
+    )
+    from auto_data_tokenize_spark.sources.readers import read_transcripts
+
+    specs = parse_encrypt_config(
+        {
+            "transforms": [
+                {
+                    "columnId": "$.CsvRecord.text",
+                    "freeFormColumn": "true",
+                    "infoTypes": list(EXTENDED_INFO_TYPES),
+                    "transform": {"replaceWithInfoTypeConfig": {}},
+                }
+            ]
+        }
+    )
+    d = datagen.ensure_extended(_sf_name(sf_dir))
+    tr = read_transcripts(spark, os.path.join(d, "transcripts_ext.parquet"))
+    return apply_encrypt_config(tr, specs).select("conv_id", "turn_idx", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1390,6 +1567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_extended_detections": _with_prep(q58_extended_detections),
         "q59_stream_decontaminate_gate": _with_prep(q59_stream_decontaminate_gate),
         "q60_config_driven_tokenize": _with_prep(q60_config_driven_tokenize),
+        "q61_deidentify_orders": _with_prep(q61_deidentify_orders),
+        "q62_pseudonymize_events": _with_prep(q62_pseudonymize_events),
+        "q63_k_anonymity_hist": _with_prep(q63_k_anonymity_hist),
+        "q64_l_diversity_classes": _with_prep(q64_l_diversity_classes),
+        "q65_freeform_infotype_labels": _with_prep(q65_freeform_infotype_labels),
     }
 
 
@@ -1666,6 +1848,57 @@ def _duck_quantiles_sql() -> str:
 
 _BPEISH = _bpeish_duck()
 _EN_STOP = _en_stop_duck()
+
+
+def _date_shift_salt(column: str) -> str:
+    """The engine's dateShift salt for ``column`` (deidentify.py
+    derives hkdf(root, 'adt-date-shift', 'dateShift:<col>') and folds
+    its hex into the JVM hash expression) — recomputed here so the
+    DuckDB twin hashes the identical bytes."""
+    from auto_data_tokenize_spark.functions.tokenizer import (
+        hkdf_sha256,
+        resolve_root_key,
+    )
+
+    return hkdf_sha256(
+        resolve_root_key(None), b"adt-date-shift",
+        f"dateShift:{column}".encode(), 16,
+    ).hex()
+
+
+def _user_pseudonym_values(sf_name: str) -> str:
+    """VALUES rows ``(user_id, pseudonym)`` for every distinct user in
+    the events table at ``sf_name`` — HMAC-SHA256 computed with the
+    stdlib (not the engine UDF) under the same HKDF-derived key, so the
+    q62 twin is an independent reimplementation."""
+    import base64
+    import hashlib
+    import hmac
+
+    import duckdb
+
+    from auto_data_tokenize_spark.functions.tokenizer import (
+        hkdf_sha256,
+        resolve_root_key,
+    )
+
+    key = hkdf_sha256(
+        resolve_root_key(None), b"adt-crypto-hash", b"cryptoHash:user_id", 32
+    )
+    path = f"/root/testdata/{sf_name}/events.parquet"
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM read_parquet('{path}') ORDER BY 1"
+        ).fetchall()
+    ]
+    rows = []
+    for uid in ids:
+        mac = hmac.new(key, str(uid).encode(), hashlib.sha256).digest()
+        rows.append(
+            f"({uid}, '{base64.urlsafe_b64encode(mac).decode()}')"
+        )
+    return ", ".join(rows)
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -2167,5 +2400,75 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM r
             WHERE rn = 1
               AND window_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM {tr})
+        """,
+        # -- primitive de-identification transforms (deidentify.py) -----
+        # dateShift twin: same keyed md5-prefix hash family the engine
+        # uses (portable: Spark conv(substr(md5,1,8),16,10) == DuckDB
+        # ('0x'||substr(md5,1,8))::BIGINT); salt precomputed below with
+        # the identical HKDF derivation.
+        "q61_deidentify_orders": f"""
+            SELECT o_orderkey,
+                   0 AS o_custkey,
+                   CAST(NULL AS VARCHAR) AS o_orderstatus,
+                   repeat('*', least(1, length(o_orderpriority)))
+                     || substr(o_orderpriority,
+                               least(1, length(o_orderpriority)) + 1)
+                     AS o_orderpriority,
+                   strftime(CAST(o_orderdate AS DATE)
+                     + CAST(-100 + (('0x' || substr(md5(
+                           '{_date_shift_salt("o_orderdate")}:'
+                           || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                         % 201) AS INTEGER), '%Y-%m-%d') AS o_orderdate,
+                   CASE
+                     WHEN o_totalprice IS NULL THEN NULL
+                     WHEN o_totalprice < 0 THEN '<0'
+                     WHEN o_totalprice >= 500000 THEN '>=500000'
+                     ELSE CAST(CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS VARCHAR)
+                          || '-' ||
+                          CAST(CAST(least(floor(o_totalprice / 50000) * 50000 + 50000,
+                                          500000) AS BIGINT) AS VARCHAR)
+                   END AS o_totalprice
+            FROM orders
+        """,
+        # cryptoHash twin: HMAC-SHA256 is not expressible in DuckDB SQL
+        # (sha256 here is VARCHAR-only, HMAC needs raw key bytes), so
+        # the pseudonym map for the BOUNDED user-id domain is computed
+        # at SQL-build time with the stdlib hmac and joined as VALUES.
+        "q62_pseudonymize_events": f"""
+            SELECT e.event_id,
+                   p.pseudonym AS user_pseudonym,
+                   CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) AS hour_of_day,
+                   e.event_type,
+                   CASE
+                     WHEN e.value < 0 THEN 'neg'
+                     WHEN e.value >= 0 AND e.value < 100 THEN 'small'
+                     WHEN e.value >= 100 THEN 'large'
+                     ELSE CAST(e.value AS VARCHAR)
+                   END AS value_bucket
+            FROM events e
+            JOIN (VALUES {_user_pseudonym_values(sf_name)})
+                 AS p(user_id, pseudonym) USING (user_id)
+        """,
+        # -- risk analysis (risk.py) ------------------------------------
+        "q63_k_anonymity_hist": """
+            SELECT class_size,
+                   COUNT(*) AS num_classes,
+                   CAST(SUM(class_size) AS BIGINT) AS num_records
+            FROM (SELECT c_mktsegment, c_nationkey,
+                         COUNT(*) AS class_size
+                  FROM customer GROUP BY 1, 2) t
+            GROUP BY class_size
+        """,
+        "q64_l_diversity_classes": """
+            SELECT c_mktsegment, c_nationkey,
+                   COUNT(*) AS class_size,
+                   CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                        AS BIGINT) AS distinct_sensitive
+            FROM customer GROUP BY 1, 2
+        """,
+        # pure-Python golden under the extended detector set
+        "q65_freeform_infotype_labels": f"""
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('{dd}/labeled_ext.parquet')
         """,
     }

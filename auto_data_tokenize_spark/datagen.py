@@ -437,17 +437,35 @@ def golden_tokenized_ext3(
     return out.astype({"conv_id": "string", "turn_idx": "int32", "text": "string"})
 
 
+def golden_labeled_ext(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Free-form ``replaceWithInfoTypeConfig`` golden: every validated
+    finding under the extended detector set becomes ``[INFO_TYPE]``
+    (the public DLP replace-with-infoType transform; q65's oracle)."""
+    out = transcripts[["conv_id", "turn_idx"]].copy()
+    out["text"] = [
+        detectors.replace_spans(
+            t, lambda it, s: f"[{it}]", detectors.EXTENDED_INFO_TYPES
+        )
+        for t in transcripts["text"]
+    ]
+    return out.astype({"conv_id": "string", "turn_idx": "int32", "text": "string"})
+
+
 def ensure_extended(sf_name: str, data_root: str = DATA_ROOT, force: bool = False) -> str:
     """Idempotently add transcripts_ext.parquet + detections_ext.parquet
-    + tokenized_ext3.parquet (goldens) next to the base fixtures."""
+    + tokenized_ext3.parquet + labeled_ext.parquet (goldens) next to the
+    base fixtures. The marker is the NEWEST golden so fixture dirs from
+    earlier rounds regenerate once (generation is seed-fixed and
+    byte-stable — see tests/test_datagen.py)."""
     out_dir = ensure_sf(sf_name, data_root)
-    marker = os.path.join(out_dir, "tokenized_ext3.parquet")
+    marker = os.path.join(out_dir, "labeled_ext.parquet")
     if os.path.exists(marker) and not force:
         return out_dir
     tr = gen_transcripts_ext(sf_name_to_sf(sf_name))
     _write(tr, os.path.join(out_dir, "transcripts_ext.parquet"), _ARROW_SCHEMA)
     _write(golden_detections_ext(tr), os.path.join(out_dir, "detections_ext.parquet"))
-    _write(golden_tokenized_ext3(tr), marker)
+    _write(golden_tokenized_ext3(tr), os.path.join(out_dir, "tokenized_ext3.parquet"))
+    _write(golden_labeled_ext(tr), marker)
     return out_dir
 
 

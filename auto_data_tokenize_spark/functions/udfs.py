@@ -84,6 +84,30 @@ def tokenize_text_udf(
     return _tokenize
 
 
+def transform_text_udf(repl, info_types: tuple[str, ...] | None = None):
+    """text -> text with every validated finding rewritten by
+    ``repl(info_type, matched) -> str`` — the free-form carrier for the
+    non-crypto primitive transformations (characterMask / redact /
+    replace / replaceWithInfoType; operators.deidentify.free_form_repl).
+    Same Arrow batch shape and per-row compiled-regex pass as
+    ``tokenize_text_udf``, minus the cipher (no key, no scope)."""
+
+    @pandas_udf(StringType())
+    def _transform(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                detectors.replace_spans(t, repl, info_types)
+                if (t is not None and t == t)
+                else None
+                for t in text
+            ],
+            index=text.index,
+            dtype=object,
+        )
+
+    return _transform
+
+
 def detokenize_text_udf(root_key: bytes | None = None):
     """(conv_id, tokenized_text) -> original text (ValueTokenizer.decrypt
     analogue, encryptors/ValueTokenizer.java)."""

@@ -1,0 +1,354 @@
+"""DLP-style primitive de-identification transforms.
+
+The reference's ``ColumnTransform`` embeds the full public
+``google.privacy.dlp.v2.PrimitiveTransformation`` oneof
+(src/main/proto/google/cloud/autodlp/auto_tokenize_messages.proto:188-205
+— "Transform to be used for tokenizing entire column value"), but its
+pipeline only exercises ``cryptoDeterministicConfig``. A user of the
+reference can put ANY primitive transformation in that config slot, so
+this engine implements the public, locally-computable members of the
+oneof; each is expressed as a declarative Spark column expression (pure
+JVM codegen — no Python in the plan) except ``cryptoHashConfig``, whose
+keyed HMAC is inherent per-value crypto and runs as an Arrow-vectorized
+``pandas_udf`` like the AES-SIV path.
+
+Implemented (config key → semantics, per the public DLP docs):
+
+- ``characterMaskConfig`` — replace ``numberToMask`` characters with
+  ``maskingCharacter`` starting from the front (``reverseOrder`` masks
+  from the end); unset/0 ``numberToMask`` masks the whole value.
+- ``redactConfig`` — remove the value entirely (whole-value → NULL;
+  free-form → the finding is deleted from the text).
+- ``replaceConfig`` — replace with ``newValue`` (typed ``Value``:
+  stringValue / integerValue / floatValue / booleanValue).
+- ``replaceWithInfoTypeConfig`` — free-form only: each finding becomes
+  ``[INFO_TYPE_NAME]``.
+- ``cryptoHashConfig`` — HMAC-SHA256 of the UTF-8 value under a key
+  derived from the engine root-key seam (HKDF label
+  ``cryptoHash:<column>``), base64url output. One-way (no detokenize).
+- ``dateShiftConfig`` — deterministic shift of a date by
+  ``shift ∈ [lowerBoundDays, upperBoundDays]`` chosen by a keyed hash
+  of the ``context`` column (or the date itself when no context),
+  so equal contexts shift equally — the DLP date-shift consistency
+  contract. The hash is the engine's portable md5-prefix family, so
+  DuckDB oracles can reproduce it exactly.
+- ``fixedSizeBucketingConfig`` — numeric → ``"<lo>-<hi>"`` bucket
+  label; below ``lowerBound`` → ``"<<lowerBound>"``, at/above
+  ``upperBound`` → ``">=<upperBound>"`` (bounds formatted as the
+  config wrote them).
+- ``bucketingConfig`` — explicit ``buckets[]`` with ``min`` (inclusive)
+  / ``max`` (exclusive) / ``replacementValue``; non-matching values
+  pass through as their string form.
+- ``timePartConfig`` — extract ``partToExtract`` (YEAR / MONTH /
+  DAY_OF_MONTH / DAY_OF_WEEK / WEEK_OF_YEAR / HOUR_OF_DAY) as an int.
+
+Scale posture: every transform is a narrow projection — zero shuffles
+introduced at any input size; the only Python stage (cryptoHash) is an
+Arrow batch pipe identical in shape to the tokenize hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "char_mask",
+    "date_shift",
+    "fixed_size_buckets",
+    "value_buckets",
+    "time_part",
+    "crypto_hash_udf",
+    "apply_whole_value_transform",
+    "free_form_repl",
+]
+
+# portable cross-engine keyed hash: Spark conv(substr(md5(x),1,8),16,10)
+# == DuckDB ('0x'||substr(md5(x),1,8))::BIGINT  (see memory/oracle notes)
+
+
+def _md5_prefix_long(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def char_mask(
+    col: Column,
+    masking_character: str = "*",
+    number_to_mask: int = 0,
+    reverse_order: bool = False,
+) -> Column:
+    """``characterMaskConfig`` as a pure JVM expression.
+
+    ``number_to_mask <= 0`` masks every character. Forward order masks
+    the first N characters (the DLP sample posture: SSN ``372819127``
+    with N=5 → ``*****9127``); ``reverse_order`` masks the last N.
+    Values shorter than N are fully masked; length is preserved.
+    """
+    if len(masking_character) != 1:
+        raise ValueError(
+            f"maskingCharacter must be one character: {masking_character!r}"
+        )
+    s = col.cast("string")
+    ln = F.length(s)
+    if number_to_mask <= 0:
+        return F.repeat(F.lit(masking_character), ln)
+    n = F.least(F.lit(int(number_to_mask)), ln)
+    masked = F.repeat(F.lit(masking_character), n)
+    if reverse_order:
+        keep = s.substr(F.lit(1), ln - n)
+        return F.concat(keep, masked)
+    keep = s.substr(n + F.lit(1), ln)
+    return F.concat(masked, keep)
+
+
+def date_shift(
+    col: Column,
+    lower_bound_days: int,
+    upper_bound_days: int,
+    context: Column | None = None,
+    salt: str = "",
+) -> Column:
+    """``dateShiftConfig``: deterministic per-context day shift in
+    ``[lower, upper]`` (inclusive). Equal context values receive equal
+    shifts (DLP consistency contract); ``salt`` folds the crypto key
+    into the hash driver-side so the expression stays JVM-only."""
+    lo, hi = int(lower_bound_days), int(upper_bound_days)
+    if lo > hi:
+        raise ValueError(f"lowerBoundDays {lo} > upperBoundDays {hi}")
+    basis = (context if context is not None else col).cast("string")
+    h = _md5_prefix_long(F.concat(F.lit(salt), F.lit(":"), basis))
+    shift = F.pmod(h, F.lit(hi - lo + 1)) + F.lit(lo)
+    return F.date_add(col.cast("date"), shift.cast("int"))
+
+
+def _num_str(x: float) -> str:
+    """Format a config number the way the config wrote it: integral
+    floats print without the trailing ``.0`` (JSON ``50000`` and
+    ``50000.0`` label identically)."""
+    f = float(x)
+    return str(int(f)) if f.is_integer() else repr(f)
+
+
+def fixed_size_buckets(
+    col: Column, lower_bound: float, upper_bound: float, bucket_size: float
+) -> Column:
+    """``fixedSizeBucketingConfig``: numeric value → bucket label
+    ``"<lo>-<hi>"``; ``"<L"`` below the lower bound, ``">=U"`` at or
+    above the upper bound. Bucket edges are generated driver-side (the
+    bucket count is config-bounded), so the expression is a flat CASE
+    chain Catalyst folds into codegen."""
+    lo, hi, size = float(lower_bound), float(upper_bound), float(bucket_size)
+    if size <= 0:
+        raise ValueError(f"bucketSize must be positive: {bucket_size}")
+    if lo >= hi:
+        raise ValueError(f"lowerBound {lo} >= upperBound {hi}")
+    v = col.cast("double")
+    b = F.floor((v - F.lit(lo)) / F.lit(size))
+    b_lo = F.lit(lo) + b.cast("double") * F.lit(size)
+    b_hi = F.least(b_lo + F.lit(size), F.lit(hi))
+    label = F.concat(
+        _fmt_num(b_lo), F.lit("-"), _fmt_num(b_hi)
+    )
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(v < F.lit(lo), F.lit("<" + _num_str(lo)))
+        .when(v >= F.lit(hi), F.lit(">=" + _num_str(hi)))
+        .otherwise(label)
+    )
+
+
+def _fmt_num(c: Column) -> Column:
+    """Render a double column like :func:`_num_str` (no trailing .0)."""
+    as_long = c.cast("long")
+    return F.when(
+        c == as_long.cast("double"), as_long.cast("string")
+    ).otherwise(c.cast("string"))
+
+
+def value_buckets(col: Column, buckets: list[dict]) -> Column:
+    """``bucketingConfig``: explicit buckets with ``min`` inclusive /
+    ``max`` exclusive and a ``replacementValue``. Values matching no
+    bucket pass through as strings (the DLP pass-through posture)."""
+    if not buckets:
+        raise ValueError("bucketingConfig.buckets must be non-empty")
+    v = col.cast("double")
+    expr: Column | None = None
+    for b in buckets:
+        repl = F.lit(str(_value_of(b.get("replacementValue"))))
+        cond = F.lit(True)
+        if "min" in b:
+            cond = cond & (v >= F.lit(float(_value_of(b["min"]))))
+        if "max" in b:
+            cond = cond & (v < F.lit(float(_value_of(b["max"]))))
+        expr = F.when(cond, repl) if expr is None else expr.when(cond, repl)
+    return expr.otherwise(col.cast("string"))
+
+
+_TIME_PARTS = {
+    "YEAR": F.year,
+    "MONTH": F.month,
+    "DAY_OF_MONTH": F.dayofmonth,
+    "DAY_OF_WEEK": F.dayofweek,
+    "WEEK_OF_YEAR": F.weekofyear,
+    "HOUR_OF_DAY": F.hour,
+}
+
+
+def time_part(col: Column, part: str) -> Column:
+    """``timePartConfig.partToExtract`` → int component."""
+    try:
+        fn = _TIME_PARTS[part]
+    except KeyError:
+        raise ValueError(
+            f"unsupported partToExtract {part!r}; "
+            f"supported: {sorted(_TIME_PARTS)}"
+        ) from None
+    return fn(col.cast("timestamp"))
+
+
+def crypto_hash_udf(key: bytes):
+    """``cryptoHashConfig``: HMAC-SHA256(key, utf8(value)) → base64url.
+    Arrow-vectorized; the hot loop is the per-value HMAC itself."""
+    import base64 as _b64
+    import hashlib as _hl
+    import hmac as _hmac
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _hash(vals: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or v != v:
+                return None
+            mac = _hmac.new(key, str(v).encode("utf-8"), _hl.sha256).digest()
+            return _b64.urlsafe_b64encode(mac).decode("ascii")
+
+        return pd.Series([one(v) for v in vals], index=vals.index, dtype=object)
+
+    return _hash
+
+
+def _value_of(value):
+    """Unwrap a DLP typed ``Value`` message dict; bare scalars pass
+    through (convenience for hand-written configs)."""
+    if isinstance(value, dict):
+        for k in ("stringValue", "integerValue", "floatValue", "booleanValue"):
+            if k in value:
+                v = value[k]
+                return int(v) if k == "integerValue" else v
+        raise ValueError(f"unsupported Value message: {value!r}")
+    return value
+
+
+def apply_whole_value_transform(
+    df: DataFrame,
+    column: str,
+    transform: dict,
+    *,
+    root_key: bytes | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply one non-crypto-deterministic primitive transformation to a
+    whole column. ``transform`` is the raw oneof dict from the config
+    (exactly one recognized key). Crypto-deterministic transforms route
+    through ``operators.tokenize`` (reversible tokens need the rename +
+    ORIGINAL_TYPE machinery), not here."""
+    out_col = out_col or column
+    col = F.col(column)
+    if "characterMaskConfig" in transform:
+        c = transform["characterMaskConfig"]
+        expr = char_mask(
+            col,
+            masking_character=c.get("maskingCharacter", "*"),
+            number_to_mask=int(c.get("numberToMask", 0)),
+            reverse_order=bool(c.get("reverseOrder", False)),
+        )
+    elif "redactConfig" in transform:
+        expr = F.lit(None).cast(df.schema[column].dataType)
+    elif "replaceConfig" in transform:
+        expr = F.lit(_value_of(transform["replaceConfig"].get("newValue")))
+    elif "cryptoHashConfig" in transform:
+        from auto_data_tokenize_spark.functions.tokenizer import (
+            hkdf_sha256,
+            resolve_root_key,
+        )
+
+        rk = resolve_root_key(root_key)
+        key = hkdf_sha256(
+            rk, b"adt-crypto-hash", f"cryptoHash:{column}".encode(), 32
+        )
+        expr = crypto_hash_udf(key)(col.cast("string"))
+    elif "dateShiftConfig" in transform:
+        c = transform["dateShiftConfig"]
+        ctx = c.get("context", {}).get("name") if c.get("context") else None
+        from auto_data_tokenize_spark.functions.tokenizer import (
+            hkdf_sha256,
+            resolve_root_key,
+        )
+
+        rk = resolve_root_key(root_key)
+        salt = hkdf_sha256(
+            rk, b"adt-date-shift", f"dateShift:{column}".encode(), 16
+        ).hex()
+        expr = date_shift(
+            col,
+            int(c["lowerBoundDays"]),
+            int(c["upperBoundDays"]),
+            context=F.col(ctx) if ctx else None,
+            salt=salt,
+        )
+    elif "fixedSizeBucketingConfig" in transform:
+        c = transform["fixedSizeBucketingConfig"]
+        expr = fixed_size_buckets(
+            col,
+            float(_value_of(c["lowerBound"])),
+            float(_value_of(c["upperBound"])),
+            float(c["bucketSize"]),
+        )
+    elif "bucketingConfig" in transform:
+        expr = value_buckets(col, transform["bucketingConfig"]["buckets"])
+    elif "timePartConfig" in transform:
+        expr = time_part(col, transform["timePartConfig"]["partToExtract"])
+    elif "replaceWithInfoTypeConfig" in transform:
+        raise ValueError(
+            "replaceWithInfoTypeConfig requires freeFormColumn=true "
+            "(whole-value columns carry no finding to label)"
+        )
+    else:
+        raise ValueError(
+            f"unsupported primitive transformation for column "
+            f"{column!r}: {sorted(transform)}"
+        )
+    return df.withColumn(out_col, expr)
+
+
+def free_form_repl(transform: dict):
+    """Build the span-replacement callback ``repl(info_type, matched)``
+    for a free-form (within-text findings) primitive transformation.
+    Used with :func:`functions.detectors.replace_spans` and the Arrow
+    UDF wrapper in ``functions.udfs``."""
+    if "characterMaskConfig" in transform:
+        c = transform["characterMaskConfig"]
+        ch = c.get("maskingCharacter", "*")
+        if len(ch) != 1:
+            raise ValueError(f"maskingCharacter must be one character: {ch!r}")
+        n = int(c.get("numberToMask", 0))
+        rev = bool(c.get("reverseOrder", False))
+
+        def _mask(info_type: str, s: str) -> str:
+            if n <= 0 or n >= len(s):
+                return ch * len(s)
+            return s[: len(s) - n] + ch * n if rev else ch * n + s[n:]
+
+        return _mask
+    if "redactConfig" in transform:
+        return lambda info_type, s: ""
+    if "replaceConfig" in transform:
+        new = str(_value_of(transform["replaceConfig"].get("newValue")))
+        return lambda info_type, s: new
+    if "replaceWithInfoTypeConfig" in transform:
+        return lambda info_type, s: f"[{info_type}]"
+    raise ValueError(
+        f"unsupported free-form primitive transformation: {sorted(transform)}"
+    )

@@ -26,6 +26,14 @@ Mapping to this engine:
   :func:`operators.tokenize.tokenize_nested`.
 - ``infoTypes`` → the detector-set selection (``info_types=``)
   threaded through the UDF layer; absent → the engine default set.
+- ``transform`` carrying any OTHER member of the public
+  ``PrimitiveTransformation`` oneof (characterMaskConfig, redactConfig,
+  replaceConfig, replaceWithInfoTypeConfig, cryptoHashConfig,
+  dateShiftConfig, fixedSizeBucketingConfig, bucketingConfig,
+  timePartConfig — proto:203-205 embeds the full oneof) → routed to
+  :mod:`operators.deidentify`: whole-value specs become narrow JVM
+  column expressions in place; free-form specs rewrite each detected
+  finding via the same span machinery the tokenizer uses.
 - ``cryptoKey`` → recorded as ``key_ref`` for audit, but key MATERIAL
   resolves through this engine's root-key seam
   (``functions.tokenizer.resolve_root_key`` / the KeyProvider
@@ -59,6 +67,11 @@ class TransformSpec:
     free_form: bool
     info_types: tuple[str, ...] | None  # None → engine default set
     key_ref: str | None  # cryptoKeyName, audit-only
+    # non-crypto-deterministic PrimitiveTransformation oneof (raw dict:
+    # characterMaskConfig / redactConfig / replaceConfig / ... — see
+    # operators.deidentify); None → crypto-deterministic tokenization,
+    # the reference pipeline's own choice and this engine's default.
+    primitive: dict | None = None
 
 
 def _parse_column_id(column_id: str) -> tuple[str, ...]:
@@ -103,13 +116,26 @@ def parse_encrypt_config(source) -> list[TransformSpec]:
             detectors.combined_re(info_types)  # raises on unknown names
         # the reference serializes booleans as JSON strings ("true")
         free_form = str(t.get("freeFormColumn", "false")).lower() == "true"
+        transform = t.get("transform", {}) or {}
         key_ref = (
-            t.get("transform", {})
-            .get("cryptoDeterministicConfig", {})
+            transform.get("cryptoDeterministicConfig", {})
             .get("cryptoKey", {})
             .get("kmsWrapped", {})
             .get("cryptoKeyName")
         )
+        # the PrimitiveTransformation oneof: anything other than
+        # crypto-deterministic routes through operators.deidentify
+        primitive = None
+        non_crypto = {
+            k: v for k, v in transform.items() if k != "cryptoDeterministicConfig"
+        }
+        if non_crypto:
+            if "cryptoDeterministicConfig" in transform or len(non_crypto) > 1:
+                raise ValueError(
+                    f"transform for {column_id!r} must set exactly one "
+                    f"primitive transformation, got {sorted(transform)}"
+                )
+            primitive = non_crypto
         specs.append(
             TransformSpec(
                 column_id=column_id,
@@ -117,6 +143,7 @@ def parse_encrypt_config(source) -> list[TransformSpec]:
                 free_form=free_form,
                 info_types=info_types,
                 key_ref=key_ref,
+                primitive=primitive,
             )
         )
     return specs
@@ -139,6 +166,11 @@ def apply_encrypt_config(
         tokenize_turns,
     )
 
+    from auto_data_tokenize_spark.operators.deidentify import (
+        apply_whole_value_transform,
+        free_form_repl,
+    )
+
     out = df
     flat_whole: list[str] = []
     for spec in specs:
@@ -148,7 +180,20 @@ def apply_encrypt_config(
                     f"freeFormColumn only supports flat columns: {spec.column_id!r}"
                 )
             col = spec.parts[0]
-            if scope_col:
+            if spec.primitive is not None:
+                # non-crypto finding transform (mask/redact/replace/
+                # replace-with-infoType) over detected spans in place
+                from auto_data_tokenize_spark.functions.udfs import (
+                    transform_text_udf,
+                )
+
+                out = out.withColumn(
+                    col,
+                    transform_text_udf(
+                        free_form_repl(spec.primitive), spec.info_types
+                    )(out[col]),
+                )
+            elif scope_col:
                 out = tokenize_turns(
                     out,
                     conv_col=scope_col,
@@ -159,6 +204,15 @@ def apply_encrypt_config(
                 )
             else:  # no scope column → single global key scope
                 out = _tokenize_free_form_global(out, col, root_key, spec.info_types)
+        elif spec.primitive is not None:
+            if len(spec.parts) != 1:
+                raise ValueError(
+                    f"primitive transformations support flat columns only: "
+                    f"{spec.column_id!r}"
+                )
+            out = apply_whole_value_transform(
+                out, spec.parts[0], spec.primitive, root_key=root_key
+            )
         elif len(spec.parts) == 1:
             flat_whole.append(spec.parts[0])
         else:

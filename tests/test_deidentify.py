@@ -1,0 +1,313 @@
+"""Primitive de-identification transforms (operators/deidentify.py) —
+the non-crypto members of the PrimitiveTransformation oneof the
+reference's ColumnTransform embeds (auto_tokenize_messages.proto:203-205),
+plus DLP-style risk metrics (operators/risk.py)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from auto_data_tokenize_spark.operators import risk
+from auto_data_tokenize_spark.operators.deidentify import (
+    apply_whole_value_transform,
+    char_mask,
+    date_shift,
+    fixed_size_buckets,
+    free_form_repl,
+    time_part,
+    value_buckets,
+)
+from auto_data_tokenize_spark.operators.dlp_config import (
+    apply_encrypt_config,
+    parse_encrypt_config,
+)
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    def run(col_expr, data, schema="v string"):
+        df = spark.createDataFrame(data, schema)
+        return [r.out for r in df.select(col_expr.alias("out")).collect()]
+
+    return run
+
+
+# ---------------------------------------------------------------- masking
+def test_char_mask_forward_matches_dlp_sample(vals):
+    # the public DLP sample: SSN 372819127, N=5 -> *****9127
+    out = vals(char_mask(F.col("v"), "*", 5), [("372819127",)])
+    assert out == ["*****9127"]
+
+
+def test_char_mask_reverse_and_full_and_short(vals):
+    assert vals(char_mask(F.col("v"), "#", 4, reverse_order=True), [("12345678",)]) == ["1234####"]
+    assert vals(char_mask(F.col("v"), "*"), [("abc",)]) == ["***"]  # N unset -> all
+    assert vals(char_mask(F.col("v"), "*", 10), [("abc",)]) == ["***"]  # N > len
+    assert vals(char_mask(F.col("v"), "*", 2), [(None,)]) == [None]
+
+
+def test_char_mask_rejects_multichar_mask():
+    with pytest.raises(ValueError, match="one character"):
+        char_mask(F.col("v"), "**", 2)
+
+
+# ------------------------------------------------------------- date shift
+def test_date_shift_deterministic_bounded_and_context_consistent(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.date(2020, 6, 15)), (1, datetime.date(2021, 1, 1)),
+         (2, datetime.date(2020, 6, 15))],
+        "k long, d date",
+    )
+    out = df.select(
+        "k", "d",
+        date_shift(F.col("d"), -30, 30, context=F.col("k"), salt="s1").alias("s"),
+    ).collect()
+    by_k = {}
+    for r in out:
+        delta = (r.s - r.d).days
+        assert -30 <= delta <= 30
+        by_k.setdefault(r.k, set()).add(delta)
+    # consistency contract: same context -> same shift, regardless of date
+    assert len(by_k[1]) == 1
+    # two runs agree (determinism)
+    again = df.select(date_shift(F.col("d"), -30, 30, context=F.col("k"), salt="s1").alias("s")).collect()
+    assert [r.s for r in again] == [r.s for r in out]
+
+
+def test_date_shift_rejects_inverted_bounds():
+    with pytest.raises(ValueError, match="lowerBoundDays"):
+        date_shift(F.col("d"), 5, -5)
+
+
+# ------------------------------------------------------------- bucketing
+def test_fixed_size_buckets_edges(vals):
+    expr = fixed_size_buckets(F.col("v"), 0, 100, 25)
+    out = vals(
+        expr,
+        [(-1.0,), (0.0,), (24.9,), (25.0,), (99.9,), (100.0,), (250.0,), (None,)],
+        "v double",
+    )
+    assert out == ["<0", "0-25", "0-25", "25-50", "75-100", ">=100", ">=100", None]
+
+
+def test_fixed_size_buckets_validation():
+    with pytest.raises(ValueError, match="bucketSize"):
+        fixed_size_buckets(F.col("v"), 0, 10, 0)
+    with pytest.raises(ValueError, match="lowerBound"):
+        fixed_size_buckets(F.col("v"), 10, 10, 1)
+
+
+def test_value_buckets_ranges_and_passthrough(vals):
+    buckets = [
+        {"min": 0, "max": 10, "replacementValue": {"stringValue": "low"}},
+        {"min": 10, "max": 100, "replacementValue": {"stringValue": "high"}},
+    ]
+    out = vals(
+        value_buckets(F.col("v"), buckets),
+        [(5.0,), (10.0,), (99.0,), (-3.0,), (150.0,)],
+        "v double",
+    )
+    assert out == ["low", "high", "high", "-3.0", "150.0"]
+
+
+def test_value_buckets_requires_buckets():
+    with pytest.raises(ValueError, match="non-empty"):
+        value_buckets(F.col("v"), [])
+
+
+# -------------------------------------------------------------- time part
+def test_time_part_components(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2023, 7, 4, 15, 30),)], "ts timestamp"
+    )
+    row = df.select(
+        time_part(F.col("ts"), "YEAR").alias("y"),
+        time_part(F.col("ts"), "MONTH").alias("m"),
+        time_part(F.col("ts"), "DAY_OF_MONTH").alias("d"),
+        time_part(F.col("ts"), "HOUR_OF_DAY").alias("h"),
+    ).first()
+    assert (row.y, row.m, row.d, row.h) == (2023, 7, 4, 15)
+
+
+def test_time_part_rejects_unknown():
+    with pytest.raises(ValueError, match="partToExtract"):
+        time_part(F.col("ts"), "FORTNIGHT")
+
+
+# ---------------------------------------------------- whole-value dispatch
+def test_whole_value_dispatch_redact_replace_hash(spark):
+    df = spark.createDataFrame([("alice", 7)], "name string, n long")
+    redacted = apply_whole_value_transform(df, "name", {"redactConfig": {}})
+    assert redacted.first().name is None
+    assert dict(redacted.dtypes)["name"] == "string"  # type preserved
+
+    replaced = apply_whole_value_transform(
+        df, "n", {"replaceConfig": {"newValue": {"integerValue": 0}}}
+    )
+    assert replaced.first().n == 0
+
+    hashed = apply_whole_value_transform(
+        df, "name", {"cryptoHashConfig": {}}, root_key=b"k" * 32
+    )
+    out = hashed.first().name
+    # reproduce: HKDF-derived key, HMAC-SHA256, base64url
+    import base64
+    import hashlib
+    import hmac
+
+    from auto_data_tokenize_spark.functions.tokenizer import hkdf_sha256
+
+    key = hkdf_sha256(b"k" * 32, b"adt-crypto-hash", b"cryptoHash:name", 32)
+    want = base64.urlsafe_b64encode(
+        hmac.new(key, b"alice", hashlib.sha256).digest()
+    ).decode()
+    assert out == want
+
+
+def test_whole_value_rejects_infotype_and_unknown(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="freeFormColumn"):
+        apply_whole_value_transform(df, "v", {"replaceWithInfoTypeConfig": {}})
+    with pytest.raises(ValueError, match="unsupported primitive"):
+        apply_whole_value_transform(df, "v", {"snazzyConfig": {}})
+
+
+# ------------------------------------------------------- free-form actions
+def test_free_form_repl_actions():
+    text = "mail a@b.com now"
+    from auto_data_tokenize_spark.functions.detectors import replace_spans
+
+    mask = free_form_repl({"characterMaskConfig": {"maskingCharacter": "#"}})
+    assert replace_spans(text, mask) == "mail ####### now"
+    redact = free_form_repl({"redactConfig": {}})
+    assert replace_spans(text, redact) == "mail  now"
+    repl = free_form_repl({"replaceConfig": {"newValue": {"stringValue": "X"}}})
+    assert replace_spans(text, repl) == "mail X now"
+    label = free_form_repl({"replaceWithInfoTypeConfig": {}})
+    assert replace_spans(text, label) == "mail [EMAIL_ADDRESS] now"
+
+
+def test_free_form_repl_partial_mask_preserves_tail():
+    mask = free_form_repl({"characterMaskConfig": {"numberToMask": 3}})
+    from auto_data_tokenize_spark.functions.detectors import replace_spans
+
+    assert replace_spans("mail a@b.com now", mask) == "mail ***.com now"
+    with pytest.raises(ValueError, match="unsupported free-form"):
+        free_form_repl({"dateShiftConfig": {}})
+
+
+# --------------------------------------------------- config-driven e2e
+def test_config_primitive_parse_and_apply(spark):
+    cfg = {
+        "transforms": [
+            {   # free-form: label findings in place
+                "columnId": "$.R.text",
+                "freeFormColumn": "true",
+                "transform": {"replaceWithInfoTypeConfig": {}},
+            },
+            {   # whole value: mask the tail
+                "columnId": "$.R.phone",
+                "transform": {
+                    "characterMaskConfig": {
+                        "maskingCharacter": "*",
+                        "numberToMask": 4,
+                        "reverseOrder": True,
+                    }
+                },
+            },
+        ]
+    }
+    specs = parse_encrypt_config(cfg)
+    assert specs[0].primitive == {"replaceWithInfoTypeConfig": {}}
+    assert specs[1].primitive is not None and not specs[1].free_form
+    df = spark.createDataFrame(
+        [("call 555-867-5309 ok", "5558675309")], "text string, phone string"
+    )
+    out = apply_encrypt_config(df, specs).first()
+    assert out.text == "call [PHONE_NUMBER] ok"
+    assert out.phone == "555867****"
+
+
+def test_config_rejects_two_oneof_members():
+    with pytest.raises(ValueError, match="exactly one"):
+        parse_encrypt_config(
+            {
+                "transforms": [
+                    {
+                        "columnId": "$.R.v",
+                        "transform": {
+                            "redactConfig": {},
+                            "replaceConfig": {"newValue": {"stringValue": "x"}},
+                        },
+                    }
+                ]
+            }
+        )
+
+
+# ------------------------------------------------------------ risk metrics
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        Row(seg="A", nat=1, bal=10),
+        Row(seg="A", nat=1, bal=20),
+        Row(seg="A", nat=1, bal=10),
+        Row(seg="B", nat=1, bal=30),
+        Row(seg="B", nat=2, bal=30),
+        Row(seg="B", nat=2, bal=40),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_k_anonymity_classes_and_histogram(people):
+    classes = {
+        (r.seg, r.nat): r.class_size
+        for r in risk.k_anonymity(people, ["seg", "nat"]).collect()
+    }
+    assert classes == {("A", 1): 3, ("B", 1): 1, ("B", 2): 2}
+    hist = {
+        r.class_size: (r.num_classes, r.num_records)
+        for r in risk.k_anonymity_histogram(people, ["seg", "nat"]).collect()
+    }
+    assert hist == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
+
+
+def test_l_diversity_distinct_sensitive(people):
+    out = {
+        (r.seg, r.nat): (r.class_size, r.distinct_sensitive)
+        for r in risk.l_diversity(people, ["seg", "nat"], "bal").collect()
+    }
+    assert out == {("A", 1): (3, 2), ("B", 1): (1, 1), ("B", 2): (2, 2)}
+    hist = {
+        r.distinct_sensitive: r.num_classes
+        for r in risk.l_diversity_histogram(people, ["seg", "nat"], "bal").collect()
+    }
+    assert hist == {2: 2, 1: 1}
+
+
+def test_risk_validates_columns(people):
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        risk.k_anonymity(people, ["nope"])
+    with pytest.raises(ValueError, match="non-empty"):
+        risk.k_anonymity(people, [])
+
+
+def test_whole_value_plan_is_jvm_only(spark):
+    """100 TB contract: every non-cryptoHash primitive transform stays
+    a pure-codegen projection — no Python stage, no shuffle."""
+    df = spark.createDataFrame(
+        [(1, "abcdef", 42.0, datetime.date(2020, 1, 1))],
+        "k long, s string, x double, d date",
+    )
+    out = apply_whole_value_transform(df, "s", {"characterMaskConfig": {"numberToMask": 2}})
+    out = apply_whole_value_transform(out, "x", {
+        "fixedSizeBucketingConfig": {"lowerBound": 0, "upperBound": 100, "bucketSize": 10}
+    })
+    out = apply_whole_value_transform(out, "d", {
+        "dateShiftConfig": {"lowerBoundDays": -10, "upperBoundDays": 10,
+                            "context": {"name": "k"}}
+    }, root_key=b"k" * 32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "Exchange"):
+        assert marker not in plan
