@@ -1505,6 +1505,68 @@ def q65_freeform_infotype_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_encrypt_config(tr, specs).select("conv_id", "turn_idx", "text")
 
 
+def q66_k_map_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-map estimation (DLP ``KMapEstimationConfig`` analogue): the
+    released dataset is the high-balance customer subset, the
+    re-identification population is the full customer table; each
+    dataset class's k is its POPULATION class size. Both sides are
+    aggregated to class granularity before the join, so the shuffle
+    moves one row per distinct quasi-identifier tuple."""
+    from auto_data_tokenize_spark.operators.risk import k_map_histogram
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    released = cust.where(F.col("c_acctbal") > F.lit(5000.0))
+    return k_map_histogram(
+        released, ["c_mktsegment", "c_nationkey"], cust
+    ).select("k_map", "num_classes", "num_records")
+
+
+def q67_delta_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta-presence (DLP ``DeltaPresenceEstimationConfig`` analogue):
+    per population quasi-identifier class, the probability a member is
+    present in the released high-balance subset. Same class-level join
+    shape as q66; delta is a pure codegen projection."""
+    from auto_data_tokenize_spark.operators.risk import delta_presence
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    released = cust.where(F.col("c_acctbal") > F.lit(5000.0))
+    return delta_presence(
+        released, ["c_mktsegment", "c_nationkey"], cust
+    ).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "dataset_count",
+        "population_count",
+        F.round(F.col("delta"), 9).alias("delta"),
+    )
+
+
+def q68_categorical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLP CategoricalStatsConfig analogue over orders.o_custkey: the
+    value-frequency histogram ("how many customers placed exactly N
+    orders"). Two keyed partial-agg groupBys, no collects."""
+    from auto_data_tokenize_spark.operators.risk import (
+        categorical_stats_histogram,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return categorical_stats_histogram(orders, "o_custkey").select(
+        "value_frequency", "num_values", "num_records"
+    )
+
+
+def q69_numerical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLP NumericalStatsConfig analogue over orders.o_totalprice:
+    min / max / exact interpolated quartiles, rounded to 4 decimals on
+    both engines. One global aggregation with map-side partials."""
+    from auto_data_tokenize_spark.operators.risk import numerical_stats
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return numerical_stats(orders, "o_totalprice").select(
+        "min_value", "max_value", "q_25", "q_50", "q_75"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1572,6 +1634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_k_anonymity_hist": _with_prep(q63_k_anonymity_hist),
         "q64_l_diversity_classes": _with_prep(q64_l_diversity_classes),
         "q65_freeform_infotype_labels": _with_prep(q65_freeform_infotype_labels),
+        "q66_k_map_hist": _with_prep(q66_k_map_hist),
+        "q67_delta_presence": _with_prep(q67_delta_presence),
+        "q68_categorical_stats": _with_prep(q68_categorical_stats),
+        "q69_numerical_stats": _with_prep(q69_numerical_stats),
     }
 
 
@@ -2470,5 +2536,55 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q65_freeform_infotype_labels": f"""
             SELECT conv_id, turn_idx, text
             FROM read_parquet('{dd}/labeled_ext.parquet')
+        """,
+        "q66_k_map_hist": """
+            SELECT k_map,
+                   COUNT(*) AS num_classes,
+                   CAST(SUM(dataset_count) AS BIGINT) AS num_records
+            FROM (
+                SELECT ds.c_mktsegment, ds.c_nationkey, ds.dataset_count,
+                       CAST(COALESCE(pop.k_map, 0) AS BIGINT) AS k_map
+                FROM (SELECT c_mktsegment, c_nationkey,
+                             COUNT(*) AS dataset_count
+                      FROM customer WHERE c_acctbal > 5000.0
+                      GROUP BY 1, 2) ds
+                LEFT JOIN (SELECT c_mktsegment, c_nationkey,
+                                  COUNT(*) AS k_map
+                           FROM customer GROUP BY 1, 2) pop
+                USING (c_mktsegment, c_nationkey)
+            ) t
+            GROUP BY k_map
+        """,
+        "q67_delta_presence": """
+            SELECT pop.c_mktsegment, pop.c_nationkey,
+                   CAST(COALESCE(ds.dataset_count, 0) AS BIGINT)
+                       AS dataset_count,
+                   CAST(pop.population_count AS BIGINT) AS population_count,
+                   ROUND(COALESCE(ds.dataset_count, 0) * 1.0
+                         / pop.population_count, 9) AS delta
+            FROM (SELECT c_mktsegment, c_nationkey,
+                         COUNT(*) AS population_count
+                  FROM customer GROUP BY 1, 2) pop
+            LEFT JOIN (SELECT c_mktsegment, c_nationkey,
+                              COUNT(*) AS dataset_count
+                       FROM customer WHERE c_acctbal > 5000.0
+                       GROUP BY 1, 2) ds
+            USING (c_mktsegment, c_nationkey)
+        """,
+        "q68_categorical_stats": """
+            SELECT value_frequency,
+                   COUNT(*) AS num_values,
+                   CAST(SUM(value_frequency) AS BIGINT) AS num_records
+            FROM (SELECT o_custkey, COUNT(*) AS value_frequency
+                  FROM orders GROUP BY 1) t
+            GROUP BY value_frequency
+        """,
+        "q69_numerical_stats": """
+            SELECT ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4) AS min_value,
+                   ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4) AS max_value,
+                   ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q_25,
+                   ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q_50,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q_75
+            FROM orders
         """,
     }

@@ -2,23 +2,35 @@
 
 The reference engine's platform exposes privacy risk metrics over
 de-identified tables through the public DLP risk-analysis API
-(``RiskAnalysisJobConfig``: k-anonymity, l-diversity). The reference
-repo itself stops at producing the de-identified table; an operator of
-that pipeline measures residual risk with exactly these metrics, so
-this engine implements the locally-computable members:
+(``RiskAnalysisJobConfig``: k-anonymity, l-diversity, k-map,
+delta-presence). The reference repo itself stops at producing the
+de-identified table; an operator of that pipeline measures residual
+risk with exactly these metrics, so this engine implements the
+locally-computable members:
 
 - **k-anonymity**: group records by the quasi-identifier tuple; the
   table is k-anonymous iff every equivalence class has >= k records.
   Outputs per-class sizes and the DLP-style class-size histogram.
 - **l-diversity**: additionally require each class to contain >= l
   distinct values of a sensitive attribute.
+- **k-map**: class sizes measured against a re-identification
+  *population* table instead of the dataset itself — each record's k
+  is how many population individuals share its quasi-identifier
+  tuple (``KMapEstimationConfig``; DLP estimates the population from
+  public statistics, here the caller supplies it as a DataFrame).
+- **delta-presence**: per quasi-identifier class, the probability
+  delta = dataset_count / population_count that a population member
+  of that class is present in the released dataset
+  (``DeltaPresenceEstimationConfig``).
 
 Scale posture: one keyed groupBy per metric (map-side partial
 aggregation; the quasi-identifier tuple is the shuffle key — no
-skew-prone global collects). ``count_distinct`` inside the class
-groupBy is exact, matching the SQL oracle; at 100 TB swap
-``approx_count_distinct`` via ``exact=False`` when estimate-grade
-l-diversity is acceptable.
+skew-prone global collects). k-map and delta-presence aggregate BOTH
+sides to class granularity before joining, so the join moves only
+(distinct QI tuples) rows, never raw records. ``count_distinct``
+inside the class groupBy is exact, matching the SQL oracle; at 100 TB
+swap ``approx_count_distinct`` via ``exact=False`` when
+estimate-grade l-diversity is acceptable.
 """
 
 from __future__ import annotations
@@ -26,10 +38,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
+    "categorical_stats_histogram",
+    "delta_presence",
+    "delta_presence_histogram",
     "k_anonymity",
     "k_anonymity_histogram",
+    "k_map",
+    "k_map_histogram",
     "l_diversity",
     "l_diversity_histogram",
+    "numerical_stats",
 ]
 
 
@@ -79,6 +97,160 @@ def l_diversity(
         F.count(F.lit(1)).alias("class_size"),
         distinct.cast("long").alias("distinct_sensitive"),
     )
+
+
+def k_map(
+    df: DataFrame, qi_cols: list[str], population: DataFrame
+) -> DataFrame:
+    """Per dataset equivalence class: ``qi_cols..., dataset_count,
+    k_map`` where ``k_map`` is the POPULATION class size for that
+    quasi-identifier tuple (0 when the tuple is absent from the
+    population — a uniquely re-identifiable anomaly DLP reports as
+    k=1; here the true 0 is kept so callers can distinguish it).
+    The table's k-map value is ``min(k_map)`` over classes with
+    ``k_map > 0``.
+
+    Both sides are reduced to class granularity BEFORE the join, so
+    the shuffle carries one row per distinct tuple, not per record."""
+    _check_cols(df, qi_cols)
+    _check_cols(population, qi_cols)
+    ds = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("dataset_count"))
+    pop = population.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("k_map")
+    )
+    joined = ds.join(pop, on=qi_cols, how="left")
+    return joined.withColumn(
+        "k_map", F.coalesce(F.col("k_map"), F.lit(0)).cast("long")
+    )
+
+
+def k_map_histogram(
+    df: DataFrame, qi_cols: list[str], population: DataFrame
+) -> DataFrame:
+    """DLP-style k-map result shape: how many dataset classes (and
+    dataset records) sit at each population-anonymity level —
+    ``k_map, num_classes, num_records``."""
+    classes = k_map(df, qi_cols, population)
+    return classes.groupBy("k_map").agg(
+        F.count(F.lit(1)).alias("num_classes"),
+        F.sum("dataset_count").cast("long").alias("num_records"),
+    )
+
+
+def delta_presence(
+    df: DataFrame, qi_cols: list[str], population: DataFrame
+) -> DataFrame:
+    """Per POPULATION equivalence class: ``qi_cols...,
+    dataset_count, population_count, delta`` with
+    ``delta = dataset_count / population_count`` — the probability
+    that a population member of this class is present in the released
+    dataset. Classes absent from the dataset get delta 0.0; the
+    table's delta-presence value is ``max(delta)``.
+
+    Same join shape as :func:`k_map`: class-level aggregates on both
+    sides, one row per distinct tuple through the shuffle."""
+    _check_cols(df, qi_cols)
+    _check_cols(population, qi_cols)
+    pop = population.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("population_count")
+    )
+    ds = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("dataset_count"))
+    joined = pop.join(ds, on=qi_cols, how="left")
+    return joined.select(
+        *qi_cols,
+        F.coalesce(F.col("dataset_count"), F.lit(0))
+        .cast("long")
+        .alias("dataset_count"),
+        F.col("population_count").cast("long").alias("population_count"),
+        (
+            F.coalesce(F.col("dataset_count"), F.lit(0))
+            / F.col("population_count")
+        ).alias("delta"),
+    )
+
+
+def delta_presence_histogram(
+    df: DataFrame,
+    qi_cols: list[str],
+    population: DataFrame,
+    bucket_edges: list[float] | None = None,
+) -> DataFrame:
+    """How many population classes fall into each delta range —
+    ``bucket_low, bucket_high, num_classes, num_population_records``.
+    Buckets follow the DLP convention: half-open ``[low, high)`` with
+    a final closed bucket ending at 1.0. Default edges mirror DLP's
+    probability buckets (0, .01, .05, .1, .2, .3, .4, .5, 1)."""
+    edges = bucket_edges or [0.0, 0.01, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 1.0]
+    if sorted(edges) != edges or len(set(edges)) != len(edges):
+        raise ValueError("bucket_edges must be strictly increasing")
+    classes = delta_presence(df, qi_cols, population)
+    # Closed-form bucket lookup as a CASE chain: pure codegen, no UDF.
+    low = F.lit(None).cast("double")
+    high = F.lit(None).cast("double")
+    for i in range(len(edges) - 1):
+        is_last = i == len(edges) - 2
+        cond = (F.col("delta") >= F.lit(edges[i])) & (
+            (F.col("delta") <= F.lit(edges[i + 1]))
+            if is_last
+            else (F.col("delta") < F.lit(edges[i + 1]))
+        )
+        low = F.when(cond, F.lit(edges[i])).otherwise(low)
+        high = F.when(cond, F.lit(edges[i + 1])).otherwise(high)
+    bucketed = classes.select(
+        low.alias("bucket_low"),
+        high.alias("bucket_high"),
+        "population_count",
+    )
+    return bucketed.groupBy("bucket_low", "bucket_high").agg(
+        F.count(F.lit(1)).alias("num_classes"),
+        F.sum("population_count")
+        .cast("long")
+        .alias("num_population_records"),
+    )
+
+
+def categorical_stats_histogram(df: DataFrame, col: str) -> DataFrame:
+    """DLP ``CategoricalStatsConfig`` analogue: how often each value
+    frequency occurs — ``value_frequency, num_values, num_records``
+    (e.g. "3 distinct values appear exactly 17 times each"). Two keyed
+    partial-agg groupBys, the same shape as the k-anonymity histogram
+    but over a single column's values; NULLs count as a value, as DLP
+    treats missing entries as an (absent) category of their own."""
+    _check_cols(df, [col])
+    freqs = df.groupBy(col).agg(F.count(F.lit(1)).alias("value_frequency"))
+    return freqs.groupBy("value_frequency").agg(
+        F.count(F.lit(1)).alias("num_values"),
+        F.sum("value_frequency").cast("long").alias("num_records"),
+    )
+
+
+def numerical_stats(
+    df: DataFrame, col: str, quantiles: list[float] | None = None
+) -> DataFrame:
+    """DLP ``NumericalStatsConfig`` analogue: one row of ``min_value,
+    max_value, q_<pct>...`` with exact linearly-interpolated quantiles
+    (``F.percentile``; SQL twin: ``quantile_cont``), each rounded to 4
+    decimals so both engines agree bit-for-bit after their last-ulp
+    interpolation differences. Single global aggregation with map-side
+    partials; the exact percentile keeps per-group state proportional
+    to distinct values — at 100 TB swap ``percentile_approx`` when
+    estimate-grade quantiles are acceptable (DLP's own results are
+    approximate)."""
+    _check_cols(df, [col])
+    qs = quantiles or [0.25, 0.5, 0.75]
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("quantiles must be within [0, 1]")
+    aggs = [
+        F.round(F.min(col).cast("double"), 4).alias("min_value"),
+        F.round(F.max(col).cast("double"), 4).alias("max_value"),
+    ]
+    for q in qs:
+        aggs.append(
+            F.round(F.percentile(F.col(col), F.lit(q)), 4).alias(
+                f"q_{int(round(q * 100)):02d}"
+            )
+        )
+    return df.agg(*aggs)
 
 
 def l_diversity_histogram(

@@ -286,6 +286,79 @@ def test_l_diversity_distinct_sensitive(people):
     assert hist == {2: 2, 1: 1}
 
 
+def test_k_map_against_population(spark, people):
+    """Released subset = bal >= 20; population = all people. Each
+    released class's k is the POPULATION class size; a tuple absent
+    from the population reports k_map=0."""
+    released = people.where("bal >= 20")
+    out = {
+        (r.seg, r.nat): (r.dataset_count, r.k_map)
+        for r in risk.k_map(released, ["seg", "nat"], people).collect()
+    }
+    assert out == {("A", 1): (1, 3), ("B", 1): (1, 1), ("B", 2): (2, 2)}
+    hist = {
+        r.k_map: (r.num_classes, r.num_records)
+        for r in risk.k_map_histogram(released, ["seg", "nat"], people).collect()
+    }
+    assert hist == {3: (1, 1), 1: (1, 1), 2: (1, 2)}
+    # tuple missing from the population → k_map 0, never a join drop
+    stranger = spark.createDataFrame([Row(seg="Z", nat=9, bal=99)])
+    out2 = {
+        (r.seg, r.nat): r.k_map
+        for r in risk.k_map(
+            released.unionByName(stranger), ["seg", "nat"], people
+        ).collect()
+    }
+    assert out2[("Z", 9)] == 0
+
+
+def test_delta_presence_per_population_class(people):
+    released = people.where("bal >= 20")
+    out = {
+        (r.seg, r.nat): (r.dataset_count, r.population_count, round(r.delta, 6))
+        for r in risk.delta_presence(released, ["seg", "nat"], people).collect()
+    }
+    assert out == {
+        ("A", 1): (1, 3, round(1 / 3, 6)),
+        ("B", 1): (1, 1, 1.0),
+        ("B", 2): (2, 2, 1.0),
+    }
+    hist = {
+        (r.bucket_low, r.bucket_high): (r.num_classes, r.num_population_records)
+        for r in risk.delta_presence_histogram(
+            released, ["seg", "nat"], people, bucket_edges=[0.0, 0.5, 1.0]
+        ).collect()
+    }
+    # delta=1/3 lands in [0, .5); the two delta=1.0 classes in the
+    # final CLOSED bucket [.5, 1.0]
+    assert hist == {(0.0, 0.5): (1, 3), (0.5, 1.0): (2, 3)}
+
+
+def test_delta_presence_histogram_validates_edges(people):
+    with pytest.raises(ValueError, match="strictly increasing"):
+        risk.delta_presence_histogram(
+            people, ["seg"], people, bucket_edges=[0.0, 0.5, 0.5]
+        )
+
+
+def test_categorical_stats_histogram(people):
+    hist = {
+        r.value_frequency: (r.num_values, r.num_records)
+        for r in risk.categorical_stats_histogram(people, "bal").collect()
+    }
+    # bal values: 10 x2, 20 x1, 30 x2, 40 x1
+    assert hist == {2: (2, 4), 1: (2, 2)}
+
+
+def test_numerical_stats_quantiles(people):
+    row = risk.numerical_stats(people, "bal").collect()[0]
+    # bal sorted: [10, 10, 20, 30, 30, 40]; linear interpolation
+    assert (row.min_value, row.max_value) == (10.0, 40.0)
+    assert (row.q_25, row.q_50, row.q_75) == (12.5, 25.0, 30.0)
+    with pytest.raises(ValueError, match="within"):
+        risk.numerical_stats(people, "bal", quantiles=[1.5])
+
+
 def test_risk_validates_columns(people):
     with pytest.raises(ValueError, match="not in DataFrame"):
         risk.k_anonymity(people, ["nope"])
