@@ -1567,6 +1567,63 @@ def q69_numerical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_stream_k_anon_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming k-anonymity monitor over the de-identified event
+    stream: bucket the numeric value (pure-codegen de-identification),
+    then per hourly window emit the equivalence-class-size histogram
+    for the (event_type, value_bucket) quasi-identifier tuple — two
+    CHAINED stateful aggregations in ONE streaming query
+    (risk.k_anonymity_monitor), append mode through the exactly-once
+    sink. Oracle: same two-level rollup + final-watermark filter."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark import datagen  # noqa: F401 (parity prep)
+    from auto_data_tokenize_spark.operators.risk import k_anonymity_monitor
+    from auto_data_tokenize_spark.streaming import pipeline as spipe
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    base = tempfile.mkdtemp(prefix="adt_q70_")
+    ev_in = f"{base}/ev"
+    os.makedirs(ev_in)
+    ev_pd = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev_pd[["event_type", "value", "ts"]].to_parquet(
+        f"{ev_in}/e.parquet", index=False
+    )
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    st = spark.readStream.schema(schema).parquet(ev_in)
+    deid = st.select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(100.0)).cast("long").alias("value_bucket"),
+        "ts",
+    )
+    hist = k_anonymity_monitor(
+        deid, ["event_type", "value_bucket"], watermark="10 minutes"
+    )
+    sink = ExactlyOnceSink(f"{base}/out")
+    spipe.run_to_sink(hist, sink, f"{base}/ckpt", shuffle_partitions=8)
+    out = sink.read_committed(spark)
+    result = spark.createDataFrame(out.toPandas(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1638,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_delta_presence": _with_prep(q67_delta_presence),
         "q68_categorical_stats": _with_prep(q68_categorical_stats),
         "q69_numerical_stats": _with_prep(q69_numerical_stats),
+        "q70_stream_k_anon_monitor": _with_prep(q70_stream_k_anon_monitor),
     }
 
 
@@ -2586,5 +2644,27 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q_50,
                    ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q_75
             FROM orders
+        """,
+        "q70_stream_k_anon_monitor": """
+            WITH deid AS (
+              SELECT event_type,
+                     CAST(floor(value / 100.0) AS BIGINT) AS value_bucket,
+                     make_timestamp((epoch_us(ts) // 3600000000)
+                                    * 3600000000) AS hw
+              FROM events
+            ), classes AS (
+              SELECT hw, event_type, value_bucket,
+                     COUNT(*) AS class_size
+              FROM deid GROUP BY 1, 2, 3
+            )
+            SELECT hw AS window_start,
+                   hw + INTERVAL 1 HOUR AS window_end,
+                   class_size,
+                   COUNT(*) AS num_classes,
+                   CAST(SUM(class_size) AS BIGINT) AS num_records
+            FROM classes
+            GROUP BY 1, 2, 3
+            HAVING hw + INTERVAL 1 HOUR
+                   <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
         """,
     }

@@ -43,6 +43,7 @@ __all__ = [
     "delta_presence_histogram",
     "k_anonymity",
     "k_anonymity_histogram",
+    "k_anonymity_monitor",
     "k_map",
     "k_map_histogram",
     "l_diversity",
@@ -206,6 +207,54 @@ def delta_presence_histogram(
         F.sum("population_count")
         .cast("long")
         .alias("num_population_records"),
+    )
+
+
+def k_anonymity_monitor(
+    df: DataFrame,
+    qi_cols: list[str],
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Windowed k-anonymity class-size histogram — the continuous
+    monitor an operator runs over a de-identified event stream to
+    catch anonymity regressions (a config change that starts emitting
+    small equivalence classes) as they happen, not at the next batch
+    audit. Works on batch and streaming inputs alike.
+
+    Output: ``window_start, window_end, class_size, num_classes,
+    num_records`` per tumbling window.
+
+    Streaming shape: two CHAINED stateful aggregations in one query
+    (Spark >= 3.4 multi-window support via ``window_time``) — class
+    sizes per (window, QI tuple), then the histogram per (window,
+    class_size). The first agg shrinks the stream to distinct-QI
+    cardinality with map-side partials before any histogram state is
+    touched; both state keys are bounded by (windows x tuples), and
+    append mode emits each window once when the watermark passes."""
+    _check_cols(df, qi_cols)
+    d = df
+    if watermark is not None:
+        d = d.withWatermark(ts_col, watermark)
+    classes = d.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), *qi_cols
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy(
+            F.window(F.window_time("w"), window).alias("cw"), "class_size"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("num_classes"),
+            F.sum("class_size").cast("long").alias("num_records"),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            F.col("cw.end").alias("window_end"),
+            "class_size",
+            "num_classes",
+            "num_records",
+        )
     )
 
 

@@ -359,6 +359,25 @@ def test_numerical_stats_quantiles(people):
         risk.numerical_stats(people, "bal", quantiles=[1.5])
 
 
+def test_k_anonymity_monitor_batch_windows(spark):
+    """Batch semantics of the windowed monitor: per-hour class-size
+    histograms over the QI tuple (the streaming path shares this exact
+    plan; q70 exercises it end-to-end through the sink)."""
+    rows = [
+        ("a", 1, datetime.datetime(2026, 1, 1, 10, 5)),
+        ("a", 1, datetime.datetime(2026, 1, 1, 10, 25)),
+        ("b", 2, datetime.datetime(2026, 1, 1, 10, 45)),
+        ("a", 1, datetime.datetime(2026, 1, 1, 11, 5)),
+    ]
+    df = spark.createDataFrame(rows, "seg string, nat int, ts timestamp")
+    out = {
+        (r.window_start.hour, r.class_size): (r.num_classes, r.num_records)
+        for r in risk.k_anonymity_monitor(df, ["seg", "nat"]).collect()
+    }
+    # hour 10: class (a,1) size 2, class (b,2) size 1; hour 11: (a,1) size 1
+    assert out == {(10, 2): (1, 2), (10, 1): (1, 1), (11, 1): (1, 1)}
+
+
 def test_risk_validates_columns(people):
     with pytest.raises(ValueError, match="not in DataFrame"):
         risk.k_anonymity(people, ["nope"])
