@@ -1624,6 +1624,37 @@ def q70_stream_k_anon_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q71_generalize_to_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ladder-based generalization to k-anonymity over customer
+    (c_acctbal: raw -> $100 buckets -> $1000 buckets -> suppressed;
+    c_mktsegment suppressed only at the top level). The level search
+    probes class-granularity aggregates — one record-level shuffle
+    total — and the SQL twin replays the identical search with CTEs,
+    so the chosen level matches at every scale factor by
+    construction."""
+    from auto_data_tokenize_spark.operators.generalize import (
+        generalized_classes,
+    )
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    ladders = {
+        "c_acctbal": [
+            ("raw",),
+            ("bucket", 100.0),
+            ("bucket", 1000.0),
+            ("suppress",),
+        ],
+        "c_mktsegment": [("raw",), ("raw",), ("raw",), ("suppress",)],
+    }
+    return generalized_classes(cust, ladders, k=15).select(
+        "c_acctbal_low",
+        "c_acctbal_high",
+        "c_mktsegment",
+        "class_size",
+        F.col("level").cast("int").alias("level"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1696,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_categorical_stats": _with_prep(q68_categorical_stats),
         "q69_numerical_stats": _with_prep(q69_numerical_stats),
         "q70_stream_k_anon_monitor": _with_prep(q70_stream_k_anon_monitor),
+        "q71_generalize_to_k": _with_prep(q71_generalize_to_k),
     }
 
 
@@ -2666,5 +2698,46 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             GROUP BY 1, 2, 3
             HAVING hw + INTERVAL 1 HOUR
                    <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        """,
+        "q71_generalize_to_k": """
+            WITH base AS (
+              SELECT c_mktsegment AS seg, c_acctbal AS bal,
+                     COUNT(*) AS n
+              FROM customer GROUP BY 1, 2
+            ),
+            m0 AS (SELECT MIN(n) AS m FROM base),
+            l1 AS (SELECT seg, floor(bal / 100.0) * 100.0 AS lo,
+                          SUM(n) AS cs
+                   FROM base GROUP BY 1, 2),
+            m1 AS (SELECT MIN(cs) AS m FROM l1),
+            l2 AS (SELECT seg, floor(bal / 1000.0) * 1000.0 AS lo,
+                          SUM(n) AS cs
+                   FROM base GROUP BY 1, 2),
+            m2 AS (SELECT MIN(cs) AS m FROM l2),
+            pick AS (
+              SELECT CASE WHEN (SELECT m FROM m0) >= 15 THEN 0
+                          WHEN (SELECT m FROM m1) >= 15 THEN 1
+                          WHEN (SELECT m FROM m2) >= 15 THEN 2
+                          ELSE 3 END AS lv
+            )
+            SELECT CAST(bal AS DOUBLE) AS c_acctbal_low,
+                   CAST(bal AS DOUBLE) AS c_acctbal_high,
+                   seg AS c_mktsegment,
+                   CAST(n AS BIGINT) AS class_size,
+                   CAST(0 AS INTEGER) AS level
+            FROM base WHERE (SELECT lv FROM pick) = 0
+            UNION ALL
+            SELECT lo, lo + 100.0, seg, CAST(cs AS BIGINT),
+                   CAST(1 AS INTEGER)
+            FROM l1 WHERE (SELECT lv FROM pick) = 1
+            UNION ALL
+            SELECT lo, lo + 1000.0, seg, CAST(cs AS BIGINT),
+                   CAST(2 AS INTEGER)
+            FROM l2 WHERE (SELECT lv FROM pick) = 2
+            UNION ALL
+            SELECT CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), '*',
+                   CAST((SELECT SUM(n) FROM base) AS BIGINT),
+                   CAST(3 AS INTEGER)
+            FROM pick WHERE lv = 3
         """,
     }
