@@ -1655,6 +1655,21 @@ def q71_generalize_to_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_pii_density_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-density corpus gate over conversations: validated findings
+    per 1 000 whitespace tokens, with the pass/reject verdict — the
+    filter between the identify stage and corpus assembly. Both sides
+    reduce to per-conversation scalars before the key join; the text
+    never leaves its scan stage."""
+    from auto_data_tokenize_spark.operators.corpus import pii_density_gate
+
+    turns = _transcripts(spark, sf_dir)
+    det = _detections(spark, sf_dir)
+    return pii_density_gate(
+        turns, det, key_cols=["conv_id"], max_per_1k_tokens=50.0
+    ).select("conv_id", "n_pii", "n_tokens", "pii_per_1k", "passes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1728,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_numerical_stats": _with_prep(q69_numerical_stats),
         "q70_stream_k_anon_monitor": _with_prep(q70_stream_k_anon_monitor),
         "q71_generalize_to_k": _with_prep(q71_generalize_to_k),
+        "q72_pii_density_gate": _with_prep(q72_pii_density_gate),
     }
 
 
@@ -2739,5 +2755,23 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                    CAST((SELECT SUM(n) FROM base) AS BIGINT),
                    CAST(3 AS INTEGER)
             FROM pick WHERE lv = 3
+        """,
+        "q72_pii_density_gate": f"""
+            WITH toks AS (
+              SELECT conv_id,
+                     CAST(SUM(length(string_split_regex(trim(text), '\\s+')))
+                          AS BIGINT) AS n_tokens
+              FROM {tr} GROUP BY 1
+            ), pii AS (
+              SELECT conv_id, COUNT(*) AS n_pii FROM {det} GROUP BY 1
+            )
+            SELECT t.conv_id,
+                   CAST(COALESCE(p.n_pii, 0) AS BIGINT) AS n_pii,
+                   t.n_tokens,
+                   ROUND(COALESCE(p.n_pii, 0) * 1000.0
+                         / GREATEST(t.n_tokens, 1), 6) AS pii_per_1k,
+                   ROUND(COALESCE(p.n_pii, 0) * 1000.0
+                         / GREATEST(t.n_tokens, 1), 6) <= 50.0 AS passes
+            FROM toks t LEFT JOIN pii p USING (conv_id)
         """,
     }

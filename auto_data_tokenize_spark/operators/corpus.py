@@ -481,3 +481,59 @@ def duckdb_mix_sql(
         SELECT * FROM {table}
         WHERE {b} < (CASE {cases} ELSE {default} END)
     """
+
+
+def pii_density_gate(
+    docs: DataFrame,
+    detections: DataFrame,
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+    max_per_1k_tokens: float = 50.0,
+) -> DataFrame:
+    """PII-density corpus gate: keep only documents whose validated
+    PII findings per 1 000 whitespace tokens stay at or under the
+    threshold — the filter that sits between the identify stage and
+    corpus assembly, catching documents so saturated with personal
+    data that masking them would destroy most of their content
+    (standard web-corpus practice; the detectors are this engine's
+    own identify output).
+
+    ``docs`` carries the text (one row per key tuple after any
+    upstream per-turn explode); ``detections`` carries one row per
+    validated finding with the same key columns. Output: the key
+    columns + ``n_pii, n_tokens, pii_per_1k`` (rounded to 6) +
+    ``passes``, one row per input document, so downstream stages can
+    either filter on ``passes`` or audit the rejected tail.
+
+    Scale shape: one map-side-partial groupBy per side reduces both
+    inputs to per-document scalars before the key-equi join; nothing
+    wider than (key, two longs) ever shuffles, and the text column
+    never leaves its scan stage.
+    """
+    keys = key_cols or ["doc_id"]
+    missing = [c for c in keys if c not in docs.columns]
+    if missing:
+        raise ValueError(f"key columns not in docs: {missing}")
+    if max_per_1k_tokens < 0:
+        raise ValueError("max_per_1k_tokens must be >= 0")
+    from auto_data_tokenize_spark.operators.textstats import ws_tokens_expr
+
+    toks = docs.groupBy(*keys).agg(
+        F.sum(ws_tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    pii = detections.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pii")
+    )
+    joined = toks.join(pii, on=keys, how="left")
+    density = (
+        F.coalesce(F.col("n_pii"), F.lit(0))
+        * F.lit(1000.0)
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    return joined.select(
+        *keys,
+        F.coalesce(F.col("n_pii"), F.lit(0)).cast("long").alias("n_pii"),
+        "n_tokens",
+        F.round(density, 6).alias("pii_per_1k"),
+        (F.round(density, 6) <= F.lit(max_per_1k_tokens)).alias("passes"),
+    )

@@ -330,3 +330,47 @@ def test_decontamination_gate_plan_broadcasts_eval(spark):
     assert "SortMergeJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan
+
+
+def test_pii_density_gate_counts_and_verdict(spark):
+    from auto_data_tokenize_spark.operators.corpus import pii_density_gate
+
+    docs = spark.createDataFrame(
+        [
+            ("a", 1, "one two three four"),          # 4 tokens
+            ("a", 2, "five six"),                    # 2 tokens -> conv a: 6
+            ("b", 1, "just words here"),             # conv b: 3 tokens, 0 pii
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    det = spark.createDataFrame(
+        [("a", 1, "EMAIL_ADDRESS"), ("a", 2, "PHONE_NUMBER")],
+        "conv_id string, turn_idx int, info_type string",
+    )
+    out = {
+        r.conv_id: (r.n_pii, r.n_tokens, r.pii_per_1k, r.passes)
+        for r in pii_density_gate(
+            docs, det, key_cols=["conv_id"], max_per_1k_tokens=400.0
+        ).collect()
+    }
+    # conv a: 2 findings / 6 tokens = 333.333/1k -> passes at 400
+    assert out["a"] == (2, 6, round(2000.0 / 6, 6), True)
+    # conv b: zero findings survive the left join as 0, passes
+    assert out["b"] == (0, 3, 0.0, True)
+    strict = {
+        r.conv_id: r.passes
+        for r in pii_density_gate(
+            docs, det, key_cols=["conv_id"], max_per_1k_tokens=100.0
+        ).collect()
+    }
+    assert strict == {"a": False, "b": True}
+
+
+def test_pii_density_gate_validates(spark):
+    from auto_data_tokenize_spark.operators.corpus import pii_density_gate
+
+    docs = spark.createDataFrame([("a", "x")], "conv_id string, text string")
+    with pytest.raises(ValueError, match="key columns"):
+        pii_density_gate(docs, docs, key_cols=["nope"])
+    with pytest.raises(ValueError, match=">= 0"):
+        pii_density_gate(docs, docs, key_cols=["conv_id"], max_per_1k_tokens=-1)
