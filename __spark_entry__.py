@@ -1670,6 +1670,24 @@ def q72_pii_density_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "n_pii", "n_tokens", "pii_per_1k", "passes")
 
 
+def q73_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training over the documents corpus: one
+    corpus-level shuffle to the distinct-word frequency table, then
+    every merge round runs on that compact table with JVM-only pair
+    counting and a literal-replace merge — no Python in the loop, one
+    row per round to the driver. Oracle: the pure-Python golden
+    (datagen.ensure_bpe), which the trainer must reproduce
+    token-for-token."""
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.bpe import train_bpe
+
+    datagen.ensure_bpe(_sf_name(sf_dir))
+    docs = _documents(spark, sf_dir)
+    return train_bpe(docs, n_merges=datagen.BPE_MERGES).select(
+        "rank", "left", "right"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1744,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_stream_k_anon_monitor": _with_prep(q70_stream_k_anon_monitor),
         "q71_generalize_to_k": _with_prep(q71_generalize_to_k),
         "q72_pii_density_gate": _with_prep(q72_pii_density_gate),
+        "q73_bpe_train": _with_prep(q73_bpe_train),
     }
 
 
@@ -2083,6 +2102,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
     from auto_data_tokenize_spark import datagen
 
     datagen.ensure_extended(sf_name)
+    datagen.ensure_bpe(sf_name)
 
     return {
         "q01_tokenize_turns": f"""
@@ -2773,5 +2793,10 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                    ROUND(COALESCE(p.n_pii, 0) * 1000.0
                          / GREATEST(t.n_tokens, 1), 6) <= 50.0 AS passes
             FROM toks t LEFT JOIN pii p USING (conv_id)
+        """,
+        # pure-Python BPE golden (datagen.ensure_bpe), deterministic
+        "q73_bpe_train": f"""
+            SELECT rank, "left", "right"
+            FROM read_parquet('{dd}/bpe_merges.parquet')
         """,
     }

@@ -552,3 +552,38 @@ def ensure_media(sf_name: str, data_root: str = DATA_ROOT, force: bool = False) 
     _write(media, os.path.join(out_dir, "media.parquet"), _MEDIA_ARROW)
     _write(golden_media_features(media), marker)
     return out_dir
+
+
+TESTDATA_ROOT = "/root/testdata"
+BPE_MERGES = 30
+
+
+def ensure_bpe(
+    sf_name: str,
+    data_root: str = DATA_ROOT,
+    testdata_root: str = TESTDATA_ROOT,
+    n_merges: int = BPE_MERGES,
+    force: bool = False,
+) -> str:
+    """Idempotently materialize the pure-Python BPE merge golden for
+    one scale factor: train_bpe_golden over the driver-provided
+    documents table (q73's oracle; the distributed trainer must
+    reproduce it token-for-token). Deterministic — same corpus, same
+    merges."""
+    out_dir = os.path.join(data_root, sf_name)
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "bpe_merges.parquet")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    from auto_data_tokenize_spark.operators.bpe import train_bpe_golden
+
+    docs = pd.read_parquet(
+        os.path.join(testdata_root, sf_name, "documents.parquet"),
+        columns=["text"],
+    )
+    merges = train_bpe_golden(docs["text"].tolist(), n_merges=n_merges)
+    out = pd.DataFrame(merges, columns=["rank", "left", "right"]).astype(
+        {"rank": "int32", "left": "string", "right": "string"}
+    )
+    _write(out, marker)
+    return out_dir
