@@ -1688,6 +1688,30 @@ def q73_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the documents corpus with the learned BPE vocabulary
+    (apply_bpe; merges read from the gate-checked q73 vocabulary — 30
+    rows of driver state). Oracle: golden encode under the shared
+    encode_text implementation, so the gate checks the Spark plumbing
+    (Arrow batches, array schema, null/empty handling) end-to-end."""
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.bpe import apply_bpe
+
+    import pandas as pd
+
+    d = datagen.ensure_bpe(_sf_name(sf_dir))
+    merges_pd = pd.read_parquet(os.path.join(d, "bpe_merges.parquet"))
+    merges = list(
+        zip(merges_pd["left"].tolist(), merges_pd["right"].tolist())
+    )
+    docs = _documents(spark, sf_dir)
+    return apply_bpe(docs, merges).select(
+        "doc_id",
+        "bpe_tokens",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1763,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_generalize_to_k": _with_prep(q71_generalize_to_k),
         "q72_pii_density_gate": _with_prep(q72_pii_density_gate),
         "q73_bpe_train": _with_prep(q73_bpe_train),
+        "q74_bpe_encode": _with_prep(q74_bpe_encode),
     }
 
 
@@ -2798,5 +2823,9 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q73_bpe_train": f"""
             SELECT rank, "left", "right"
             FROM read_parquet('{dd}/bpe_merges.parquet')
+        """,
+        "q74_bpe_encode": f"""
+            SELECT doc_id, bpe_tokens, n_bpe_tokens
+            FROM read_parquet('{dd}/bpe_tokens.parquet')
         """,
     }

@@ -572,18 +572,31 @@ def ensure_bpe(
     merges."""
     out_dir = os.path.join(data_root, sf_name)
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, "bpe_merges.parquet")
+    marker = os.path.join(out_dir, "bpe_tokens.parquet")
     if os.path.exists(marker) and not force:
         return out_dir
-    from auto_data_tokenize_spark.operators.bpe import train_bpe_golden
+    from auto_data_tokenize_spark.operators.bpe import (
+        encode_text,
+        train_bpe_golden,
+    )
 
     docs = pd.read_parquet(
         os.path.join(testdata_root, sf_name, "documents.parquet"),
-        columns=["text"],
+        columns=["doc_id", "text"],
     )
     merges = train_bpe_golden(docs["text"].tolist(), n_merges=n_merges)
     out = pd.DataFrame(merges, columns=["rank", "left", "right"]).astype(
         {"rank": "int32", "left": "string", "right": "string"}
     )
-    _write(out, marker)
+    _write(out, os.path.join(out_dir, "bpe_merges.parquet"))
+    pairs = [(l, r) for _, l, r in merges]
+    toks = docs["text"].map(lambda t: encode_text(t, pairs))
+    enc = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "bpe_tokens": toks,
+            "n_bpe_tokens": toks.map(len).astype("int64"),
+        }
+    )
+    _write(enc, marker)
     return out_dir

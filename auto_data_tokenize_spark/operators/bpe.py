@@ -43,7 +43,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bpe", "train_bpe_golden", "apply_bpe"]
+__all__ = [
+    "apply_bpe",
+    "encode_text",
+    "train_bpe",
+    "train_bpe_golden",
+]
 
 _S, _E = "\x00", "\x01"
 END_OF_WORD = "</w>"
@@ -201,50 +206,68 @@ def train_bpe_golden(
     return merges
 
 
+def _encode_word(w: str, ranks: dict[tuple[str, str], int],
+                 by_rank: dict[int, tuple[str, str]]) -> list[str]:
+    """Canonical BPE encode of one word: repeatedly apply the
+    lowest-rank applicable merge, greedy-left within each pass."""
+    syms = list(w) + [END_OF_WORD]
+    while len(syms) > 1:
+        cand = [
+            ranks[(a, b)] for a, b in zip(syms, syms[1:]) if (a, b) in ranks
+        ]
+        if not cand:
+            break
+        l, r = by_rank[min(cand)]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_text(text: str | None, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python BPE encode of one text under a learned merge list —
+    the single implementation behind both :func:`apply_bpe`'s executor
+    path and the oracle goldens, so the driver gate checks the Spark
+    plumbing (UDF, Arrow batches, schema) against the identical
+    algorithm."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    by_rank = {i: tuple(m) for i, m in enumerate(merges)}
+    return [
+        tok
+        for w in (text or "").strip().split()
+        for tok in _encode_word(w, ranks, by_rank)
+    ]
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
-    """Encode ``text_col`` with a learned merge list: per word, apply
-    every merge in rank order (greedy-left), then emit the flat token
-    sequence. Arrow-batched pandas UDF — the merge table is a plain
-    Python closure (broadcast with the task), the per-row work is the
-    inherent per-word merge scan."""
-    ranks = {tuple(m): i for i, m in enumerate(merges)}
-    by_rank = {i: tuple(m) for i, m in enumerate(merges)}
+    """Encode ``text_col`` with a learned merge list (canonical
+    lowest-rank-first semantics; see :func:`encode_text`).
+    Arrow-batched pandas UDF — the merge table is a plain Python
+    closure shipped with the task; the per-row work is the inherent
+    per-word merge scan."""
+    merges = [tuple(m) for m in merges]
 
     @F.pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
-        def enc_word(w: str) -> list[str]:
-            syms = list(w) + [END_OF_WORD]
-            while len(syms) > 1:
-                cand = [
-                    ranks[(a, b)]
-                    for a, b in zip(syms, syms[1:])
-                    if (a, b) in ranks
-                ]
-                if not cand:
-                    break
-                l, r = by_rank[min(cand)]
-                out: list[str] = []
-                i = 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                        out.append(l + r)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
-
+        ranks = {m: i for i, m in enumerate(merges)}
+        by_rank = {i: m for i, m in enumerate(merges)}
         return texts.map(
             lambda t: [
                 tok
                 for w in (t or "").strip().split()
-                for tok in enc_word(w)
+                for tok in _encode_word(w, ranks, by_rank)
             ]
         )
 
