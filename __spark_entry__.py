@@ -1357,7 +1357,7 @@ def q61_deidentify_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "columnId": "$.Orders.o_orderstatus",
                     "transform": {"redactConfig": {}},
                 },
-                {   # shift BEFORE the custkey replace below erases context
+                {   # order is semantics-free: contexts read snapshots
                     "columnId": "$.Orders.o_orderdate",
                     "transform": {
                         "dateShiftConfig": {

@@ -196,12 +196,21 @@ def ssn_structure_valid(ssn: str) -> bool:
     return group != "00" and serial != "0000"
 
 
+# Plausible birth-year window. The bounds are FIXED constants, not
+# derived from the clock, so the span goldens regenerate bit-stable;
+# deployments past DOB_MAX_YEAR must bump it (and regenerate goldens
+# via datagen ensure_* force=True) or recent birth dates silently
+# stop being detected.
+DOB_MIN_YEAR = 1900
+DOB_MAX_YEAR = 2026
+
+
 def dob_plausible(date_str: str) -> bool:
-    """Calendar-valid date with a plausible birth year (1900-2026).
-    ``1987-04-12`` is ISO year-month-day; ``4/12/1987`` is US
-    month/day/year; ``April 12, 1987`` is month-name form (capitalized
-    English month, matching the pattern). Feb 30, month 13, year 1830
-    all demote."""
+    """Calendar-valid date with a plausible birth year
+    (``DOB_MIN_YEAR``-``DOB_MAX_YEAR``). ``1987-04-12`` is ISO
+    year-month-day; ``4/12/1987`` is US month/day/year; ``April 12,
+    1987`` is month-name form (capitalized English month, matching the
+    pattern). Feb 30, month 13, year 1830 all demote."""
     try:
         if "," in date_str:
             mon, rest = date_str.split(" ", 1)
@@ -214,7 +223,7 @@ def dob_plausible(date_str: str) -> bool:
         datetime.date(y, mth, d)
     except ValueError:
         return False
-    return 1900 <= y <= 2026
+    return DOB_MIN_YEAR <= y <= DOB_MAX_YEAR
 
 
 def _validate(group: str, matched: str) -> bool:

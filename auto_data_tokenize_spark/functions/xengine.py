@@ -25,3 +25,13 @@ def spark_md5_prefix(inner: str) -> str:
 def duckdb_md5_prefix(inner: str) -> str:
     """DuckDB twin of :func:`spark_md5_prefix` — bit-identical values."""
     return f"(('0x' || substr(md5({inner}), 1, 8))::BIGINT)"
+
+
+def spark_md5_prefix_col(col):
+    """Column-level form of :func:`spark_md5_prefix` for callers that
+    compose the seed from Columns rather than SQL text (same
+    construction, same cross-engine contract). Returns a bigint Column
+    in [0, 2^32)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

@@ -49,6 +49,8 @@ Arrow batch pipe identical in shape to the tokenize hot path.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -63,12 +65,10 @@ __all__ = [
     "free_form_repl",
 ]
 
-# portable cross-engine keyed hash: Spark conv(substr(md5(x),1,8),16,10)
-# == DuckDB ('0x'||substr(md5(x),1,8))::BIGINT  (see memory/oracle notes)
-
-
-def _md5_prefix_long(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+# the portable cross-engine hash lives in ONE place: functions/xengine
+from auto_data_tokenize_spark.functions.xengine import (
+    spark_md5_prefix_col as _md5_prefix_long,
+)
 
 
 def char_mask(
@@ -142,27 +142,31 @@ def fixed_size_buckets(
         raise ValueError(f"bucketSize must be positive: {bucket_size}")
     if lo >= hi:
         raise ValueError(f"lowerBound {lo} >= upperBound {hi}")
+    n_buckets = math.ceil((hi - lo) / size)
+    if n_buckets > 10_000:
+        raise ValueError(
+            f"fixedSizeBucketingConfig would generate {n_buckets} buckets; "
+            "cap is 10000 (widen bucketSize)"
+        )
     v = col.cast("double")
-    b = F.floor((v - F.lit(lo)) / F.lit(size))
-    b_lo = F.lit(lo) + b.cast("double") * F.lit(size)
-    b_hi = F.least(b_lo + F.lit(size), F.lit(hi))
-    label = F.concat(
-        _fmt_num(b_lo), F.lit("-"), _fmt_num(b_hi)
-    )
+    b = F.floor((v - F.lit(lo)) / F.lit(size)).cast("long")
+    # Labels are rendered DRIVER-side with _num_str so every edge —
+    # including non-integral ones above 1e7 — formats identically to
+    # the "<L"/">=U" boundary labels and to any SQL twin (Spark's
+    # double→string cast switches to scientific notation at 1e7).
+    label: Column = F.lit(None).cast("string")
+    for i in range(n_buckets - 1, -1, -1):
+        b_lo = lo + i * size
+        b_hi = min(b_lo + size, hi)
+        label = F.when(
+            b == F.lit(i), F.lit(f"{_num_str(b_lo)}-{_num_str(b_hi)}")
+        ).otherwise(label)
     return (
         F.when(v.isNull(), F.lit(None).cast("string"))
         .when(v < F.lit(lo), F.lit("<" + _num_str(lo)))
         .when(v >= F.lit(hi), F.lit(">=" + _num_str(hi)))
         .otherwise(label)
     )
-
-
-def _fmt_num(c: Column) -> Column:
-    """Render a double column like :func:`_num_str` (no trailing .0)."""
-    as_long = c.cast("long")
-    return F.when(
-        c == as_long.cast("double"), as_long.cast("string")
-    ).otherwise(c.cast("string"))
 
 
 def value_buckets(col: Column, buckets: list[dict]) -> Column:
@@ -174,7 +178,13 @@ def value_buckets(col: Column, buckets: list[dict]) -> Column:
     v = col.cast("double")
     expr: Column | None = None
     for b in buckets:
-        repl = F.lit(str(_value_of(b.get("replacementValue"))))
+        if "replacementValue" not in b:
+            # str(None) would silently write the literal "None" into
+            # every matching row — corrupt output with no signal
+            raise ValueError(
+                f"bucketingConfig bucket {b!r} missing replacementValue"
+            )
+        repl = F.lit(str(_value_of(b["replacementValue"])))
         cond = F.lit(True)
         if "min" in b:
             cond = cond & (v >= F.lit(float(_value_of(b["min"]))))
@@ -248,12 +258,16 @@ def apply_whole_value_transform(
     *,
     root_key: bytes | None = None,
     out_col: str | None = None,
+    context_col: str | None = None,
 ) -> DataFrame:
     """Apply one non-crypto-deterministic primitive transformation to a
     whole column. ``transform`` is the raw oneof dict from the config
     (exactly one recognized key). Crypto-deterministic transforms route
     through ``operators.tokenize`` (reversible tokens need the rename +
-    ORIGINAL_TYPE machinery), not here."""
+    ORIGINAL_TYPE machinery), not here. ``context_col`` overrides where
+    ``dateShiftConfig.context`` is read from (apply_encrypt_config
+    passes a snapshot of the ORIGINAL column so a sibling transform
+    rewriting the context column cannot change the shift)."""
     out_col = out_col or column
     col = F.col(column)
     if "characterMaskConfig" in transform:
@@ -267,7 +281,11 @@ def apply_whole_value_transform(
     elif "redactConfig" in transform:
         expr = F.lit(None).cast(df.schema[column].dataType)
     elif "replaceConfig" in transform:
-        expr = F.lit(_value_of(transform["replaceConfig"].get("newValue")))
+        if "newValue" not in transform["replaceConfig"]:
+            # F.lit(None) makes an untyped NullType column that only
+            # fails much later, at write time, far from the config bug
+            raise ValueError("replaceConfig missing newValue")
+        expr = F.lit(_value_of(transform["replaceConfig"]["newValue"]))
     elif "cryptoHashConfig" in transform:
         from auto_data_tokenize_spark.functions.tokenizer import (
             hkdf_sha256,
@@ -282,6 +300,8 @@ def apply_whole_value_transform(
     elif "dateShiftConfig" in transform:
         c = transform["dateShiftConfig"]
         ctx = c.get("context", {}).get("name") if c.get("context") else None
+        if ctx is not None and context_col is not None:
+            ctx = context_col
         from auto_data_tokenize_spark.functions.tokenizer import (
             hkdf_sha256,
             resolve_root_key,

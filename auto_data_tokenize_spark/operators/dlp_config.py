@@ -113,6 +113,14 @@ def parse_encrypt_config(source) -> list[TransformSpec]:
         info_types = t.get("infoTypes")
         if info_types is not None:
             info_types = tuple(info_types)
+            if not info_types:
+                # an empty list would compile an empty alternation and
+                # silently disable ALL detection for the column — the
+                # opposite of what a truncated config intends
+                raise ValueError(
+                    f"transform for {column_id!r} has an empty infoTypes "
+                    "list; omit the key to use the default detector set"
+                )
             detectors.combined_re(info_types)  # raises on unknown names
         # the reference serializes booleans as JSON strings ("true")
         free_form = str(t.get("freeFormColumn", "false")).lower() == "true"
@@ -159,7 +167,17 @@ def apply_encrypt_config(
     rewrite their column in place; whole-value specs rename to
     ``encrypted_<name>``; nested ids route to ``tokenize_nested``.
     All stages are narrow (Arrow UDF projections) — no shuffle is
-    introduced at any scale."""
+    introduced at any scale.
+
+    Ordering of ``transforms[]`` entries is SEMANTICS-FREE (DLP's
+    apply-to-original-record posture): each column may be targeted by
+    at most one transform (duplicates fail fast), and every
+    cross-column read — date-shift contexts and the scope column — is
+    taken from a snapshot of the ORIGINAL values, so a sibling
+    transform rewriting a context column can never change another
+    column's result."""
+    from pyspark.sql import functions as F
+
     from auto_data_tokenize_spark.operators.tokenize import (
         tokenize_columns,
         tokenize_nested,
@@ -171,7 +189,29 @@ def apply_encrypt_config(
         free_form_repl,
     )
 
-    out = df
+    ids = [s.column_id for s in specs]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"duplicate columnId in transforms: {dupes}")
+
+    # snapshot every cross-column input under its original values
+    ctx_cols: set[str] = set()
+    for spec in specs:
+        if spec.primitive and "dateShiftConfig" in spec.primitive:
+            ctx = spec.primitive["dateShiftConfig"].get("context") or {}
+            if ctx.get("name"):
+                ctx_cols.add(ctx["name"])
+    if scope_col:
+        ctx_cols.add(scope_col)
+    snap = {
+        c: f"__adt_orig_{c}" for c in sorted(ctx_cols) if c in df.columns
+    }
+    out = (
+        df.select("*", *[F.col(c).alias(a) for c, a in snap.items()])
+        if snap
+        else df
+    )
+    scope_read = snap.get(scope_col, scope_col) if scope_col else None
     flat_whole: list[str] = []
     for spec in specs:
         if spec.free_form:
@@ -196,7 +236,7 @@ def apply_encrypt_config(
             elif scope_col:
                 out = tokenize_turns(
                     out,
-                    conv_col=scope_col,
+                    conv_col=scope_read,
                     text_col=col,
                     out_col=col,
                     root_key=root_key,
@@ -210,8 +250,17 @@ def apply_encrypt_config(
                     f"primitive transformations support flat columns only: "
                     f"{spec.column_id!r}"
                 )
+            ctx_name = None
+            if "dateShiftConfig" in spec.primitive:
+                ctx = spec.primitive["dateShiftConfig"].get("context") or {}
+                if ctx.get("name"):
+                    ctx_name = snap.get(ctx["name"], ctx["name"])
             out = apply_whole_value_transform(
-                out, spec.parts[0], spec.primitive, root_key=root_key
+                out,
+                spec.parts[0],
+                spec.primitive,
+                root_key=root_key,
+                context_col=ctx_name,
             )
         elif len(spec.parts) == 1:
             flat_whole.append(spec.parts[0])
@@ -219,12 +268,14 @@ def apply_encrypt_config(
             out = tokenize_nested(
                 out,
                 ["$." + ".".join(spec.parts)],
-                scope_col=scope_col,
+                scope_col=scope_read,
                 root_key=root_key,
             )
     if flat_whole:
-        out = tokenize_columns(out, flat_whole, scope_col=scope_col, root_key=root_key)
-    return out
+        out = tokenize_columns(
+            out, flat_whole, scope_col=scope_read, root_key=root_key
+        )
+    return out.drop(*snap.values()) if snap else out
 
 
 def _tokenize_free_form_global(df, col, root_key, info_types):

@@ -94,6 +94,20 @@ def _is_string_ladder(levels: list[tuple]) -> bool:
     )
 
 
+def _ladder_string_cols(ladders: dict[str, list[tuple]]) -> set[str]:
+    """Classify each laddered column as string vs numeric from its
+    declared specs (not Spark types): any ("prefix", n) level makes a
+    string ladder; any ("bucket", w) level makes it numeric; an
+    all-raw/suppress ladder defaults to string."""
+    string_cols = {
+        c for c, levels in ladders.items() if _is_string_ladder(levels)
+    }
+    for col, levels in ladders.items():
+        if any(s[0] == "bucket" for s in levels):
+            string_cols.discard(col)
+    return string_cols
+
+
 def _exprs_for_level(
     ladders: dict[str, list[tuple]], level: int, string_cols: set[str]
 ) -> list[Column]:
@@ -130,16 +144,7 @@ def generalize_to_k(
     if k < 1:
         raise ValueError("k must be >= 1")
     n_levels = _check_ladders(df, ladders)
-    string_cols = {
-        c for c, levels in ladders.items() if _is_string_ladder(levels)
-    }
-    # Decide numeric vs string by the declared specs, not Spark types:
-    # a column with any ("prefix", n) level is a string ladder; a
-    # column with any ("bucket", w) level is numeric.
-    for col, levels in ladders.items():
-        if any(s[0] == "bucket" for s in levels):
-            string_cols.discard(col)
-
+    string_cols = _ladder_string_cols(ladders)
     qi = list(ladders.keys())
     base = (
         df.groupBy(*qi).agg(F.count(F.lit(1)).alias("_n")).persist()
@@ -193,13 +198,7 @@ def generalized_classes(
     columns..., class_size, level`` — the shape an auditor reviews
     (and the shape q71's SQL twin reproduces level-by-level)."""
     out, level = generalize_to_k(df, ladders, k)
-    string_cols = {
-        c for c, levels in ladders.items() if _is_string_ladder(levels)
-    }
-    for col, levels in ladders.items():
-        if any(s[0] == "bucket" for s in levels):
-            string_cols.discard(col)
-    names = _level_names(ladders, string_cols)
+    names = _level_names(ladders, _ladder_string_cols(ladders))
     return (
         out.groupBy(*names)
         .agg(F.count(F.lit(1)).alias("class_size"))

@@ -41,8 +41,12 @@ def _sanitize(name: str) -> str:
     # InspectionReportFileWriter.java:83-84 semantics, applied to the
     # whole "col-<name>" prefix: JSONPath separators/indices become
     # dashes, then dash runs collapse (so "col-" + "$.a" is
-    # "col-a", not "col--a")
-    return re.sub(r"-+", "-", "col-" + re.sub(r"[.$\[\]]+", "-", name))
+    # "col-a", not "col--a"). Filesystem-hostile characters (path
+    # separators, NUL, etc.) also become dashes — a column named
+    # "a/b" must not turn the filename into a subdirectory write.
+    cleaned = re.sub(r"[.$\[\]]+", "-", name)
+    cleaned = re.sub(r"[^A-Za-z0-9_-]+", "-", cleaned)
+    return re.sub(r"-+", "-", "col-" + cleaned)
 
 
 def column_info_json(column_name: str, info_types: list[dict]) -> dict:

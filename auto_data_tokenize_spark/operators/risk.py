@@ -100,6 +100,26 @@ def l_diversity(
     )
 
 
+def _null_safe_left_join(
+    left: DataFrame, right: DataFrame, on: list[str]
+) -> DataFrame:
+    """Left join on the key columns with NULL-SAFE equality (<=>),
+    keeping the left side's key columns. De-identified tables contain
+    NULL quasi-identifiers by design (generalize.py's suppress level
+    emits NULL/NULL), and a plain equi-join would report every
+    NULL-bearing class as absent from the other side — misstating the
+    risk in both directions."""
+    r = right
+    for c in on:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    cond = None
+    for c in on:
+        eq = left[c].eqNullSafe(r[f"__r_{c}"])
+        cond = eq if cond is None else cond & eq
+    joined = left.join(r, on=cond, how="left")
+    return joined.drop(*[f"__r_{c}" for c in on])
+
+
 def k_map(
     df: DataFrame, qi_cols: list[str], population: DataFrame
 ) -> DataFrame:
@@ -119,7 +139,7 @@ def k_map(
     pop = population.groupBy(*qi_cols).agg(
         F.count(F.lit(1)).alias("k_map")
     )
-    joined = ds.join(pop, on=qi_cols, how="left")
+    joined = _null_safe_left_join(ds, pop, qi_cols)
     return joined.withColumn(
         "k_map", F.coalesce(F.col("k_map"), F.lit(0)).cast("long")
     )
@@ -156,7 +176,7 @@ def delta_presence(
         F.count(F.lit(1)).alias("population_count")
     )
     ds = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("dataset_count"))
-    joined = pop.join(ds, on=qi_cols, how="left")
+    joined = _null_safe_left_join(pop, ds, qi_cols)
     return joined.select(
         *qi_cols,
         F.coalesce(F.col("dataset_count"), F.lit(0))
@@ -179,8 +199,17 @@ def delta_presence_histogram(
     """How many population classes fall into each delta range —
     ``bucket_low, bucket_high, num_classes, num_population_records``.
     Buckets follow the DLP convention: half-open ``[low, high)`` with
-    a final closed bucket ending at 1.0. Default edges mirror DLP's
-    probability buckets (0, .01, .05, .1, .2, .3, .4, .5, 1)."""
+    a final closed bucket ending at the last edge. Default edges
+    mirror DLP's probability buckets (0, .01, .05, .1, .2, .3, .4,
+    .5, 1).
+
+    Classes whose delta falls OUTSIDE ``[edges[0], edges[-1]]`` are
+    reported in an explicit overflow bucket with ``bucket_low =
+    bucket_high = NULL`` rather than dropped — delta exceeds 1.0
+    whenever the released dataset holds several records per population
+    individual (event streams vs a census population), and those
+    over-represented classes are precisely the highest-risk rows, so
+    they must stay visible in the result."""
     edges = bucket_edges or [0.0, 0.01, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 1.0]
     if sorted(edges) != edges or len(set(edges)) != len(edges):
         raise ValueError("bucket_edges must be strictly increasing")

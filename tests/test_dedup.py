@@ -342,10 +342,13 @@ def test_dup_clusters_storage_is_bounded_across_runs(spark, docs):
         return sc.getPersistentRDDs().size()
 
     dedup.dup_clusters(docs).count()
-    baseline = settle(4, 10)
+    baseline = settle(4, 15)
     for _ in range(2):
         dedup.dup_clusters(docs).count()
-    assert settle(baseline + 2, 15) <= baseline + 2
+    # 40 x 1 s deadline: JVM System.gc() is advisory and under
+    # external box load the ContextCleaner has been observed to need
+    # >15 s to reclaim (flaked once at 15 rounds on a loaded box)
+    assert settle(baseline + 2, 40) <= baseline + 2
 
 
 def test_connected_components_long_chain_converges_fast(spark):

@@ -403,3 +403,56 @@ def test_whole_value_plan_is_jvm_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "Exchange"):
         assert marker not in plan
+
+
+# ------------------------------------------------- review-fix regressions
+def test_k_map_and_delta_presence_null_safe_join(spark):
+    """Suppressed (NULL) quasi-identifiers must match across the
+    dataset/population join — a plain equi-join would report every
+    NULL-bearing class as absent (k_map=0 / delta=0)."""
+    pop = spark.createDataFrame(
+        [(None, 1)] * 4 + [("A", 1)] * 2, "seg string, nat int"
+    )
+    ds = spark.createDataFrame([(None, 1)] * 2, "seg string, nat int")
+    km = risk.k_map(ds, ["seg", "nat"], pop).collect()
+    assert len(km) == 1 and km[0].k_map == 4 and km[0].dataset_count == 2
+    dp = {
+        r.seg: (r.dataset_count, r.population_count)
+        for r in risk.delta_presence(ds, ["seg", "nat"], pop).collect()
+    }
+    assert dp[None] == (2, 4)
+    assert dp["A"] == (0, 2)
+
+
+def test_delta_presence_histogram_overflow_bucket(spark):
+    """delta > 1 (several released records per population individual)
+    lands in the explicit NULL/NULL overflow bucket, never dropped."""
+    pop = spark.createDataFrame([("A", 1)], "seg string, nat int")
+    ds = spark.createDataFrame([("A", 1)] * 3, "seg string, nat int")
+    hist = risk.delta_presence_histogram(ds, ["seg", "nat"], pop).collect()
+    assert len(hist) == 1
+    r = hist[0]
+    assert (r.bucket_low, r.bucket_high, r.num_classes) == (None, None, 1)
+
+
+def test_value_buckets_missing_replacement_raises(spark):
+    df = spark.createDataFrame([(5.0,)], "x double")
+    with pytest.raises(ValueError, match="replacementValue"):
+        df.select(value_buckets(F.col("x"), [{"min": 0, "max": 10}]))
+
+
+def test_replace_config_missing_new_value_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError, match="newValue"):
+        apply_whole_value_transform(df, "s", {"replaceConfig": {}})
+
+
+def test_fixed_size_buckets_large_nonintegral_edges(spark):
+    """Labels above 1e7 with fractional edges must stay in plain
+    decimal notation (driver-side formatting), matching the boundary
+    labels — not Java scientific notation."""
+    df = spark.createDataFrame([(12_000_000.0,)], "x double")
+    out = df.select(
+        fixed_size_buckets(F.col("x"), 0.0, 20_000_000.0, 2_500_000.5).alias("b")
+    ).collect()[0].b
+    assert "E" not in out and out == "10000002-12500002.5"

@@ -127,3 +127,59 @@ def test_free_form_nested_rejected():
     )
     with pytest.raises(ValueError, match="flat"):
         apply_encrypt_config(None, specs)
+
+
+# ------------------------------------------------- review-fix regressions
+def test_empty_infotypes_rejected():
+    with pytest.raises(ValueError, match="empty infoTypes"):
+        parse_encrypt_config(
+            {"transforms": [{"columnId": "$.R.text",
+                             "freeFormColumn": "true", "infoTypes": []}]}
+        )
+
+
+def test_duplicate_column_ids_rejected(spark):
+    specs = parse_encrypt_config(
+        {"transforms": [
+            {"columnId": "$.R.a", "transform": {"redactConfig": {}}},
+            {"columnId": "$.R.a", "transform": {"redactConfig": {}}},
+        ]}
+    )
+    df = spark.createDataFrame([("x",)], "a string")
+    with pytest.raises(ValueError, match="duplicate columnId"):
+        apply_encrypt_config(df, specs)
+
+
+def test_transform_order_is_semantics_free(spark):
+    """dateShift context reads the ORIGINAL custkey even when a
+    sibling replaceConfig rewrites custkey — entry order must not
+    change any result column."""
+    import datetime
+
+    rows = [(1, datetime.date(2020, 6, 1)), (2, datetime.date(2020, 6, 1))]
+    df = spark.createDataFrame(rows, "custkey long, d date")
+    shift = {
+        "columnId": "$.R.d",
+        "transform": {"dateShiftConfig": {
+            "lowerBoundDays": -30, "upperBoundDays": 30,
+            "context": {"name": "custkey"},
+        }},
+    }
+    repl = {
+        "columnId": "$.R.custkey",
+        "transform": {"replaceConfig": {"newValue": {"integerValue": 0}}},
+    }
+    a = apply_encrypt_config(
+        df, parse_encrypt_config({"transforms": [shift, repl]}),
+        root_key=b"k" * 32,
+    )
+    b = apply_encrypt_config(
+        df, parse_encrypt_config({"transforms": [repl, shift]}),
+        root_key=b"k" * 32,
+    )
+    ra = sorted((r.custkey, r.d) for r in a.collect())
+    rb = sorted((r.custkey, r.d) for r in b.collect())
+    assert ra == rb
+    # and the two contexts produce distinct shifts (context survived)
+    assert len({d for _, d in ra}) == 2
+    assert set(a.columns) == {"custkey", "d"}  # snapshots dropped

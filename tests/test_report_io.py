@@ -150,3 +150,13 @@ def test_aes_ecb_matches_reference_semantics():
     import base64
     raw = base64.b64decode(a)
     assert raw[:16] == raw[16:32]  # the documented ECB weakness, by design
+
+
+def test_sanitize_filesystem_hostile_names(tmp_path, spark):
+    """A column named with a path separator must not become a
+    subdirectory write (review-fix regression)."""
+    from auto_data_tokenize_spark.operators.report_io import _sanitize
+
+    assert _sanitize("a/b") == "col-a-b"
+    assert _sanitize("$.contacts[0].number") == "col-contacts-0-number"
+    assert _sanitize("weird\x00name") == "col-weird-name"
