@@ -5,6 +5,7 @@ stream-stream token-dictionary join."""
 import glob
 import os
 import shutil
+import time
 
 import pandas as pd
 import pandas.testing as pdt
@@ -198,10 +199,20 @@ def test_metrics_listener_records_progress(spark, stream_dir, tmp_path):
     try:
         st = source.transcripts_stream(spark, stream_dir, max_files_per_trigger=3)
         _run(spark, pipeline.tokenize_stream(st), tmp_path, "metrics_run")
+        # Listener events ride Spark's async listener bus: the query can
+        # finish (awaitTermination returns) before onQueryProgress is
+        # delivered to the Python callback. Poll before detaching.
+        deadline = time.time() + 30
+        lines: list[str] = []
+        while time.time() < deadline:
+            if os.path.exists(listener.path):
+                with open(listener.path) as f:
+                    lines = f.readlines()
+                if any('"event": "progress"' in ln for ln in lines):
+                    break
+            time.sleep(0.5)
     finally:
         spark.streams.removeListener(listener)
-    with open(listener.path) as f:
-        lines = f.readlines()
     assert any('"event": "progress"' in ln for ln in lines)
     assert any('"num_input_rows"' in ln for ln in lines)
 
