@@ -1712,6 +1712,76 @@ def q74_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_fpe_name_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cryptoReplaceFfxFpeConfig — FF1 format-preserving encryption
+    (NIST SP 800-38G; the last locally-computable member of the
+    reference's PrimitiveTransformation oneof,
+    auto_tokenize_messages.proto:203-205) over customer names
+    with a per-row context tweak (c_nationkey): tokens keep the
+    length and {digits,dash} alphabet of the plaintext, equal
+    (value, context) pairs tokenize equally, and decrypt restores the
+    original exactly. Oracle: identity on c_phone plus TRUE literals
+    for the in-format invariants (the FF1 implementation itself is
+    pinned to NIST's published sample vectors in tests/test_fpe.py).
+    Scale: two chained Arrow projections, zero shuffles."""
+    from auto_data_tokenize_spark.operators.deidentify import (
+        fpe_cipher_for,
+        fpe_transform_udf,
+    )
+
+    alphabet = (
+        "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz#"
+    )
+    cfg = {"customAlphabet": alphabet, "context": {"name": "c_nationkey"}}
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    cipher = fpe_cipher_for("c_name", cfg)
+    ctx = F.col("c_nationkey").cast("string")
+    tok = cust.withColumn(
+        "tok", fpe_transform_udf(cipher)(F.col("c_name"), ctx)
+    )
+    return tok.select(
+        "c_custkey",
+        fpe_transform_udf(cipher, decrypt=True)(F.col("tok"), ctx).alias(
+            "name"
+        ),
+        (F.length("tok") == F.length("c_name")).alias("len_preserved"),
+        (F.col("tok") != F.col("c_name")).alias("token_differs"),
+        F.col("tok").rlike("^[0-9A-Za-z#]+$").alias("alphabet_ok"),
+    )
+
+
+def q76_fpe_freeform_reidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form FPE with surrogate annotation, then re-identification:
+    detected spans in turn text are FF1-encrypted and embedded as
+    ``ADT_TOKEN(<len>):<ct>`` (DLP's surrogateInfoType contract), and
+    the reverse pass finds every annotation by its declared length and
+    decrypts it — the full DLP reidentify flow over free text. Oracle:
+    the original transcript text (reidentify ∘ deidentify = identity).
+    Scale: two narrow Arrow projections over the stream-shardable
+    transcripts scan, zero shuffles."""
+    from auto_data_tokenize_spark.functions.udfs import transform_text_udf
+    from auto_data_tokenize_spark.operators.deidentify import (
+        fpe_cipher_for,
+        fpe_reidentify_udf,
+        free_form_repl,
+    )
+
+    cfg = {"radix": 95, "surrogateInfoType": {"name": "ADT_TOKEN"}}
+    tr = _transcripts(spark, sf_dir)
+    repl = free_form_repl(
+        {"cryptoReplaceFfxFpeConfig": cfg}, column="text"
+    )
+    masked = tr.withColumn("masked", transform_text_udf(repl)(F.col("text")))
+    cipher = fpe_cipher_for("text", cfg)
+    return masked.select(
+        "conv_id",
+        "turn_idx",
+        fpe_reidentify_udf(cipher, "ADT_TOKEN")(F.col("masked")).alias("text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1788,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_pii_density_gate": _with_prep(q72_pii_density_gate),
         "q73_bpe_train": _with_prep(q73_bpe_train),
         "q74_bpe_encode": _with_prep(q74_bpe_encode),
+        "q75_fpe_name_roundtrip": _with_prep(q75_fpe_name_roundtrip),
+        "q76_fpe_freeform_reidentify": _with_prep(q76_fpe_freeform_reidentify),
     }
 
 
@@ -2827,5 +2899,17 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q74_bpe_encode": f"""
             SELECT doc_id, bpe_tokens, n_bpe_tokens
             FROM read_parquet('{dd}/bpe_tokens.parquet')
+        """,
+        # FF1 roundtrip: decrypt(encrypt(x)) must equal x and the token
+        # must stay in-format; the cipher itself is pinned to NIST's
+        # published SP 800-38G sample vectors in tests/test_fpe.py
+        "q75_fpe_name_roundtrip": """
+            SELECT c_custkey, c_name AS name,
+                   TRUE AS len_preserved, TRUE AS token_differs,
+                   TRUE AS alphabet_ok
+            FROM customer
+        """,
+        "q76_fpe_freeform_reidentify": f"""
+            SELECT conv_id, turn_idx, text FROM {tr}
         """,
     }

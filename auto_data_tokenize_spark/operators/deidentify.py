@@ -41,6 +41,13 @@ Implemented (config key → semantics, per the public DLP docs):
   pass through as their string form.
 - ``timePartConfig`` — extract ``partToExtract`` (YEAR / MONTH /
   DAY_OF_MONTH / DAY_OF_WEEK / WEEK_OF_YEAR / HOUR_OF_DAY) as an int.
+- ``cryptoReplaceFfxFpeConfig`` — FF1 format-preserving encryption
+  (NIST SP 800-38G; ``functions/fpe.py``) over a common/custom
+  alphabet or bare radix, with the DLP per-row ``context`` tweak
+  (equal value+context → equal token) and optional
+  ``surrogateInfoType`` annotation for reversible free-text embedding.
+  Reversible: whole-value via ``fpe_transform_udf(decrypt=True)``,
+  free-form via ``fpe_reidentify_udf``.
 
 Scale posture: every transform is a narrow projection — zero shuffles
 introduced at any input size; the only Python stage (cryptoHash) is an
@@ -61,6 +68,9 @@ __all__ = [
     "value_buckets",
     "time_part",
     "crypto_hash_udf",
+    "fpe_cipher_for",
+    "fpe_transform_udf",
+    "fpe_reidentify_udf",
     "apply_whole_value_transform",
     "free_form_repl",
 ]
@@ -239,6 +249,89 @@ def crypto_hash_udf(key: bytes):
     return _hash
 
 
+def fpe_cipher_for(column: str, config: dict, root_key: bytes | None = None):
+    """Build the :class:`functions.fpe.FpeCipher` for a
+    ``cryptoReplaceFfxFpeConfig`` dict. The AES key comes from the
+    engine root-key seam (HKDF label ``fpe:<column>``), mirroring the
+    cryptoHash derivation — DLP's ``cryptoKey`` message wraps a KMS
+    handle this sandbox cannot call."""
+    from auto_data_tokenize_spark.functions.fpe import FpeCipher
+    from auto_data_tokenize_spark.functions.tokenizer import (
+        hkdf_sha256,
+        resolve_root_key,
+    )
+
+    rk = resolve_root_key(root_key)
+    key = hkdf_sha256(rk, b"adt-fpe", f"fpe:{column}".encode(), 32)
+    return FpeCipher(
+        key,
+        alphabet=(config.get("customAlphabet") or None),
+        common_alphabet=config.get("commonAlphabet"),
+        radix=config.get("radix"),
+    )
+
+
+def fpe_transform_udf(cipher, *, surrogate: str | None = None, decrypt=False):
+    """``cryptoReplaceFfxFpeConfig`` whole-value (de)tokenization:
+    FF1 over (value, per-row context tweak). Arrow-vectorized; nulls
+    pass through; a value outside the alphabet or shorter than the FF1
+    minimum raises (DLP fails such values too — silent pass-through on
+    a whole-value column would leak plaintext labeled as tokens)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from auto_data_tokenize_spark.functions.fpe import wrap_surrogate
+
+    @pandas_udf(StringType())
+    def _fpe(vals: pd.Series, ctxs: pd.Series) -> pd.Series:
+        def one(v, ctx):
+            if v is None or v != v:
+                return None
+            v, ctx = str(v), "" if ctx is None or ctx != ctx else str(ctx)
+            if decrypt:
+                if surrogate is not None:
+                    head, sep, body = v.partition("):")
+                    if not sep or not head.startswith(f"{surrogate}("):
+                        raise ValueError(
+                            f"not a {surrogate}-annotated token: {v!r}"
+                        )
+                    return cipher.decrypt(body, ctx)
+                return cipher.decrypt(v, ctx)
+            tok = cipher.encrypt(v, ctx)
+            return wrap_surrogate(surrogate, tok) if surrogate else tok
+
+        return pd.Series(
+            [one(v, c) for v, c in zip(vals, ctxs)],
+            index=vals.index,
+            dtype=object,
+        )
+
+    return _fpe
+
+
+def fpe_reidentify_udf(cipher, surrogate: str):
+    """Reverse of the free-form FPE path: scan text for
+    ``surrogate(<len>):<ct>`` annotations and replace each with its
+    decrypted value (:func:`functions.fpe.reidentify_text`)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from auto_data_tokenize_spark.functions.fpe import reidentify_text
+
+    @pandas_udf(StringType())
+    def _reid(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                reidentify_text(t if isinstance(t, str) else None, cipher, surrogate)
+                for t in text
+            ],
+            index=text.index,
+            dtype=object,
+        )
+
+    return _reid
+
+
 def _value_of(value):
     """Unwrap a DLP typed ``Value`` message dict; bare scalars pass
     through (convenience for hand-written configs)."""
@@ -318,6 +411,17 @@ def apply_whole_value_transform(
             context=F.col(ctx) if ctx else None,
             salt=salt,
         )
+    elif "cryptoReplaceFfxFpeConfig" in transform:
+        c = transform["cryptoReplaceFfxFpeConfig"]
+        ctx = c.get("context", {}).get("name") if c.get("context") else None
+        if ctx is not None and context_col is not None:
+            ctx = context_col
+        cipher = fpe_cipher_for(column, c, root_key)
+        surrogate = (c.get("surrogateInfoType") or {}).get("name")
+        expr = fpe_transform_udf(cipher, surrogate=surrogate)(
+            col.cast("string"),
+            F.col(ctx).cast("string") if ctx else F.lit(None).cast("string"),
+        )
     elif "fixedSizeBucketingConfig" in transform:
         c = transform["fixedSizeBucketingConfig"]
         expr = fixed_size_buckets(
@@ -343,11 +447,36 @@ def apply_whole_value_transform(
     return df.withColumn(out_col, expr)
 
 
-def free_form_repl(transform: dict):
+def free_form_repl(
+    transform: dict, *, column: str | None = None, root_key: bytes | None = None
+):
     """Build the span-replacement callback ``repl(info_type, matched)``
     for a free-form (within-text findings) primitive transformation.
     Used with :func:`functions.detectors.replace_spans` and the Arrow
-    UDF wrapper in ``functions.udfs``."""
+    UDF wrapper in ``functions.udfs``. ``column``/``root_key`` are only
+    consulted by the key-deriving transform (FPE)."""
+    if "cryptoReplaceFfxFpeConfig" in transform:
+        from auto_data_tokenize_spark.functions.fpe import wrap_surrogate
+
+        c = transform["cryptoReplaceFfxFpeConfig"]
+        name = (c.get("surrogateInfoType") or {}).get("name")
+        if not name:
+            raise ValueError(
+                "free-form cryptoReplaceFfxFpe requires surrogateInfoType "
+                "(without the annotation the token cannot be found again "
+                "for re-identification)"
+            )
+        cipher = fpe_cipher_for(column or "", c, root_key)
+
+        def _fpe_span(info_type: str, s: str) -> str:
+            # spans too short for FF1 at this radix, or containing
+            # out-of-alphabet characters, are kept verbatim: erroring
+            # mid-text would poison the whole document for one finding
+            if not cipher.can_encrypt(s):
+                return s
+            return wrap_surrogate(name, cipher.encrypt(s))
+
+        return _fpe_span
     if "characterMaskConfig" in transform:
         c = transform["characterMaskConfig"]
         ch = c.get("maskingCharacter", "*")

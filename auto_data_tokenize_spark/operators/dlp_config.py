@@ -197,10 +197,11 @@ def apply_encrypt_config(
     # snapshot every cross-column input under its original values
     ctx_cols: set[str] = set()
     for spec in specs:
-        if spec.primitive and "dateShiftConfig" in spec.primitive:
-            ctx = spec.primitive["dateShiftConfig"].get("context") or {}
-            if ctx.get("name"):
-                ctx_cols.add(ctx["name"])
+        for k in ("dateShiftConfig", "cryptoReplaceFfxFpeConfig"):
+            if spec.primitive and k in spec.primitive:
+                ctx = spec.primitive[k].get("context") or {}
+                if ctx.get("name"):
+                    ctx_cols.add(ctx["name"])
     if scope_col:
         ctx_cols.add(scope_col)
     snap = {
@@ -230,7 +231,10 @@ def apply_encrypt_config(
                 out = out.withColumn(
                     col,
                     transform_text_udf(
-                        free_form_repl(spec.primitive), spec.info_types
+                        free_form_repl(
+                            spec.primitive, column=col, root_key=root_key
+                        ),
+                        spec.info_types,
                     )(out[col]),
                 )
             elif scope_col:
@@ -251,10 +255,11 @@ def apply_encrypt_config(
                     f"{spec.column_id!r}"
                 )
             ctx_name = None
-            if "dateShiftConfig" in spec.primitive:
-                ctx = spec.primitive["dateShiftConfig"].get("context") or {}
-                if ctx.get("name"):
-                    ctx_name = snap.get(ctx["name"], ctx["name"])
+            for k in ("dateShiftConfig", "cryptoReplaceFfxFpeConfig"):
+                if k in spec.primitive:
+                    ctx = spec.primitive[k].get("context") or {}
+                    if ctx.get("name"):
+                        ctx_name = snap.get(ctx["name"], ctx["name"])
             out = apply_whole_value_transform(
                 out,
                 spec.parts[0],

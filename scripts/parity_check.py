@@ -113,7 +113,6 @@ def main() -> int:
                 rec["hash_match"] = gr == wr
         except Exception as exc:  # record, keep going
             rec["err"] = f"{type(exc).__name__}: {exc}"[:400]
-        ok = rec["rows_match"] and (rec["err"] is not None or rec["hash_match"])
         if not (rec["rows_match"] and rec["schema_match"] and rec["hash_match"]) and rec["err"] is None:
             n_bad += 1
         if rec["err"] is not None and "rows-only" not in rec["err"]:
@@ -124,7 +123,15 @@ def main() -> int:
         results[name] = rec
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    print(f"wrote {out_path}: {len(results) - n_bad}/{len(results)} green", flush=True)
+    # recompute over the MERGED dict: in filtered runs, previously
+    # recorded entries (including stale failures) count too
+    n_green = sum(
+        1
+        for rec in results.values()
+        if (rec["rows_match"] and rec["schema_match"] and rec["hash_match"])
+        or (rec["err"] is not None and "rows-only" in rec["err"])
+    )
+    print(f"wrote {out_path}: {n_green}/{len(results)} green", flush=True)
     spark.stop()
     return 1 if n_bad else 0
 
