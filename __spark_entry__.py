@@ -1732,9 +1732,15 @@ def q75_fpe_name_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet = (
         "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz#"
     )
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
     cfg = {"customAlphabet": alphabet, "context": {"name": "c_nationkey"}}
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-        "c_custkey", "c_name", "c_nationkey"
+    # single-file scan = 1 partition; the per-value FF1 work must fan
+    # out across cores (no-op at production multi-file scale)
+    cust = ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
     )
     cipher = fpe_cipher_for("c_name", cfg)
     ctx = F.col("c_nationkey").cast("string")
