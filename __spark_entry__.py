@@ -402,6 +402,16 @@ def _run_stream_query(spark: SparkSession, sf_dir: str, mode: str):
     state_parts = None
     if mode == "tokenize":
         stream_df = pipeline.tokenize_stream(st)
+    elif mode == "fpe":
+        stream_df = pipeline.deidentify_stream(
+            st,
+            {
+                "cryptoReplaceFfxFpeConfig": {
+                    "radix": 95,
+                    "surrogateInfoType": {"name": "ADT_TOKEN"},
+                }
+            },
+        )
     elif mode == "dedup":
         stream_df = pipeline.dedup_stream(st, window="1 hour", watermark="10 minutes")
         state_parts = 8  # small-state single trigger: see run_to_sink
@@ -1788,6 +1798,34 @@ def q76_fpe_freeform_reidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_stream_fpe_deidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q76's streaming twin (north_rule: the DLP deidentify flow as a
+    continuous ingest pipeline): free-form FF1-FPE de-identify runs
+    INSIDE Structured Streaming micro-batches and lands in the
+    exactly-once sink; the committed masked stream is then batch
+    re-identified. Oracle: the original transcript text — proving
+    stream-deidentify ∘ sink ∘ reidentify = identity, i.e. the sink
+    committed every turn exactly once AND the surrogate annotations
+    survived the round trip. Scale: the stream stage is a narrow
+    stateless Arrow projection (no watermark, no state store); the
+    reverse pass is a second narrow projection — zero shuffles
+    end-to-end beyond the sink's file commits."""
+    from auto_data_tokenize_spark.operators.deidentify import (
+        fpe_cipher_for,
+        fpe_reidentify_udf,
+    )
+
+    committed = _run_stream_query(spark, sf_dir, "fpe")
+    cipher = fpe_cipher_for(
+        "text", {"radix": 95, "surrogateInfoType": {"name": "ADT_TOKEN"}}
+    )
+    return committed.select(
+        "conv_id",
+        "turn_idx",
+        fpe_reidentify_udf(cipher, "ADT_TOKEN")(F.col("masked")).alias("text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1866,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_bpe_encode": _with_prep(q74_bpe_encode),
         "q75_fpe_name_roundtrip": _with_prep(q75_fpe_name_roundtrip),
         "q76_fpe_freeform_reidentify": _with_prep(q76_fpe_freeform_reidentify),
+        "q77_stream_fpe_deidentify": _with_prep(q77_stream_fpe_deidentify),
     }
 
 
@@ -2916,6 +2955,12 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM customer
         """,
         "q76_fpe_freeform_reidentify": f"""
+            SELECT conv_id, turn_idx, text FROM {tr}
+        """,
+        # streaming deidentify ∘ exactly-once sink ∘ reidentify must be
+        # the identity on the input stream (single trigger: watermark
+        # starts at -inf, stateless projection — every turn commits)
+        "q77_stream_fpe_deidentify": f"""
             SELECT conv_id, turn_idx, text FROM {tr}
         """,
     }

@@ -84,6 +84,28 @@ def detections_stream(
     return detections_op(transcripts, root_key=root_key)
 
 
+def deidentify_stream(
+    transcripts: DataFrame,
+    transform: dict,
+    root_key: bytes | None = None,
+) -> DataFrame:
+    """Streaming free-form de-identify: detected spans in ``text`` are
+    replaced per the DLP primitive transformation (redact / mask /
+    replace / FPE-with-surrogate — the deidentify analogue of the
+    reference's DlpDeidentifyFn on a LIVE stream). Narrow, stateless,
+    Arrow-batched; the FPE variant keeps the stream reversible
+    (reidentify on read from the sink)."""
+    from auto_data_tokenize_spark.functions.udfs import transform_text_udf
+    from auto_data_tokenize_spark.operators.deidentify import free_form_repl
+
+    repl = free_form_repl(transform, column="text", root_key=root_key)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        transform_text_udf(repl)(F.col("text")).alias("masked"),
+    )
+
+
 def infotype_freq_stream(
     transcripts: DataFrame,
     duration: str = "5 minutes",
