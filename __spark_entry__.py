@@ -1826,6 +1826,79 @@ def q77_stream_fpe_deidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance: the corpus arrives as a
+    crawl stream (wave 1 = every document, wave 2 = a re-crawl of
+    doc_id % 10 == 0 with EDITED text), each micro-batch computes
+    row-local minhash band keys, and the keyed upsert sink maintains
+    the banded index — key (id, band_idx), version = crawl_ver, so a
+    re-crawled document's 16 band rows are REPLACED at read resolution
+    rather than duplicated. This is how the q36 ingest gate's corpus
+    side stays fresh without rebuilding: the index is a continuously
+    maintained table, not a batch artifact. Oracle: band keys computed
+    in SQL over the FINAL text of every document (latest crawl wins).
+    Scale: stream stage is stateless (repartitioned per micro-batch,
+    per-row codegen-friendly affine hashing); sink appends stay
+    O(micro-batch) with merge-on-read resolution."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures_rowwise,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    base = tempfile.mkdtemp(prefix="adt_q78_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ].sort_values("doc_id")
+        in_dir = f"{base}/in"
+        os.makedirs(in_dir)
+        import time as _time
+
+        t0 = _time.time() - 100
+        wave1 = pdf.assign(crawl_ver=1)
+        for k in range(4):
+            p = f"{in_dir}/crawl1-{k}.parquet"
+            wave1.iloc[k::4].to_parquet(p, index=False)
+            os.utime(p, (t0 + k, t0 + k))
+        wave2 = pdf[pdf.doc_id % 10 == 0].assign(
+            text=lambda d: d.text + " revised v2", crawl_ver=2
+        )
+        for k in range(2):
+            p = f"{in_dir}/crawl2-{k}.parquet"
+            wave2.iloc[k::2].to_parquet(p, index=False)
+            os.utime(p, (t0 + 10 + k, t0 + 10 + k))
+
+        st = _stream_files(
+            spark, in_dir, "doc_id long, text string, crawl_ver long"
+        )
+        # spread each staged file's rows across cores before the
+        # per-row shingle hashing (stateless stream repartition; same
+        # rationale as NearDupGate.apply)
+        st = st.repartition(spark.sparkContext.defaultParallelism)
+        bands = banded_keys(
+            minhash_signatures_rowwise(st, extra_cols=("crawl_ver",)),
+            extra_cols=("crawl_ver",),
+        )
+        sink = ExactlyOnceSink(
+            f"{base}/out", key_cols=("id", "band_idx"), version_col="crawl_ver"
+        )
+        result = _run_stream_to_sink(spark, bands, base, sink=sink)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select(
+        "id",
+        F.col("band_idx").cast("long").alias("band_idx"),
+        "band_key",
+        "crawl_ver",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1905,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_fpe_name_roundtrip": _with_prep(q75_fpe_name_roundtrip),
         "q76_fpe_freeform_reidentify": _with_prep(q76_fpe_freeform_reidentify),
         "q77_stream_fpe_deidentify": _with_prep(q77_stream_fpe_deidentify),
+        "q78_stream_lsh_index": _with_prep(q78_stream_lsh_index),
     }
 
 
@@ -2962,5 +3036,20 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         # starts at -inf, stateless projection — every turn commits)
         "q77_stream_fpe_deidentify": f"""
             SELECT conv_id, turn_idx, text FROM {tr}
+        """,
+        # the maintained index must equal the bands of each document's
+        # LATEST crawl (re-crawled docs: version-2 rows replace v1)
+        "q78_stream_lsh_index": f"""
+            WITH final AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN text || ' revised v2'
+                          ELSE text END AS text,
+                     CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END
+                          AS BIGINT) AS crawl_ver
+              FROM documents
+            )
+            SELECT b.id, b.band_idx, b.band_key, f.crawl_ver
+            FROM ({_duck_banded_sql("SELECT doc_id, text FROM final")}) b
+            JOIN final f ON f.doc_id = b.id
         """,
     }

@@ -197,6 +197,7 @@ def minhash_signatures_rowwise(
     text_col: str = "text",
     k: int = 5,
     n_hashes: int = 64,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Row-local signature variant for STREAMING sides: identical
     minima to :func:`minhash_signatures` (pinned by test), computed as
@@ -221,6 +222,7 @@ def minhash_signatures_rowwise(
     )
     hs = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.expr(
             f"transform({shingles}, s -> {_spark_base_hash('s')})"
         ).alias("_hs"),
@@ -229,7 +231,11 @@ def minhash_signatures_rowwise(
         F.expr(f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MINHASH_P}))")
         for a, b in _affine_coeffs(n_hashes)
     ]
-    return hs.select(F.col(id_col), F.array(*mins).alias("sig"))
+    return hs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.array(*mins).alias("sig"),
+    )
 
 
 class NearDupGate:
@@ -335,6 +341,7 @@ def banded_keys(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per LSH band; band_key =
     md5 over the band's signature slice. Shared by the batch candidate
@@ -353,6 +360,7 @@ def banded_keys(
         sig_df = sig_df.repartition(parallelism, F.col(id_col))
     return sig_df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
         F.explode_outer(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
@@ -361,7 +369,7 @@ def banded_keys(
                 f" {rows_per_band}), x -> cast(x as string)))) as band_key))"
             )
         ).alias("bk"),
-    ).select("id", "bk.band_idx", "bk.band_key")
+    ).select("id", *extra_cols, "bk.band_idx", "bk.band_key")
 
 
 def lsh_candidate_pairs(

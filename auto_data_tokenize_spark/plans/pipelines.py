@@ -29,6 +29,9 @@ class InspectConfig:
     sample_size: int = 1000          # 0 = no sampling (reference default 1000)
     source_type: str = "PARQUET"
     input_pattern: str = ""
+    # --observableInfoTypes (DlpInspectionOptions.java:129-131): None =
+    # every detector; a tuple restricts detection to the listed names
+    observable_info_types: tuple[str, ...] | None = None
 
 
 def inspect(df: DataFrame, cfg: InspectConfig) -> tuple[DataFrame, DataFrame]:
@@ -40,7 +43,9 @@ def inspect(df: DataFrame, cfg: InspectConfig) -> tuple[DataFrame, DataFrame]:
     counts = (
         sampled.select(
             "column_name",
-            F.explode(info_types_udf()(F.col("value"))).alias("info_type"),
+            F.explode(
+                info_types_udf(cfg.observable_info_types)(F.col("value"))
+            ).alias("info_type"),
         )
         .groupBy("column_name", "info_type")
         .agg(F.count(F.lit(1)).alias("count"))

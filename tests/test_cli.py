@@ -1,0 +1,143 @@
+"""CLI parity: the reference's three runnable pipelines driven through
+``auto_data_tokenize_spark.cli`` with the reference's own flag names
+(DlpInspectionOptions.java / EncryptionPipelineOptions.java /
+CsvTokenizationAndOrderingPipeline.java:50-66). main() is invoked
+in-process so the tests reuse the shared SparkSession (get_spark
+returns the active one); the argv strings are exactly what a shell
+user would pass."""
+
+import glob
+import json
+
+import pandas as pd
+import pytest
+
+from auto_data_tokenize_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def csv_input(sf_dir_small, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_csv_in")
+    df = pd.read_parquet(f"{sf_dir_small}/transcripts.parquet")
+    df["ts"] = df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    df.to_csv(d / "chats.csv", index=False)
+    return str(d / "chats.csv")
+
+
+def test_cli_inspect_writes_reports(spark, sf_dir_small, tmp_path, capsys):
+    report = str(tmp_path / "report")
+    rc = main([
+        "inspect",
+        f"--inputPattern={sf_dir_small}/transcripts.parquet",
+        "--sourceType=PARQUET",
+        "--sampleSize=200",
+        f"--reportLocation={report}",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["schema"] == "schema.json"
+    cols = glob.glob(f"{report}/col-*.json")
+    assert cols, "no col-*.json written"
+    with open([p for p in cols if "text" in p][0]) as f:
+        rep = json.load(f)
+    types = {it["infoType"] for it in rep["infoTypes"]}
+    assert "EMAIL_ADDRESS" in types
+
+
+def test_cli_inspect_observable_infotypes_filter(
+    spark, sf_dir_small, tmp_path
+):
+    report = str(tmp_path / "report_flt")
+    main([
+        "inspect",
+        f"--inputPattern={sf_dir_small}/transcripts.parquet",
+        "--sampleSize=200",
+        f"--reportLocation={report}",
+        "--observableInfoTypes=EMAIL_ADDRESS",
+        "--inspectColumns=text",
+    ])
+    with open(glob.glob(f"{report}/col-*text*.json")[0]) as f:
+        rep = json.load(f)
+    assert {it["infoType"] for it in rep["infoTypes"]} == {"EMAIL_ADDRESS"}
+
+
+def test_cli_encrypt_tokenize_columns_roundtrip(
+    spark, sf_dir_small, tmp_path, capsys
+):
+    from auto_data_tokenize_spark.operators.tokenize import detokenize_columns
+    from auto_data_tokenize_spark.sources.avro_io import read_avro
+
+    out_dir = str(tmp_path / "enc_out")
+    rc = main([
+        "encrypt",
+        f"--inputPattern={sf_dir_small}/transcripts.parquet",
+        "--sourceType=PARQUET",
+        "--tokenizeColumns=$.Record.role",
+        "--scopeColumn=conv_id",
+        f"--outputDirectory={out_dir}",
+        "--outputFormat=avro",
+    ])
+    assert rc == 0
+    back = read_avro(spark, out_dir)
+    assert "encrypted_role" in back.columns and "role" not in back.columns
+    want = spark.read.parquet(f"{sf_dir_small}/transcripts.parquet")
+    assert back.count() == want.count()
+    # decrypt restores the original values (reference: tokens reversible
+    # under the same key hierarchy)
+    dec = detokenize_columns(back, ["role"], scope_col="conv_id")
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"]) for r in dec.collect()
+    )
+    exp = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"]) for r in want.collect()
+    )
+    assert got == exp
+
+
+def test_cli_csv_tokenize_matches_golden(
+    spark, csv_input, sf_dir_small, tmp_path, capsys
+):
+    out_dir = str(tmp_path / "csv_out")
+    cfg = json.dumps({
+        "transforms": [
+            {"columnId": "$.CsvRecord.text", "freeFormColumn": "true"}
+        ]
+    })
+    rc = main([
+        "csv-tokenize",
+        f"--inputPattern={csv_input}",
+        "--csvFirstRowHeader",
+        f"--dlpEncryptConfigJson={cfg}",
+        "--scopeColumn=conv_id",
+        "--orderingColumnNames=conv_id,turn_idx",
+        f"--outputDirectory={out_dir}",
+        "--csvFileShardCount=3",
+    ])
+    assert rc == 0
+    shards = glob.glob(f"{out_dir}/part-*.csv")
+    assert len(shards) == 3
+    got = (
+        pd.concat(
+            [pd.read_csv(s, dtype={"conv_id": str, "turn_idx": int}) for s in shards]
+        )
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = pd.read_parquet(f"{sf_dir_small}/tokenized_turns.parquet")[
+        ["conv_id", "turn_idx", "text_tok"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]].rename(columns={"text": "text_tok"}),
+        want,
+        check_dtype=False,
+    )
+
+
+def test_cli_bad_flags_fail_fast():
+    with pytest.raises(SystemExit):
+        main(["encrypt", "--inputPattern=x", "--outputDirectory=y"])
+    with pytest.raises(SystemExit):
+        main([
+            "inspect", "--inputPattern=x", "--sourceType=JDBC_TABLE",
+            "--reportLocation=y",
+        ])
