@@ -401,10 +401,16 @@ def _run_stream_query(spark: SparkSession, sf_dir: str, mode: str):
     st = source.transcripts_stream(spark, staged)
     state_parts = None
     if mode == "tokenize":
+        # no repartition here, measured deliberately: AES-SIV spans are
+        # cheap enough that the exchange costs more than it buys
+        # (3.6 s → 5.1 s warm at sf0.1), unlike the FF1 branch below
         stream_df = pipeline.tokenize_stream(st)
     elif mode == "fpe":
+        # 8 staged files = 8 scan partitions; the per-span FF1 crypto
+        # must fan out across all cores (stateless stream repartition —
+        # moving raw text once is cheap vs the Feistel rounds)
         stream_df = pipeline.deidentify_stream(
-            st,
+            st.repartition(spark.sparkContext.defaultParallelism),
             {
                 "cryptoReplaceFfxFpeConfig": {
                     "radix": 95,
@@ -1815,7 +1821,11 @@ def q77_stream_fpe_deidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpe_reidentify_udf,
     )
 
-    committed = _run_stream_query(spark, sf_dir, "fpe")
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
+    # the committed read is a handful of sink files → few scan
+    # partitions; the per-row FF1 decrypt must fan out across cores
+    committed = ensure_parallelism(_run_stream_query(spark, sf_dir, "fpe"))
     cipher = fpe_cipher_for(
         "text", {"radix": 95, "surrogateInfoType": {"name": "ADT_TOKEN"}}
     )
