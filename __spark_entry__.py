@@ -1909,6 +1909,85 @@ def q78_stream_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_stream_corpus_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-drift monitor — the dataset card (q56) as a
+    LIVE dashboard: documents arrive as an ingest stream (deterministic
+    arrival time = epoch + doc_id seconds), and a watermarked tumbling
+    window aggregates per-(window, lang) doc counts and token totals in
+    the state store; append mode emits only watermark-closed windows.
+    This is how a 100 TB/day crawl pipeline watches language mix and
+    token-length drift without a batch pass. Oracle: the same windowed
+    aggregate in SQL with the identical final-watermark filter.
+    Scale: one windowed shuffle with map-side partial aggregation;
+    state = one row per open (window, lang)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.textstats import ws_tokens_expr
+
+    base = tempfile.mkdtemp(prefix="adt_q79_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text", "lang"]
+        ]
+        pdf["ts"] = pd.Timestamp("2026-01-01").to_datetime64() + pd.to_timedelta(
+            pdf["doc_id"], unit="s"
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, text string, lang string, ts timestamp"
+        )
+        agg = (
+            st.withWatermark("ts", "30 seconds")
+            .withColumn("_nt", ws_tokens_expr("text"))
+            .groupBy(F.window("ts", "1 minute").alias("w"), "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_nt").alias("total_tokens"),
+                F.max("_nt").alias("max_tokens"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "lang", "n_docs", "total_tokens", "max_tokens",
+            )
+        )
+        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+def q80_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample: the 20 md5-first docs
+    per (lang, source) stratum — the reproducible eval-slice /
+    inspection-sample op (subset-invariant, seed-free, stable across
+    reruns and cluster layouts, unlike rand()-based sampleBy). Scale:
+    one shuffle on the stratum key; the rank is a bounded per-stratum
+    window, no global sort."""
+    from auto_data_tokenize_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf_dir), ["lang", "source"], n_per_stratum=20
+    ).select("doc_id", "lang", "source")
+
+
+def q81_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed exact dedup: documents that collide after
+    lowercasing, punctuation stripping, and whitespace collapsing are
+    duplicates even when raw bytes differ (the standard pre-pass before
+    MinHash in C4/RefinedWeb-style corpus prep); keep the smallest
+    doc_id per normalized key. Scale: pure codegen normalization
+    projection + one groupBy shuffle on the normalized hash."""
+    from auto_data_tokenize_spark.operators.corpus import normalized_dedup
+
+    return normalized_dedup(_documents(spark, sf_dir)).select(
+        "doc_id", "norm_hash", "n_dupes"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -1989,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_fpe_freeform_reidentify": _with_prep(q76_fpe_freeform_reidentify),
         "q77_stream_fpe_deidentify": _with_prep(q77_stream_fpe_deidentify),
         "q78_stream_lsh_index": _with_prep(q78_stream_lsh_index),
+        "q79_stream_corpus_monitor": _with_prep(q79_stream_corpus_monitor),
+        "q80_stratified_sample": _with_prep(q80_stratified_sample),
+        "q81_normalized_dedup": _with_prep(q81_normalized_dedup),
     }
 
 
@@ -2071,6 +2153,30 @@ def _duck_winnowing_sql() -> str:
     from auto_data_tokenize_spark.operators.textstats import duckdb_winnowing_sql
 
     return duckdb_winnowing_sql("documents")
+
+
+def _duck_ws_tokens(text_col: str) -> str:
+    from auto_data_tokenize_spark.operators.textstats import duckdb_ws_tokens_sql
+
+    return duckdb_ws_tokens_sql(text_col)
+
+
+def _duck_stratified_sql() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_stratified_sample_sql,
+    )
+
+    return duckdb_stratified_sample_sql(
+        "documents", ["lang", "source"], n_per_stratum=20
+    )
+
+
+def _duck_norm_text(text_col: str) -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_normalized_text_sql,
+    )
+
+    return duckdb_normalized_text_sql(text_col)
 
 
 def _duck_banded_sql(src_sql: str) -> str:
@@ -3061,5 +3167,35 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT b.id, b.band_idx, b.band_key, f.crawl_ver
             FROM ({_duck_banded_sql("SELECT doc_id, text FROM final")}) b
             JOIN final f ON f.doc_id = b.id
+        """,
+        # tumbling per-(window, lang) ingest stats; append mode emits
+        # only watermark-closed windows (final watermark = max(ts)-30s)
+        "q79_stream_corpus_monitor": f"""
+            WITH d AS (
+              SELECT lang,
+                     TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts,
+                     CAST({_duck_ws_tokens("text")} AS BIGINT) AS nt
+              FROM documents
+            )
+            SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+                     AS window_start,
+                   lang, COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   CAST(MAX(nt) AS BIGINT) AS max_tokens
+            FROM d
+            GROUP BY 1, 2
+            HAVING window_start + INTERVAL 1 MINUTE
+                     <= (SELECT max(ts) - INTERVAL 30 SECOND FROM d)
+        """,
+        "q80_stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM ({_duck_stratified_sql()}) s
+        """,
+        "q81_normalized_dedup": f"""
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   md5({_duck_norm_text("text")}) AS norm_hash,
+                   COUNT(*) AS n_dupes
+            FROM documents
+            GROUP BY 2
         """,
     }

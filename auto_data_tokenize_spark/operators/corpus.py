@@ -537,3 +537,104 @@ def pii_density_gate(
         F.round(density, 6).alias("pii_per_1k"),
         (F.round(density, 6) <= F.lit(max_per_1k_tokens)).alias("passes"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata: list[str],
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+    seed: str = "adt-strat-v1",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` documents
+    per stratum that sort FIRST by ``md5(seed:id)`` — a seed-keyed but
+    otherwise stable order, so the sample is reproducible across runs,
+    cluster layouts, and corpus subsets (a doc's membership never
+    depends on which other docs share its partition, unlike
+    ``df.sampleBy``'s rand()). The eval-slice / human-inspection /
+    audit-sample op of a corpus release.
+
+    Scale: one shuffle on the stratum key; the per-stratum window
+    ranks within bounded groups (no global sort). For heavily skewed
+    strata, pre-aggregate with a (stratum, salt) two-phase top-k; at
+    n_per_stratum ≪ stratum size the single window is the right plan.
+    """
+    order_key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(order_key, F.col(id_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def duckdb_stratified_sample_sql(
+    table: str,
+    strata: list[str],
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+    seed: str = "adt-strat-v1",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    keys = ", ".join(strata)
+    return f"""
+        SELECT * EXCLUDE (_rk) FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY {keys}
+                   ORDER BY md5('{seed}' || ':' || {id_col}::VARCHAR), {id_col}
+                 ) AS _rk
+          FROM {table}
+        ) WHERE _rk <= {n_per_stratum}
+    """
+
+
+_DUCK_NORM_PUNCT_RE = r"[^a-z0-9\s]"
+
+
+def normalized_text_expr(text_col: str) -> "F.Column":
+    """The cross-engine normalization contract for dedup keys:
+    lowercase → strip non-alphanumerics → collapse whitespace → trim.
+    ASCII-scoped punctuation class so Spark (Java regex) and DuckDB
+    (RE2) agree byte-for-byte; Unicode-category classes differ between
+    the engines and silently fork the key space."""
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def duckdb_normalized_text_sql(text_col: str) -> str:
+    """DuckDB twin of :func:`normalized_text_expr`."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text_col}),"
+        f" '{_DUCK_NORM_PUNCT_RE}', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def normalized_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalization-keyed exact dedup: collapse documents whose texts
+    are byte-identical AFTER :func:`normalized_text_expr` (case /
+    punctuation / whitespace variants), keeping the smallest id per
+    key — the standard cheap pre-pass before MinHash near-dup in
+    C4/RefinedWeb-style corpus prep (removes the trivial duplicate
+    mass so the LSH stage shuffles less).
+
+    Scale: a pure codegen normalization projection, then ONE groupBy
+    shuffle on md5(normalized) with map-side partial aggregation —
+    min() and count() are duplicate-insensitive, so the result is
+    independent of partitioning and arrival order."""
+    key = F.md5(normalized_text_expr(text_col))
+    return (
+        docs.select(F.col(id_col), key.alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dupes"),
+        )
+        .select(id_col, "norm_hash", "n_dupes")
+    )

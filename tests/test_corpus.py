@@ -374,3 +374,63 @@ def test_pii_density_gate_validates(spark):
         pii_density_gate(docs, docs, key_cols=["nope"])
     with pytest.raises(ValueError, match=">= 0"):
         pii_density_gate(docs, docs, key_cols=["conv_id"], max_per_1k_tokens=-1)
+
+
+def test_normalized_dedup_collapses_variants(spark):
+    from auto_data_tokenize_spark.operators.corpus import normalized_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "a genuinely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_dupes"] for r in normalized_dedup(docs).collect()}
+    assert got == {1: 3, 4: 1}  # min id survives, variants counted
+
+
+def test_normalized_dedup_partition_invariant(spark):
+    from auto_data_tokenize_spark.operators.corpus import normalized_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i % 7}!") for i in range(100)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, normalized_dedup(docs).collect()))
+    b = sorted(map(tuple, normalized_dedup(docs.repartition(13)).collect()))
+    assert a == b and len(a) == 7
+
+
+def test_stratified_sample_deterministic_and_subset_stable(spark):
+    from auto_data_tokenize_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"s{i % 3}") for i in range(300)],
+        "doc_id long, lang string, source string",
+    )
+    pick = lambda df: sorted(
+        r["doc_id"]
+        for r in stratified_sample(df, ["lang", "source"], 5).collect()
+    )
+    a = pick(docs)
+    assert len(a) == 30  # 2 langs x 3 sources x 5
+    assert a == pick(docs.repartition(17))  # layout-independent
+    # dropping an unrelated stratum never changes another stratum's picks
+    sub = pick(docs.filter(F.col("lang") == "en"))
+    assert sub == [d for d in a if d % 2 == 1]
+
+
+def test_stratified_sample_seed_changes_picks(spark):
+    from auto_data_tokenize_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "doc_id long, lang string"
+    )
+    a = {r["doc_id"] for r in stratified_sample(docs, ["lang"], 10).collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(docs, ["lang"], 10, seed="other").collect()
+    }
+    assert len(a) == len(b) == 10 and a != b
