@@ -592,25 +592,33 @@ def duckdb_stratified_sample_sql(
     """
 
 
-_DUCK_NORM_PUNCT_RE = r"[^a-z0-9\s]"
+# the whitespace CLASS is spelled out, never \s: Java's \s includes
+# \x0b (vertical tab) while RE2's does not — hypothesis found the fork
+# on '0\x0b0' (Spark '0 0' vs DuckDB '00'); an explicit class is the
+# only spelling both engines read identically
+_NORM_WS = r" \t\n\x0B\f\r"
+_NORM_PUNCT_RE = rf"[^a-z0-9{_NORM_WS}]"
+_NORM_WS_RE = rf"[{_NORM_WS}]+"
 
 
 def normalized_text_expr(text_col: str) -> "F.Column":
     """The cross-engine normalization contract for dedup keys:
     lowercase → strip non-alphanumerics → collapse whitespace → trim.
-    ASCII-scoped punctuation class so Spark (Java regex) and DuckDB
-    (RE2) agree byte-for-byte; Unicode-category classes differ between
-    the engines and silently fork the key space."""
+    ASCII-scoped, explicitly-spelled character classes so Spark (Java
+    regex) and DuckDB (RE2) agree byte-for-byte; both \\s and
+    Unicode-category classes differ between the engines and silently
+    fork the key space."""
     lowered = F.lower(F.col(text_col))
-    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
-    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    stripped = F.regexp_replace(lowered, _NORM_PUNCT_RE, "")
+    return F.trim(F.regexp_replace(stripped, _NORM_WS_RE, " "))
 
 
 def duckdb_normalized_text_sql(text_col: str) -> str:
-    """DuckDB twin of :func:`normalized_text_expr`."""
+    """DuckDB twin of :func:`normalized_text_expr` (same explicit
+    classes; RE2 reads the backslash escapes from the SQL literal)."""
     return (
         f"trim(regexp_replace(regexp_replace(lower({text_col}),"
-        f" '{_DUCK_NORM_PUNCT_RE}', '', 'g'), '\\s+', ' ', 'g'))"
+        f" '{_NORM_PUNCT_RE}', '', 'g'), '{_NORM_WS_RE}', ' ', 'g'))"
     )
 
 

@@ -434,3 +434,39 @@ def test_stratified_sample_seed_changes_picks(spark):
         for r in stratified_sample(docs, ["lang"], 10, seed="other").collect()
     }
     assert len(a) == len(b) == 10 and a != b
+
+
+def test_normalized_text_cross_engine_contract(spark):
+    """The dedup-key normalization must agree byte-for-byte between
+    Spark (Java regex) and DuckDB (RE2) — a silent fork here splits the
+    q81 key space without any error."""
+    import duckdb
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_normalized_text_sql,
+        normalized_text_expr,
+    )
+
+    cases = [
+        "", " ", "Hello, World!", "a\t\nb", "umlauts äöü",
+        "数字123", "a--b__c", "x  y   z", "don't", "café",
+        "line1\nline2", "!@#$%^&*()", "MiXeD CaSe 42", " nbsp",
+        "emoji \U0001f642 end", "tabs\t\ttabs", "0  leading", "trail  9 ",
+        "0\x0b0", "vt\x0bmix \x0b!", "\f\r form feeds",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    got_spark = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalized_text_expr("text").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(cases)), "text": cases}))
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, {duckdb_normalized_text_sql('text')} FROM t"
+        ).fetchall()
+    )
+    assert got_spark == got_duck

@@ -303,3 +303,32 @@ def test_snappy_compress_roundtrip_property(chunk, reps):
 
     data = chunk * reps
     assert snappy_decompress(snappy_compress(data)) == data
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=126),
+               max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_normalized_text_duckdb_matches_python_mirror(text):
+    """Fuzz the q81 normalization contract: DuckDB's RE2 evaluation of
+    duckdb_normalized_text_sql must equal the plain-Python ASCII mirror
+    (lower → strip non-[a-z0-9\\s] → collapse ws → trim) on the ASCII
+    range where the key space lives."""
+    import re
+
+    import duckdb
+
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_normalized_text_sql,
+    )
+
+    # explicit class, mirroring corpus._NORM_WS: Python's \s (even with
+    # re.ASCII) includes \x0b while RE2's does not
+    ws = " \t\n\x0b\f\r"
+    mirror = re.sub(
+        f"[{ws}]+", " ", re.sub(f"[^a-z0-9{ws}]", "", text.lower())
+    ).strip()
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {duckdb_normalized_text_sql('?')}", [text]
+    ).fetchone()[0]
+    assert got == mirror
