@@ -136,6 +136,44 @@ def _strip_column_id(name: str) -> str:
     return name
 
 
+def _explode_array_struct_leaves(df):
+    """array<struct> columns → one string column per leaf at
+    schema-key granularity (``$.contact.nums.number``), exploded so
+    each element's value is sampleable — the reference reports
+    array findings under the index-free schema key
+    (GenericRecordFlattener.java:88-94: flat_key carries ``[i]``,
+    schema_key does not; per-column reports group by schema key)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StructType
+
+    from auto_data_tokenize_spark.sources.flatten import _leaf_paths
+
+    while True:
+        arr = next(
+            (
+                f for f in df.schema.fields
+                if isinstance(f.dataType, ArrayType)
+                and isinstance(f.dataType.elementType, StructType)
+            ),
+            None,
+        )
+        if arr is None:
+            return df
+        keep = [F.col(f"`{c}`") for c in df.columns if c != arr.name]
+        df = df.select(
+            *keep, F.explode_outer(F.col(f"`{arr.name}`")).alias("_e")
+        )
+        df = df.select(
+            *[F.col(f"`{c}`") for c in df.columns if c != "_e"],
+            *[
+                F.col(f"_e.{key.replace('`', '')}")
+                .cast("string")
+                .alias(f"{arr.name}.{key}")
+                for _, key in _leaf_paths(arr.dataType.elementType)
+            ],
+        )
+
+
 def cmd_inspect(args) -> int:
     """DlpInspectionPipeline.main analogue: sample → identify →
     col-*.json + schema.json under --reportLocation
@@ -146,6 +184,18 @@ def cmd_inspect(args) -> int:
 
     spark = get_spark("adt-inspect", cores=args.cores)
     df = _read_input(spark, args)
+    # nested records flatten to the reference's JSONPath schema keys
+    # before sampling (DlpInspectionPipeline's RecordFlattener stage)
+    if any(f.dataType.typeName() == "struct" for f in df.schema.fields):
+        from auto_data_tokenize_spark.sources.flatten import flatten_records
+
+        df = flatten_records(df)
+    df = _explode_array_struct_leaves(df)
+    # the sampler's report prefixes '$.' itself; drop the flattener's
+    # so nested keys don't double up ('$.$.contact.name')
+    for c in df.columns:
+        if c.startswith("$."):
+            df = df.withColumnRenamed(c, c[2:])
     string_cols = [f.name for f in df.schema.fields
                    if f.dataType.typeName() == "string"]
     cols = args.inspectColumns or string_cols

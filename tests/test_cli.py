@@ -141,3 +141,40 @@ def test_cli_bad_flags_fail_fast():
             "inspect", "--inputPattern=x", "--sourceType=JDBC_TABLE",
             "--reportLocation=y",
         ])
+
+
+REF_CONTACTS = "/root/reference/contacts5k.avro"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_CONTACTS),
+    reason="reference artifact not present",
+)
+def test_cli_inspect_reference_contacts5k(spark, tmp_path, capsys):
+    """The reference's own golden Avro input through the CLI inspect
+    path end-to-end: nested contact records flatten to JSONPath keys,
+    the nums array explodes to its schema-key leaves, and the number
+    leaf reports PHONE_NUMBER findings — the exact sample-and-identify
+    run the reference's README demonstrates."""
+    report = str(tmp_path / "ref_report")
+    rc = main([
+        "inspect",
+        f"--inputPattern={REF_CONTACTS}",
+        "--sourceType=AVRO",
+        "--sampleSize=500",
+        f"--reportLocation={report}",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    num_reports = [
+        p for p in out["column_reports"] if "number" in p.lower()
+    ]
+    assert num_reports, f"no number column report in {out['column_reports']}"
+    with open(f"{report}/{num_reports[0]}") as f:
+        rep = json.load(f)
+    # index-free schema key, per the reference's report granularity
+    assert rep["columnName"] == "$.contact.nums.number"
+    assert any(
+        it["infoType"] == "PHONE_NUMBER" and int(it["count"]) > 0
+        for it in rep["infoTypes"]
+    )
