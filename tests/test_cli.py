@@ -178,3 +178,34 @@ def test_cli_inspect_reference_contacts5k(spark, tmp_path, capsys):
         it["infoType"] == "PHONE_NUMBER" and int(it["count"]) > 0
         for it in rep["infoTypes"]
     )
+
+
+REF_USERDATA = "/root/reference/userdata.avro"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_USERDATA),
+    reason="reference artifact not present",
+)
+def test_cli_inspect_reference_userdata_snappy(spark, tmp_path, capsys):
+    """The reference's snappy-coded Avro export through the CLI: the
+    pure-Python raw-block snappy read path feeds inspect, and the email
+    column reports EMAIL_ADDRESS."""
+    report = str(tmp_path / "ud_report")
+    rc = main([
+        "inspect",
+        f"--inputPattern={REF_USERDATA}",
+        "--sourceType=AVRO",
+        "--sampleSize=1000",
+        f"--reportLocation={report}",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    email_reports = [p for p in out["column_reports"] if "email" in p.lower()]
+    assert email_reports, f"no email report in {out['column_reports']}"
+    with open(f"{report}/{email_reports[0]}") as f:
+        rep = json.load(f)
+    assert any(
+        it["infoType"] == "EMAIL_ADDRESS" and int(it["count"]) > 0
+        for it in rep["infoTypes"]
+    )
