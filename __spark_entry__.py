@@ -1988,6 +1988,77 @@ def q81_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_stream_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed continuous corpus-admission pipeline (the capstone
+    north-rule flow): a crawl stream of re-crawls, novel pages,
+    eval-contaminated pages, and junk runs quality → near-dup gate (vs
+    the existing corpus' LSH bands) → eval-decontamination →
+    exactly-once sink, all inside foreachBatch (doc-level anti-join
+    admission is not expressible in a continuous stream-static plan;
+    the decision is a deterministic function of batch content + static
+    gate tables, so redelivered batches re-derive identical rows and
+    the sink no-ops). Oracle: the identical three-gate predicate in
+    SQL over the reconstructed mixture. Scale: per micro-batch —
+    narrow codegen quality filter FIRST, one band semi-join (bucketed
+    corpus table co-locates it at real scale), broadcast eval
+    shingles; no state store, no watermark."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+    from auto_data_tokenize_spark.streaming.ingest import (
+        IngestAdmissionPipeline,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    docs = _documents(spark, sf_dir)
+    ev = docs.filter(f"doc_id % {EVAL_MOD} = 0").select("doc_id", "text")
+    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0").select("doc_id", "text")
+    corpus_banded = banded_keys(minhash_signatures(corpus))
+
+    base = tempfile.mkdtemp(prefix="adt_q82_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ].sort_values("doc_id")
+        by_id = dict(zip(pdf["doc_id"], pdf["text"]))
+        inc = pdf[pdf["doc_id"] % EVAL_MOD != 0].copy()
+
+        def _mk(d, t):
+            m = d % 4
+            if m == 0:
+                return t  # exact re-crawl — bands collide, rejected
+            if m == 1:  # genuinely novel quality page — admitted
+                return (
+                    f"novel content row {d} keeps the quality gate "
+                    "happy with fresh words"
+                )
+            if m == 2:  # eval-contaminated page — decontamination drops
+                return by_id[d - d % EVAL_MOD]
+            return f"junk {d}"  # fails the quality gate
+
+        inc["text"] = [_mk(d, t) for d, t in zip(inc["doc_id"], inc["text"])]
+        inc["doc_id"] = inc["doc_id"] + 1000000
+        staged = _stage_append_log(inc, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, text string")
+        st = st.repartition(spark.sparkContext.defaultParallelism)
+        sink = ExactlyOnceSink(f"{base}/out")
+        with IngestAdmissionPipeline(corpus_banded, ev, sink) as pipe:
+            pipe.run(st, f"{base}/ckpt")
+        out = sink.read_committed(spark).select(
+            "doc_id", F.md5("text").alias("text_md5")
+        )
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -2071,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_stream_corpus_monitor": _with_prep(q79_stream_corpus_monitor),
         "q80_stratified_sample": _with_prep(q80_stratified_sample),
         "q81_normalized_dedup": _with_prep(q81_normalized_dedup),
+        "q82_stream_ingest_admission": _with_prep(q82_stream_ingest_admission),
     }
 
 
@@ -3197,5 +3269,64 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                    COUNT(*) AS n_dupes
             FROM documents
             GROUP BY 2
+        """,
+        # the three-gate admission predicate over the reconstructed
+        # crawl mixture: quality AND no corpus band collision AND no
+        # eval shingle overlap
+        "q82_stream_ingest_admission": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % {EVAL_MOD} != 0
+            ),
+            incoming AS (
+              SELECT c.doc_id + 1000000 AS doc_id,
+                     CASE c.doc_id % 4
+                       WHEN 0 THEN c.text
+                       WHEN 1 THEN 'novel content row ' || c.doc_id ||
+                                   ' keeps the quality gate happy with fresh words'
+                       WHEN 2 THEN e.text
+                       ELSE 'junk ' || c.doc_id
+                     END AS text
+              FROM corpus c
+              JOIN documents e
+                ON e.doc_id = c.doc_id - (c.doc_id % {EVAL_MOD})
+            ),
+            q AS (
+              SELECT * FROM incoming
+              WHERE length(string_split_regex(trim(text), '\\s+')) >= 5
+                AND length(text) >= 20
+                AND length(list_filter({_EN_STOP},
+                      w -> list_contains(
+                             string_split_regex(lower(text), '[^a-z]+'), w)
+                    )) >= 1
+            ),
+            dup AS (
+              SELECT DISTINCT b.id FROM
+                ({_duck_banded_sql("SELECT doc_id, text FROM q")}) b
+              JOIN ({_duck_banded_sql("SELECT doc_id, text FROM corpus")}) cb
+                USING (band_idx, band_key)
+            ),
+            evs AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(0, greatest(len(w) - 5, 0) + 1),
+                       i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')
+                     ))) AS s
+              FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+                    FROM documents WHERE doc_id % {EVAL_MOD} = 0) e
+            ),
+            cont AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                         range(0, greatest(len(w) - 5, 0) + 1),
+                         i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')
+                       ))) AS s
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\\s+') AS w
+                      FROM q) g
+              ) gs JOIN evs USING (s)
+            )
+            SELECT doc_id, md5(text) AS text_md5 FROM q
+            WHERE doc_id NOT IN (SELECT id FROM dup)
+              AND doc_id NOT IN (SELECT doc_id FROM cont)
         """,
     }

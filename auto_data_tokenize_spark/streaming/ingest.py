@@ -1,0 +1,137 @@
+"""Composed streaming corpus-admission pipeline — the continuous form
+of the full pre-training ingest gate chain:
+
+    crawl stream ─► quality filter ─► near-dup gate (vs corpus bands)
+                 ─► decontamination gate (vs eval shingles)
+                 ─► exactly-once sink (admitted documents)
+
+The per-document ADMIT decision needs doc-level anti-join semantics
+("no band collides", "no shingle overlaps") that Spark's continuous
+stream-static plans can't express without a watermarked aggregation, so
+the chain composes inside ``foreachBatch`` — each micro-batch is a
+plain batch DataFrame where anti-joins and doc-level reductions are
+legal, and the ExactlyOnceSink's batch-id commit log keeps the whole
+composition exactly-once under redelivery (the admit decision is a
+deterministic function of batch content and the static gate tables, so
+a replayed batch re-derives identical rows and the sink no-ops).
+
+100 TB shape per micro-batch: quality is a narrow codegen filter that
+runs FIRST (cheapest, largest rejection mass); band keys are one
+projection + a semi-join against the corpus band table (bucket the
+corpus table at real scale so this join co-locates); eval shingles are
+megabytes and broadcast. Nothing aggregates over more than one
+micro-batch — no state store, no watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+
+class IngestAdmissionPipeline:
+    """Context-managed composition of the three ingest gates in front
+    of an :class:`ExactlyOnceSink`. ``corpus_banded`` is the static
+    banded-key table (``dedup.banded_keys`` over the existing corpus —
+    maintained continuously by the q78-style upsert index at real
+    scale); ``eval_df`` is the held-out eval suite (doc_id, text)."""
+
+    def __init__(
+        self,
+        corpus_banded: DataFrame,
+        eval_df: DataFrame,
+        sink: ExactlyOnceSink,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 5,
+    ):
+        from auto_data_tokenize_spark.operators.dedup import word_shingles
+
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.sink = sink
+        self.corpus_keys = (
+            corpus_banded.select("band_idx", "band_key").distinct().persist()
+        )
+        self.eval_shingles = (
+            word_shingles(eval_df, text_col, k, out_col="_g")
+            .select(F.explode_outer(F.array_distinct("_g")).alias("_s"))
+            .distinct()
+            .persist()
+        )
+
+    def admit(self, batch_df: DataFrame) -> DataFrame:
+        """The gate chain over one (batch) DataFrame; returns the
+        admitted rows with the original columns."""
+        from auto_data_tokenize_spark.operators.dedup import (
+            banded_keys,
+            minhash_signatures_rowwise,
+            word_shingles,
+        )
+        from auto_data_tokenize_spark.operators.textstats import (
+            quality_features,
+        )
+
+        cols = batch_df.columns
+        passed = quality_features(batch_df, self.text_col).filter(
+            "is_quality"
+        ).select(*cols)
+        bands = banded_keys(
+            minhash_signatures_rowwise(passed, self.id_col, self.text_col, self.k),
+            self.id_col,
+        )
+        dup_ids = (
+            bands.join(self.corpus_keys, ["band_idx", "band_key"], "left_semi")
+            .select(F.col("id").alias(self.id_col))
+            .distinct()
+        )
+        fresh = passed.join(dup_ids, self.id_col, "left_anti")
+        cont_ids = (
+            word_shingles(fresh, self.text_col, self.k, out_col="_g")
+            .select(
+                self.id_col,
+                F.explode_outer(F.array_distinct("_g")).alias("_s"),
+            )
+            .join(F.broadcast(self.eval_shingles), "_s", "left_semi")
+            .select(self.id_col)
+            .distinct()
+        )
+        return fresh.join(cont_ids, self.id_col, "left_anti")
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.sink.foreach_batch(self.admit(batch_df), batch_id)
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "adt-ingest",
+    ) -> None:
+        """Drain everything available through the gate chain into the
+        sink (availableNow semantics, same contract as
+        ``pipeline.run_to_sink``)."""
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+    def close(self) -> None:
+        self.corpus_keys.unpersist()
+        self.eval_shingles.unpersist()
+
+    def __enter__(self) -> "IngestAdmissionPipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -863,3 +863,71 @@ def test_stream_fpe_deidentify_roundtrips(spark, stream_dir, sf_dir_small, tmp_p
     # the masked stream is genuinely rewritten, not a pass-through
     assert bool(got["annotated"].any())
     assert len(sink.committed_batches()) >= 2
+
+
+def test_ingest_admission_pipeline_resume_no_dupes(spark, tmp_path):
+    """The composed quality→near-dup→decontamination admission chain
+    (q82 shape) across a checkpoint restart: drain half the crawl,
+    resume into the SAME sink, and the admitted set must equal one
+    uninterrupted run — the per-batch anti-join admission must not
+    double-admit or re-admit on redelivery."""
+    import pandas as _pd
+
+    from auto_data_tokenize_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+    from auto_data_tokenize_spark.streaming.ingest import (
+        IngestAdmissionPipeline,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the corpus already holds document {i} with these exact words")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "held out evaluation question about the meaning of life")],
+        "doc_id long, text string",
+    )
+    banded = banded_keys(minhash_signatures(corpus))
+
+    def crawl_row(i):
+        m = i % 4
+        if m == 0:  # re-crawl — rejected by the near-dup gate
+            return f"the corpus already holds document {i % 10} with these exact words"
+        if m == 1:  # novel — admitted
+            return f"an entirely new page number {i} with plenty of fresh readable words"
+        if m == 2:  # contaminated — rejected by decontamination
+            return f"prefix {i} held out evaluation question about the meaning of life"
+        return f"junk {i}"  # rejected by quality
+
+    rows = [(1000 + i, crawl_row(i)) for i in range(40)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pdf = _pd.DataFrame(rows, columns=["doc_id", "text"])
+    first, second = pdf.iloc[:20], pdf.iloc[20:]
+    first.to_parquet(f"{in_dir}/a.parquet", index=False)
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        st = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        with IngestAdmissionPipeline(banded, ev, sink) as pipe:
+            pipe.run(st, ckpt)
+
+    run()
+    mid = {r["doc_id"] for r in sink.read_committed(spark).collect()}
+    assert mid == {1000 + i for i in range(20) if i % 4 == 1}
+    second.to_parquet(f"{in_dir}/b.parquet", index=False)
+    run()  # resume from the same checkpoint
+    got = {r["doc_id"] for r in sink.read_committed(spark).collect()}
+    assert got == {1000 + i for i in range(40) if i % 4 == 1}
+    # no duplicate admissions across the restart
+    n = sink.read_committed(spark).count()
+    assert n == len(got)
