@@ -2059,6 +2059,125 @@ def q82_stream_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_PAGE_HEADER = "accept all cookies to continue."
+_PAGE_FOOTER = "all rights reserved worldwide."
+
+
+def _line_pages(docs: DataFrame, junk: bool = False) -> DataFrame:
+    """Deterministic multi-line 'web pages' over the documents table
+    (its texts carry no newlines, so the line operators need
+    synthesized pages): universal header boilerplate, the document
+    body, a unique crawl line, a semi-common promo line (shared by
+    ~|docs|/40 pages), and a footer on even ids only; ``junk=True``
+    adds the C4 bait lines (too short / no terminal punctuation /
+    banned substrings). DuckDB twin: ``_duck_pages_sql`` — concat_ws
+    skips NULLs in both engines, which is how the odd-id footer
+    drops out."""
+    parts = [
+        F.lit(_PAGE_HEADER),
+        F.col("text"),
+        F.concat(F.lit("page "), "doc_id", F.lit(" was crawled today.")),
+        F.concat(
+            F.lit("promo code "), F.col("doc_id") % 40, F.lit(" applies.")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_PAGE_FOOTER)),
+    ]
+    if junk:
+        parts += [
+            F.lit("short."),
+            F.lit("this line has no terminal punctuation"),
+            F.lit("enable javascript to view this content."),
+            F.lit("config = { a: 1 }."),
+            F.lit("lorem ipsum dolor sit amet."),
+        ]
+    return docs.select("doc_id", F.concat_ws("\n", *parts).alias("text"))
+
+
+def q83_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document repeated-line removal: any line
+    occurring in >= 5 distinct pages (the cookie header everywhere,
+    the footer on even ids, the promo line shared by ~12 pages) is
+    boilerplate and is stripped; unique lines and the document body
+    survive in original order. Scale: one line-hash census shuffle
+    (map-side combined, output = distinct boilerplate set) + the
+    per-document regroup."""
+    from auto_data_tokenize_spark.operators.lines import (
+        remove_repeated_lines,
+    )
+
+    pages = _line_pages(_documents(spark, sf_dir))
+    return remove_repeated_lines(pages, min_docs=5).select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept", "n_removed"
+    )
+
+
+def q84_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-line heuristic cleaning (Raffel et al. 2019
+    §2.2): keep only lines ending in terminal punctuation with >= 3
+    words and none of the banned substrings (lorem ipsum /
+    javascript / curly brace); the synthesized pages plant one bait
+    line per rule. Pure codegen predicates + the regroup shuffle."""
+    from auto_data_tokenize_spark.operators.lines import c4_clean_lines
+
+    pages = _line_pages(_documents(spark, sf_dir), junk=True)
+    return c4_clean_lines(pages, min_words=3).select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept", "n_removed"
+    )
+
+
+def q85_lm_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff LM training (Brants et al. 2007): the trigram
+    count table over the documents corpus, top-100 by (count desc,
+    gram) — a total order, so the LIMIT boundary is deterministic.
+    Scale: lag-window projection + ONE map-side-combined groupBy; the
+    shuffle volume is the distinct trigram vocabulary."""
+    from auto_data_tokenize_spark.operators.lm import train_stupid_backoff
+
+    lm = train_stupid_backoff(_documents(spark, sf_dir))
+    return lm.tri.orderBy(F.desc("cnt"), "gram").limit(100)
+
+
+def q86_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style LM fluency gate: train Stupid Backoff on the
+    in-corpus split (doc_id % EVAL_MOD != 0), score a mixture of the
+    full corpus, token-REVERSED variants (+1e6 ids: trigrams break,
+    backoff to bigrams/unigrams), and out-of-vocabulary gibberish
+    (+2e6 ids: exercises the unseen-unigram half-count). Emits exact
+    integer backoff-level hit counts, the rounded per-token avg ln S,
+    and the pass/fail of a -7.0 threshold. Scale: scoring is five
+    hash joins against the (prunable, broadcast-sized) count tables —
+    no corpus-wide aggregation except the per-document mean."""
+    from auto_data_tokenize_spark.operators.lm import (
+        score_stupid_backoff,
+        train_stupid_backoff,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    lm = train_stupid_backoff(docs.filter(f"doc_id % {EVAL_MOD} != 0"))
+    rev = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.trim("text"), r"\s+"))
+        ).alias("text"),
+    )
+    gib = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("zq"), "doc_id", F.lit(" glorp wibble frub nix")
+        ).alias("text"),
+    )
+    mix = docs.unionByName(rev).unionByName(gib)
+    return score_stupid_backoff(mix, lm).select(
+        "doc_id",
+        "n_tokens",
+        "n_hit3",
+        "n_hit2",
+        "n_hit1",
+        "avg_logp",
+        (F.col("avg_logp") >= -7.0).alias("passes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -2143,6 +2262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_stratified_sample": _with_prep(q80_stratified_sample),
         "q81_normalized_dedup": _with_prep(q81_normalized_dedup),
         "q82_stream_ingest_admission": _with_prep(q82_stream_ingest_admission),
+        "q83_line_dedup": _with_prep(q83_line_dedup),
+        "q84_c4_clean": _with_prep(q84_c4_clean),
+        "q85_lm_top_trigrams": _with_prep(q85_lm_top_trigrams),
+        "q86_lm_fluency_filter": _with_prep(q86_lm_fluency_filter),
     }
 
 
@@ -2494,6 +2617,48 @@ def _user_pseudonym_values(sf_name: str) -> str:
             f"({uid}, '{base64.urlsafe_b64encode(mac).decode()}')"
         )
     return ", ".join(rows)
+
+
+def _duck_pages_sql(junk: bool = False) -> str:
+    """DuckDB twin of :func:`_line_pages`."""
+    extra = (
+        ", 'short.', 'this line has no terminal punctuation', "
+        "'enable javascript to view this content.', "
+        "'config = { a: 1 }.', 'lorem ipsum dolor sit amet.'"
+    ) if junk else ""
+    return f"""
+        SELECT doc_id, concat_ws(chr(10),
+            '{_PAGE_HEADER}',
+            text,
+            'page ' || doc_id || ' was crawled today.',
+            'promo code ' || (doc_id % 40) || ' applies.',
+            CASE WHEN doc_id % 2 = 0 THEN '{_PAGE_FOOTER}' END{extra}
+        ) AS text FROM documents
+    """
+
+
+def _duck_line_dedup() -> str:
+    from auto_data_tokenize_spark.operators.lines import duckdb_line_dedup_sql
+
+    return duckdb_line_dedup_sql(_duck_pages_sql(), min_docs=5)
+
+
+def _duck_c4_clean() -> str:
+    from auto_data_tokenize_spark.operators.lines import duckdb_c4_clean_sql
+
+    return duckdb_c4_clean_sql(_duck_pages_sql(junk=True), min_words=3)
+
+
+def _duck_lm_counts(docs_sql: str, order_col: str) -> str:
+    from auto_data_tokenize_spark.operators.lm import duckdb_lm_counts_sql
+
+    return duckdb_lm_counts_sql(docs_sql, order_col)
+
+
+def _duck_lm_score(docs_sql: str, train_sql: str) -> str:
+    from auto_data_tokenize_spark.operators.lm import duckdb_lm_score_sql
+
+    return duckdb_lm_score_sql(docs_sql, train_sql)
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -3328,5 +3493,39 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT doc_id, md5(text) AS text_md5 FROM q
             WHERE doc_id NOT IN (SELECT id FROM dup)
               AND doc_id NOT IN (SELECT doc_id FROM cont)
+        """,
+        "q83_line_dedup": f"""
+            SELECT doc_id, md5(text) AS text_md5, n_kept, n_removed
+            FROM ({_duck_line_dedup()})
+        """,
+        "q84_c4_clean": f"""
+            SELECT doc_id, md5(text) AS text_md5, n_kept, n_removed
+            FROM ({_duck_c4_clean()})
+        """,
+        "q85_lm_top_trigrams": f"""
+            SELECT gram, cnt
+            FROM ({_duck_lm_counts("SELECT doc_id, text FROM documents", "tri")})
+            ORDER BY cnt DESC, gram
+            LIMIT 100
+        """,
+        "q86_lm_fluency_filter": f"""
+            WITH mix AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(list_reverse(
+                       string_split_regex(trim(text), '\\s+')), ' ') AS text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id,
+                     'zq' || doc_id || ' glorp wibble frub nix' AS text
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_hit3, n_hit2, n_hit1, avg_logp,
+                   avg_logp >= -7.0 AS passes
+            FROM ({_duck_lm_score(
+                "SELECT doc_id, text FROM mix",
+                f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} != 0",
+            )})
         """,
     }
