@@ -2178,6 +2178,61 @@ def q86_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_stream_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q86 LM fluency filter as a continuous ingest gate: the
+    same corpus/reversed/gibberish crawl mixture arrives as a file
+    stream and each micro-batch is scored inside foreachBatch against
+    the STATIC Stupid Backoff tables (trained on the in-corpus
+    split); only docs with avg_logp >= -7.0 reach the exactly-once
+    sink, which doubles as the fluency audit log. Oracle: the batch
+    q86 scoring filtered at the same threshold. Scale per micro-batch:
+    five hash joins against persisted (count-prunable,
+    broadcast-sized) model tables; no state store, no watermark —
+    redelivered batches re-derive identical rows and the sink
+    no-ops."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.lm import train_stupid_backoff
+    from auto_data_tokenize_spark.streaming.ingest import FluencyGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    lm = train_stupid_backoff(docs.filter(f"doc_id % {EVAL_MOD} != 0"))
+
+    base = tempfile.mkdtemp(prefix="adt_q87_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ].sort_values("doc_id")
+        rev = pdf.copy()
+        rev["text"] = [
+            " ".join(reversed(t.strip().split())) for t in rev["text"]
+        ]
+        rev["doc_id"] = rev["doc_id"] + 1000000
+        gib = pdf.copy()
+        gib["text"] = [
+            f"zq{d} glorp wibble frub nix" for d in gib["doc_id"]
+        ]
+        gib["doc_id"] = gib["doc_id"] + 2000000
+        mix = pd.concat([pdf, rev, gib], ignore_index=True)
+        staged = _stage_append_log(mix, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, text string")
+        st = st.repartition(spark.sparkContext.defaultParallelism)
+        sink = ExactlyOnceSink(f"{base}/out")
+        with FluencyGate(lm, sink, min_avg_logp=-7.0) as gate:
+            gate.run(st, f"{base}/ckpt")
+        out = sink.read_committed(spark).select(
+            "doc_id", "n_tokens", "n_hit3", "n_hit2", "n_hit1", "avg_logp"
+        )
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -2266,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_c4_clean": _with_prep(q84_c4_clean),
         "q85_lm_top_trigrams": _with_prep(q85_lm_top_trigrams),
         "q86_lm_fluency_filter": _with_prep(q86_lm_fluency_filter),
+        "q87_stream_fluency_gate": _with_prep(q87_stream_fluency_gate),
     }
 
 
@@ -3527,5 +3583,25 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                 "SELECT doc_id, text FROM mix",
                 f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} != 0",
             )})
+        """,
+        "q87_stream_fluency_gate": f"""
+            WITH mix AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(list_reverse(
+                       string_split_regex(trim(text), '\\s+')), ' ') AS text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id,
+                     'zq' || doc_id || ' glorp wibble frub nix' AS text
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_hit3, n_hit2, n_hit1, avg_logp
+            FROM ({_duck_lm_score(
+                "SELECT doc_id, text FROM mix",
+                f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} != 0",
+            )})
+            WHERE avg_logp >= -7.0
         """,
     }

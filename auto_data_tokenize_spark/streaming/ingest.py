@@ -30,6 +30,85 @@ from pyspark.sql import DataFrame, functions as F
 from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
 
 
+class FluencyGate:
+    """Streaming LM fluency gate (the continuous form of the
+    CCNet-style perplexity filter, ``operators/lm.py``): each
+    micro-batch is scored against a STATIC Stupid Backoff model —
+    five hash joins per batch against the persisted count tables,
+    which at production scale are count-pruned and broadcast-sized —
+    and only documents at or above ``min_avg_logp`` reach the
+    exactly-once sink. No state store: the model is fixed for the
+    life of the gate (retrain-and-swap is a redeploy, the same
+    operational contract as the reference's DLP inspection templates),
+    so the admit decision is a deterministic function of batch
+    content and a replayed batch no-ops at the sink.
+
+    Emits the scored columns (n_tokens, backoff-level hit counts,
+    avg_logp) alongside the id so the sink doubles as the fluency
+    audit log."""
+
+    def __init__(
+        self,
+        lm,
+        sink: ExactlyOnceSink,
+        min_avg_logp: float,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.lm = lm
+        self.sink = sink
+        self.min_avg_logp = float(min_avg_logp)
+        self.id_col = id_col
+        self.text_col = text_col
+        for t in (lm.uni, lm.bi, lm.tri, lm.total):
+            t.persist()
+
+    def admit(self, batch_df: DataFrame) -> DataFrame:
+        from auto_data_tokenize_spark.operators.lm import (
+            score_stupid_backoff,
+        )
+
+        scored = score_stupid_backoff(
+            batch_df, self.lm, self.id_col, self.text_col
+        )
+        return scored.filter(
+            F.col("avg_logp") >= F.lit(self.min_avg_logp)
+        )
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.sink.foreach_batch(self.admit(batch_df), batch_id)
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "adt-fluency",
+    ) -> None:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+    def close(self) -> None:
+        for t in (self.lm.uni, self.lm.bi, self.lm.tri, self.lm.total):
+            t.unpersist()
+
+    def __enter__(self) -> "FluencyGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class IngestAdmissionPipeline:
     """Context-managed composition of the three ingest gates in front
     of an :class:`ExactlyOnceSink`. ``corpus_banded`` is the static

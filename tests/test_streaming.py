@@ -931,3 +931,59 @@ def test_ingest_admission_pipeline_resume_no_dupes(spark, tmp_path):
     # no duplicate admissions across the restart
     n = sink.read_committed(spark).count()
     assert n == len(got)
+
+
+def test_fluency_gate_resume_no_dupes(spark, tmp_path):
+    """Streaming LM fluency gate (q87 shape) across a checkpoint
+    restart: fluent docs (trained vocabulary) pass, OOV gibberish is
+    rejected, and resuming into the same sink must not double-admit."""
+    import pandas as _pd
+
+    from auto_data_tokenize_spark.operators.lm import train_stupid_backoff
+    from auto_data_tokenize_spark.streaming.ingest import FluencyGate
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    lm = train_stupid_backoff(corpus)
+
+    def crawl_row(i):
+        if i % 2 == 0:  # fluent — trigram hits everywhere
+            return "the quick brown fox jumps over the lazy dog"
+        return f"zq{i} glorp wibble frub nix"  # OOV — rejected
+
+    rows = [(1000 + i, crawl_row(i)) for i in range(20)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pdf = _pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf.iloc[:10].to_parquet(f"{in_dir}/a.parquet", index=False)
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        st = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        # -3.0 sits between the fluent docs (~-0.25: trigram hits
+        # everywhere) and the OOV docs (~-6.3: with only 72 training
+        # tokens the unseen half-count floor is ln(0.5/72) ~ -5, far
+        # higher than at corpus scale) for this tiny model
+        with FluencyGate(lm, sink, min_avg_logp=-3.0) as gate:
+            gate.run(st, ckpt)
+
+    run()
+    mid = {r["doc_id"] for r in sink.read_committed(spark).collect()}
+    assert mid == {1000 + i for i in range(10) if i % 2 == 0}
+    pdf.iloc[10:].to_parquet(f"{in_dir}/b.parquet", index=False)
+    run()  # resume from the same checkpoint
+    rows_out = sink.read_committed(spark).collect()
+    ids = {r["doc_id"] for r in rows_out}
+    assert ids == {1000 + i for i in range(20) if i % 2 == 0}
+    assert len(rows_out) == len(ids)
+    # the sink carries the audit columns: every admitted row scored
+    # with full trigram hits for interior positions
+    assert all(r["n_hit3"] == r["n_tokens"] - 2 for r in rows_out)
