@@ -2233,6 +2233,56 @@ def q87_stream_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q88_conversation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure audit over the transcripts table: per
+    conversation, opening role, per-role turn counts, orphan tool
+    results (role='tool' with no preceding tool call), longest
+    same-role run, and the structural validity verdict — the
+    transcript analogue of C4/CCNet document heuristics, upstream of
+    chat rendering. Plan: ONE conv_id hash Exchange (lag + run-length
+    windows and both groupBys share the key; plan-asserted in
+    tests/test_conversations.py)."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_audit,
+    )
+
+    return conversation_audit(_transcripts(spark, sf_dir), max_role_run=3)
+
+
+def q89_chat_render_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts-to-training-batches pipeline: audit → keep
+    structurally valid conversations → render each under the
+    deterministic chat template (<|role|> / <|role:tool|> headers,
+    <|end|> terminator) → concat-and-chop pack the rendered docs into
+    512-token sequences per md5 shard (the q51 sharded layout, so the
+    packing window never concentrates on one task). Scale: one
+    conv_id Exchange for audit+render, one (shard) window shuffle for
+    packing; the audit→render join is conv_id-co-partitioned."""
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_audit,
+        render_chat,
+    )
+    from auto_data_tokenize_spark.operators.corpus import pack_sequences
+
+    tr = _transcripts(spark, sf_dir)
+    ok = (
+        conversation_audit(tr, max_role_run=3)
+        .where("structurally_valid")
+        .select("conv_id")
+    )
+    rendered = render_chat(tr).join(ok, "conv_id").withColumn(
+        "shard", F.expr(f"{spark_md5_prefix('conv_id')} % {N_PACK_SHARDS}")
+    )
+    return pack_sequences(
+        rendered,
+        id_col="conv_id",
+        text_col="text",
+        target_tokens=512,
+        part_cols=["shard"],
+    ).select("conv_id", "shard", "n_tokens", "offset", "pack_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -2322,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_lm_top_trigrams": _with_prep(q85_lm_top_trigrams),
         "q86_lm_fluency_filter": _with_prep(q86_lm_fluency_filter),
         "q87_stream_fluency_gate": _with_prep(q87_stream_fluency_gate),
+        "q88_conversation_audit": _with_prep(q88_conversation_audit),
+        "q89_chat_render_pack": _with_prep(q89_chat_render_pack),
     }
 
 
@@ -2580,6 +2632,45 @@ def _duck_pack_sharded_sql() -> str:
     )
     return duckdb_pack_sql(
         sharded, target_tokens=512, part_cols=["lang", "shard"]
+    )
+
+
+def _duck_conversation_audit_sql(tr: str) -> str:
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_conversation_audit_sql,
+    )
+
+    return duckdb_conversation_audit_sql(
+        f"SELECT * FROM {tr}", max_role_run=3
+    )
+
+
+def _duck_chat_render_pack_sql(tr: str) -> str:
+    """Twin of q89: audit → valid filter → chat render → sharded
+    512-token packing, composed from the same twin builders the unit
+    tests pin."""
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_conversation_audit_sql,
+        duckdb_render_chat_sql,
+    )
+    from auto_data_tokenize_spark.operators.corpus import duckdb_pack_sql
+
+    turns = f"SELECT * FROM {tr}"
+    valid_rendered = f"""(
+        WITH aud AS ({duckdb_conversation_audit_sql(turns, max_role_run=3)}),
+             r AS ({duckdb_render_chat_sql(turns)})
+        SELECT r.conv_id, r.text,
+               {duckdb_md5_prefix('r.conv_id')} % {N_PACK_SHARDS} AS shard
+        FROM r JOIN aud USING (conv_id)
+        WHERE aud.structurally_valid
+    ) vr"""
+    return duckdb_pack_sql(
+        valid_rendered,
+        id_col="conv_id",
+        text_col="text",
+        target_tokens=512,
+        part_cols=["shard"],
     )
 
 
@@ -3603,5 +3694,10 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                 f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} != 0",
             )})
             WHERE avg_logp >= -7.0
+        """,
+        "q88_conversation_audit": _duck_conversation_audit_sql(tr),
+        "q89_chat_render_pack": f"""
+            SELECT conv_id, shard, n_tokens, "offset", pack_id
+            FROM ({_duck_chat_render_pack_sql(tr)})
         """,
     }

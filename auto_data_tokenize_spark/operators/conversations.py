@@ -1,0 +1,269 @@
+"""Conversation-structure audit and chat-template rendering — the
+transcripts-to-training-data layer.
+
+The reference's end product is a tokenized transcript CSV with stable
+(conv_id, turn_idx) ordering (pipeline/CsvTokenizationAndOrderingPipeline.java
+— SortCsvRow + orderingColumnNames); training an assistant on those
+transcripts needs two more steps that are pure corpus engineering:
+
+* **audit**: flag conversations whose turn structure is malformed —
+  wrong opening role, no agent reply, tool-result turns with no
+  preceding tool call, degenerate same-role runs — the transcript
+  analogue of C4/CCNet document heuristics. Every rule is a window
+  or aggregate over (conv_id, turn_idx), i.e. ONE hash partition on
+  conv_id end to end (windows and the final groupBy share the key,
+  so Catalyst plans a single Exchange).
+* **render**: serialize each conversation into one training document
+  under a deterministic chat template (``<|role|>`` /
+  ``<|role:tool|>`` headers, newline-joined, ``<|end|>`` terminator)
+  with a whitespace token count, ready for ``pack_sequences``.
+
+Both are exactly SQL-expressible (window functions + ordered
+string_agg), so they carry full DuckDB oracle twins.
+
+At 10^12-turn scale the conv_id hash partition is the natural unit
+(the north rule's skew guidance applies upstream: salted shuffles for
+hot conversations are in operators/skew.py); neither operator holds
+more than one conversation in memory at a time and neither touches
+Python row-by-row — everything is JVM codegen + one sort-based
+aggregation per conversation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "conversation_audit",
+    "render_chat",
+    "duckdb_conversation_audit_sql",
+    "duckdb_render_chat_sql",
+]
+
+#: Chat-template framing (public convention shape: role-tagged headers
+#: as in ChatML-style corpora; the exact literals are this engine's).
+_HDR_OPEN = "<|"
+_HDR_CLOSE = "|>"
+_EOC = "<|end|>"
+
+
+def _piece_expr(role: str = "role", tool: str = "tool", text: str = "text"):
+    """``<|role|>text`` or ``<|role:tool|>text`` for tool-call turns.
+
+    concat() is null-safe here because role/text are coalesced; the
+    tool suffix is dropped for NULL tool on BOTH engines via the
+    null-skipping concat_ws.
+    """
+    hdr = F.concat(
+        F.lit(_HDR_OPEN),
+        F.concat_ws(":", F.coalesce(F.col(role), F.lit("")), F.col(tool)),
+        F.lit(_HDR_CLOSE),
+    )
+    return F.concat(hdr, F.coalesce(F.col(text), F.lit("")))
+
+
+def conversation_audit(
+    turns: DataFrame,
+    max_role_run: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Per-conversation structural metrics + a validity verdict.
+
+    Output: (conv_id, n_turns, first_role, n_customer, n_agent,
+    n_tool_results, orphan_tool_results, longest_role_run,
+    structurally_valid).
+
+    Rules (each also surfaced as a metric so the verdict is
+    auditable):
+
+    * opens with a ``customer`` turn,
+    * has at least one ``agent`` turn,
+    * every ``role='tool'`` turn (a tool RESULT) directly follows a
+      turn that carries a tool CALL (``tool`` set on a non-tool
+      role),
+    * no same-role run longer than ``max_role_run``.
+
+    Plan shape: lag + run-length windows partitioned by conv_id,
+    then a groupBy on conv_id — one Exchange total.
+    """
+    if max_role_run < 1:
+        raise ValueError(f"max_role_run must be >= 1, got {max_role_run}")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    with_prev = turns.select(
+        conv_col,
+        idx_col,
+        "role",
+        "tool",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("tool").over(w).alias("_prev_tool"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    # gaps-and-islands: runs of equal role are grouped by
+    # (row_number over conv) - (row_number over conv+role)
+    w_role = Window.partitionBy(conv_col, "role").orderBy(idx_col)
+    runs = with_prev.withColumn(
+        "_grp", F.col("_rn") - F.row_number().over(w_role)
+    )
+    orphan = (
+        (F.col("role") == "tool")
+        & ~(
+            F.col("_prev_tool").isNotNull()
+            & (F.col("_prev_role") != "tool")
+        )
+    ).cast("int")
+    per_run = runs.groupBy(conv_col, "role", "_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("_run_len"),
+        F.sum(orphan).cast("long").alias("_orphans"),
+        F.max(F.when(F.col("_rn") == 1, F.col("role"))).alias("_first"),
+    )
+    agg = per_run.groupBy(conv_col).agg(
+        F.sum("_run_len").cast("long").alias("n_turns"),
+        F.max("_first").alias("first_role"),
+        F.sum(
+            F.when(F.col("role") == "customer", F.col("_run_len")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_customer"),
+        F.sum(
+            F.when(F.col("role") == "agent", F.col("_run_len")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_agent"),
+        F.sum(
+            F.when(F.col("role") == "tool", F.col("_run_len")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_tool_results"),
+        F.sum("_orphans").cast("long").alias("orphan_tool_results"),
+        F.max("_run_len").cast("long").alias("longest_role_run"),
+    )
+    return agg.withColumn(
+        "structurally_valid",
+        (F.col("first_role") == "customer")
+        & (F.col("n_agent") > 0)
+        & (F.col("orphan_tool_results") == 0)
+        & (F.col("longest_role_run") <= max_role_run),
+    )
+
+
+def render_chat(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Serialize each conversation to one training document under the
+    deterministic chat template. Output: (conv_id, text, n_turns,
+    n_tokens) where n_tokens is the shared whitespace-token contract
+    (textstats.ws_tokens_expr) over the rendered text.
+
+    One groupBy shuffle on conv_id; the ordered reassembly is the
+    same sorted-collect_list shape as lines._reassemble.
+    """
+    from auto_data_tokenize_spark.operators.textstats import ws_tokens_expr
+
+    pieces = turns.select(
+        conv_col,
+        F.struct(F.col(idx_col).alias("i"), _piece_expr().alias("p")).alias(
+            "_tp"
+        ),
+    )
+    return (
+        pieces.groupBy(conv_col)
+        .agg(
+            F.array_sort(F.collect_list("_tp")).alias("_ps"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+        .select(
+            conv_col,
+            F.concat(
+                F.concat_ws("\n", F.expr("transform(_ps, s -> s.p)")),
+                F.lit("\n" + _EOC),
+            ).alias("text"),
+            "n_turns",
+        )
+        .withColumn("n_tokens", ws_tokens_expr("text").cast("long"))
+    )
+
+
+def duckdb_conversation_audit_sql(
+    turns_sql: str, max_role_run: int = 3, conv_col: str = "conv_id"
+) -> str:
+    """DuckDB twin of :func:`conversation_audit`."""
+    return f"""
+        WITH t AS (
+          SELECT *,
+                 lag(role) OVER w AS _prev_role,
+                 lag(tool) OVER w AS _prev_tool,
+                 row_number() OVER w AS _rn,
+                 row_number() OVER (PARTITION BY {conv_col}, role
+                                    ORDER BY turn_idx) AS _rr
+          FROM ({turns_sql})
+          WINDOW w AS (PARTITION BY {conv_col} ORDER BY turn_idx)
+        ),
+        runs AS (
+          SELECT {conv_col}, role, _rn - _rr AS _grp,
+                 CASE WHEN role = 'tool' AND NOT
+                      (_prev_tool IS NOT NULL AND _prev_role <> 'tool')
+                      THEN 1 ELSE 0 END AS _orphan,
+                 CASE WHEN _rn = 1 THEN role END AS _first
+          FROM t
+        ),
+        per_run AS (
+          SELECT {conv_col}, role, _grp,
+                 count(*) AS _run_len,
+                 sum(_orphan) AS _orphans,
+                 max(_first) AS _first
+          FROM runs GROUP BY 1, 2, 3
+        ),
+        agg AS (
+          SELECT {conv_col},
+                 CAST(sum(_run_len) AS BIGINT) AS n_turns,
+                 max(_first) AS first_role,
+                 CAST(sum(CASE WHEN role = 'customer' THEN _run_len
+                          ELSE 0 END) AS BIGINT) AS n_customer,
+                 CAST(sum(CASE WHEN role = 'agent' THEN _run_len
+                          ELSE 0 END) AS BIGINT) AS n_agent,
+                 CAST(sum(CASE WHEN role = 'tool' THEN _run_len
+                          ELSE 0 END) AS BIGINT) AS n_tool_results,
+                 CAST(sum(_orphans) AS BIGINT) AS orphan_tool_results,
+                 CAST(max(_run_len) AS BIGINT) AS longest_role_run
+          FROM per_run GROUP BY 1
+        )
+        SELECT *,
+               (first_role = 'customer' AND n_agent > 0
+                AND orphan_tool_results = 0
+                AND longest_role_run <= {max_role_run})
+                 AS structurally_valid
+        FROM agg
+    """
+
+
+def duckdb_render_chat_sql(turns_sql: str, conv_col: str = "conv_id") -> str:
+    """DuckDB twin of :func:`render_chat`."""
+    from auto_data_tokenize_spark.operators.textstats import (
+        duckdb_ws_tokens_sql,
+    )
+
+    piece = (
+        f"'{_HDR_OPEN}' || concat_ws(':', coalesce(role, ''), tool) "
+        f"|| '{_HDR_CLOSE}' || coalesce(text, '')"
+    )
+    return f"""
+        WITH r AS (
+          SELECT {conv_col},
+                 string_agg({piece}, chr(10) ORDER BY turn_idx)
+                   || chr(10) || '{_EOC}' AS text,
+                 count(*) AS n_turns
+          FROM ({turns_sql}) GROUP BY 1
+        )
+        SELECT {conv_col}, text, CAST(n_turns AS BIGINT) AS n_turns,
+               CAST({duckdb_ws_tokens_sql("text")} AS BIGINT) AS n_tokens
+        FROM r
+    """

@@ -1,0 +1,166 @@
+"""Conversation-structure audit + chat-template rendering.
+
+Hand-built conversations pin every audit rule individually, a DuckDB
+cross-check pins the SQL twins on the same rows, and a real-data test
+checks the rendered text reassembles every turn in (conv_id, turn_idx)
+order.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators.conversations import (
+    conversation_audit,
+    duckdb_conversation_audit_sql,
+    duckdb_render_chat_sql,
+    render_chat,
+)
+
+_COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=_COLS).assign(
+            turn_idx=lambda d: d.turn_idx.astype("int32")
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def handmade(spark):
+    rows = [
+        # c_ok: customer opens, agent replies, tool call -> result
+        ("c_ok", 1, "customer", "hi there.", None),
+        ("c_ok", 2, "agent", "looking that up.", "crm_lookup"),
+        ("c_ok", 3, "tool", "record found.", "crm_lookup"),
+        ("c_ok", 4, "agent", "all set.", None),
+        # c_agent_first: opens with agent -> invalid
+        ("c_agent_first", 1, "agent", "hello?", None),
+        ("c_agent_first", 2, "customer", "hi.", None),
+        ("c_agent_first", 3, "agent", "ok.", None),
+        # c_orphan_tool: tool result with no preceding call
+        ("c_orphan_tool", 1, "customer", "help.", None),
+        ("c_orphan_tool", 2, "tool", "record found.", "crm_lookup"),
+        ("c_orphan_tool", 3, "agent", "done.", None),
+        # c_run: 4 consecutive agent turns (> max_role_run=3)
+        ("c_run", 1, "customer", "hi.", None),
+        ("c_run", 2, "agent", "a.", None),
+        ("c_run", 3, "agent", "b.", None),
+        ("c_run", 4, "agent", "c.", None),
+        ("c_run", 5, "agent", "d.", None),
+        # c_no_agent: nobody ever replies
+        ("c_no_agent", 1, "customer", "anyone?", None),
+        ("c_no_agent", 2, "customer", "hello?", None),
+    ]
+    return _mk(spark, rows)
+
+
+def test_audit_rules(handmade):
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_audit(handmade, max_role_run=3).collect()
+    }
+    assert out["c_ok"]["structurally_valid"]
+    assert out["c_ok"]["orphan_tool_results"] == 0
+    assert out["c_ok"]["n_tool_results"] == 1
+    assert not out["c_agent_first"]["structurally_valid"]
+    assert out["c_agent_first"]["first_role"] == "agent"
+    assert not out["c_orphan_tool"]["structurally_valid"]
+    assert out["c_orphan_tool"]["orphan_tool_results"] == 1
+    assert not out["c_run"]["structurally_valid"]
+    assert out["c_run"]["longest_role_run"] == 4
+    assert not out["c_no_agent"]["structurally_valid"]
+    assert out["c_no_agent"]["n_agent"] == 0
+
+
+def test_audit_max_role_run_validated(handmade):
+    with pytest.raises(ValueError):
+        conversation_audit(handmade, max_role_run=0)
+
+
+def test_render_template_shape(handmade):
+    row = (
+        render_chat(handmade)
+        .where(F.col("conv_id") == "c_ok")
+        .collect()[0]
+    )
+    assert row["text"] == (
+        "<|customer|>hi there.\n"
+        "<|agent:crm_lookup|>looking that up.\n"
+        "<|tool:crm_lookup|>record found.\n"
+        "<|agent|>all set.\n"
+        "<|end|>"
+    )
+    assert row["n_turns"] == 4
+    # whitespace tokens of the rendered text
+    assert row["n_tokens"] == len(row["text"].split())
+
+
+def _duck_twin(handmade, sql_fn, **kw):
+    pdf = handmade.toPandas()
+    con = duckdb.connect()
+    con.register("turns", pdf)
+    return con.sql(sql_fn("SELECT * FROM turns", **kw)).df()
+
+
+def test_audit_matches_duckdb_twin(handmade):
+    spark_df = (
+        conversation_audit(handmade, max_role_run=3)
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    duck = _duck_twin(
+        handmade, duckdb_conversation_audit_sql, max_role_run=3
+    ).sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        spark_df, duck[spark_df.columns], check_dtype=False
+    )
+
+
+def test_render_matches_duckdb_twin(handmade):
+    spark_df = render_chat(handmade).orderBy("conv_id").toPandas()
+    duck = (
+        _duck_twin(handmade, duckdb_render_chat_sql)
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_df, duck[spark_df.columns], check_dtype=False
+    )
+
+
+def test_render_covers_every_turn_real_data(transcripts_small):
+    rendered = render_chat(transcripts_small)
+    n_turns = rendered.agg(F.sum("n_turns")).collect()[0][0]
+    assert n_turns == transcripts_small.count()
+    # each conversation renders its turns in turn_idx order
+    one = (
+        transcripts_small.groupBy("conv_id")
+        .count()
+        .orderBy(F.desc("count"), "conv_id")
+        .limit(1)
+        .collect()[0]["conv_id"]
+    )
+    turns = (
+        transcripts_small.where(F.col("conv_id") == one)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    text = rendered.where(F.col("conv_id") == one).collect()[0]["text"]
+    pos = -1
+    for t in turns:
+        nxt = text.find(t["text"], pos + 1)
+        assert nxt > pos, f"turn {t['turn_idx']} out of order"
+        pos = nxt
+    assert text.endswith("<|end|>")
+
+
+def test_audit_single_exchange_plan(transcripts_small):
+    """The audit is ONE hash partition on conv_id end to end: the
+    role-run window and both groupBys reuse the conv_id Exchange."""
+    plan = conversation_audit(transcripts_small)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
