@@ -2093,6 +2093,61 @@ def _line_pages(docs: DataFrame, junk: bool = False) -> DataFrame:
     return docs.select("doc_id", F.concat_ws("\n", *parts).alias("text"))
 
 
+_SPAN_BOILER = (
+    "this website uses cookies to improve your experience please "
+    "accept our terms of service to continue reading"
+)
+
+
+def _span_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic single-line pages with planted duplicated SPANS
+    (the documents texts are all distinct, so span dedup needs shared
+    token runs): a universal 17-token disclaimer prefix on every
+    third id, the unique body, and a 13-token promo suffix whose
+    variant token is ``doc_id % 50`` (shared by ~|docs|/100 even
+    ids). concat_ws skips NULLs in both engines, which is how the
+    non-matching ids drop the boilerplate. DuckDB twin:
+    ``_duck_span_pages_sql``."""
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_SPAN_BOILER)),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("subscribe to newsletter tier "),
+                    F.col("doc_id") % 50,
+                    F.lit(
+                        " for exclusive daily offers and breaking"
+                        " news updates"
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def q90_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    distributed k-token-window analogue of the suffix-array method):
+    every token covered by an 8-token window whose exact sequence
+    occurs in >= 2 distinct documents is removed — the planted
+    disclaimer and promo spans vanish, the unique bodies survive.
+    Scale: one Exchange on doc_id for both frame aggregates + ONE
+    corpus-wide window-hash census (map-side combined, output
+    bounded by the repeated-boilerplate universe, broadcast back)."""
+    from auto_data_tokenize_spark.operators.lines import (
+        remove_duplicated_spans,
+    )
+
+    pages = _span_pages(_documents(spark, sf_dir))
+    return remove_duplicated_spans(pages, k=8, min_docs=2).select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept", "n_removed"
+    )
+
+
 def q83_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-document repeated-line removal: any line
     occurring in >= 5 distinct pages (the cookie header everywhere,
@@ -2374,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_stream_fluency_gate": _with_prep(q87_stream_fluency_gate),
         "q88_conversation_audit": _with_prep(q88_conversation_audit),
         "q89_chat_render_pack": _with_prep(q89_chat_render_pack),
+        "q90_span_dedup": _with_prep(q90_span_dedup),
     }
 
 
@@ -2794,6 +2850,26 @@ def _duck_c4_clean() -> str:
     from auto_data_tokenize_spark.operators.lines import duckdb_c4_clean_sql
 
     return duckdb_c4_clean_sql(_duck_pages_sql(junk=True), min_words=3)
+
+
+def _duck_span_pages_sql() -> str:
+    """DuckDB twin of :func:`_span_pages`."""
+    return f"""
+        SELECT doc_id, concat_ws(' ',
+            CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_BOILER}' END,
+            text,
+            CASE WHEN doc_id % 2 = 0 THEN
+              'subscribe to newsletter tier ' || (doc_id % 50) ||
+              ' for exclusive daily offers and breaking news updates'
+            END
+        ) AS text FROM documents
+    """
+
+
+def _duck_span_dedup() -> str:
+    from auto_data_tokenize_spark.operators.lines import duckdb_span_dedup_sql
+
+    return duckdb_span_dedup_sql(_duck_span_pages_sql(), k=8, min_docs=2)
 
 
 def _duck_lm_counts(docs_sql: str, order_col: str) -> str:
@@ -3696,6 +3772,10 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             WHERE avg_logp >= -7.0
         """,
         "q88_conversation_audit": _duck_conversation_audit_sql(tr),
+        "q90_span_dedup": f"""
+            SELECT doc_id, md5(text) AS text_md5, n_kept, n_removed
+            FROM ({_duck_span_dedup()})
+        """,
         "q89_chat_render_pack": f"""
             SELECT conv_id, shard, n_tokens, "offset", pack_id
             FROM ({_duck_chat_render_pack_sql(tr)})

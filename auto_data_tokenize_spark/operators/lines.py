@@ -32,9 +32,11 @@ __all__ = [
     "repeated_line_hashes",
     "remove_repeated_lines",
     "c4_clean_lines",
+    "remove_duplicated_spans",
     "duckdb_lines_sql",
     "duckdb_line_dedup_sql",
     "duckdb_c4_clean_sql",
+    "duckdb_span_dedup_sql",
 ]
 
 #: Banned substrings from the C4 cleaning recipe (public: Raffel et
@@ -191,6 +193,120 @@ def c4_clean_lines(
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the distributed,
+    token-window analogue of ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes every substring of >= 50 tokens that appears twice; their
+    implementation is a single-machine suffix array). Here a token is
+    a whitespace word and a span is any maximal run covered by
+    duplicated ``k``-token windows: a window is duplicated when its
+    exact token sequence occurs in >= ``min_docs`` DISTINCT documents,
+    and a token is removed when ANY duplicated window covers it.
+    Survivors are re-joined with single spaces in original order.
+
+    Output: (id, text, n_kept, n_removed) with token counts.
+
+    Plan shape / 100 TB: posexplode to (id, pos, tok); the k-token
+    window key is a frame aggregate over the id partition (ONE
+    Exchange on id); the census groupBy on the window hash is the
+    only corpus-wide shuffle (map-side combined, output = the
+    duplicated-window set, bounded by the repeated-boilerplate
+    universe); the census joins back broadcast; coverage is a second
+    frame aggregate over the SAME id partition (no new Exchange); the
+    regroup reuses it too; total token counts are a pure projection on
+    the input (no extra explode branch). Docs shorter than ``k``
+    tokens produce no windows and are never touched.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    fwd = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    )
+    grams = toks.select(
+        id_col,
+        "pos",
+        "tok",
+        F.when(
+            F.count("tok").over(fwd) == k,
+            F.md5(F.concat_ws("\x1f", F.collect_list("tok").over(fwd))),
+        ).alias("_gh"),
+    )
+    dup = (
+        grams.where(F.col("_gh").isNotNull())
+        .groupBy("_gh")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select(F.col("_gh").alias("_dup_gh"))
+    )
+    flagged = grams.join(
+        F.broadcast(dup), grams["_gh"] == dup["_dup_gh"], "left"
+    ).select(
+        id_col,
+        "pos",
+        "tok",
+        F.col("_dup_gh").isNotNull().cast("int").alias("_dup_start"),
+    )
+    back = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
+    )
+    kept = flagged.withColumn(
+        "_covered", F.max("_dup_start").over(back) == 1
+    ).where(~F.col("_covered"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias(
+                "_ts"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", F.expr("transform(_ts, s -> s.tok)")).alias(
+                text_col
+            ),
+            "n_kept",
+        )
+    )
+    # total token count is a pure projection on docs (size of the same
+    # split the explode used) — no third explode/groupBy branch
+    totals = docs.select(
+        id_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("_n_total"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (
+                F.col("_n_total")
+                - F.coalesce("n_kept", F.lit(0).cast("long"))
+            ).alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -265,4 +381,71 @@ def duckdb_c4_clean_sql(
         {_duck_reassemble(
             f"SELECT * FROM _lines WHERE {keep}", pages_sql, id_col
         )}
+    """
+
+
+def duckdb_span_dedup_sql(
+    pages_sql: str,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> str:
+    """Twin of :func:`remove_duplicated_spans` over ``pages_sql``.
+
+    Mirrors the Spark plan step for step: whitespace tokens with
+    0-based positions, a forward k-row frame building the window key
+    (windowed ``string_agg`` concatenates in frame order — verified —
+    matching Spark's windowed ``collect_list``), the distinct-doc
+    census, and the backward k-row coverage max. ``count(*)`` is
+    BIGINT in DuckDB, matching the Spark side's explicit long casts.
+    """
+    sep = "chr(31)"  # \\x1f, same separator as the Spark side
+    return f"""
+        WITH _toks AS (
+          SELECT {id_col},
+                 generate_subscripts(_ws, 1) - 1 AS pos,
+                 unnest(_ws) AS tok
+          FROM (SELECT {id_col},
+                       string_split_regex(trim(text), '\\s+') AS _ws
+                FROM ({pages_sql}) src)
+        ),
+        _grams AS (
+          SELECT {id_col}, pos, tok,
+                 CASE WHEN count(*) OVER w = {k}
+                      THEN md5(string_agg(tok, {sep}) OVER w) END AS _gh
+          FROM _toks
+          WINDOW w AS (PARTITION BY {id_col} ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {k - 1} FOLLOWING)
+        ),
+        _dup AS (
+          SELECT _gh FROM _grams WHERE _gh IS NOT NULL
+          GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {min_docs}
+        ),
+        _kept AS (
+          SELECT {id_col}, pos, tok FROM (
+            SELECT {id_col}, pos, tok,
+                   max(CASE WHEN _gh IN (SELECT _gh FROM _dup)
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY {id_col} ORDER BY pos
+                           ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                     AS _cov
+            FROM _grams
+          ) WHERE _cov = 0
+        ),
+        _reb AS (
+          SELECT {id_col},
+                 string_agg(tok, ' ' ORDER BY pos) AS text,
+                 count(*) AS n_kept
+          FROM _kept GROUP BY 1
+        ),
+        _tot AS (
+          SELECT {id_col}, count(*) AS n_total FROM _toks GROUP BY 1
+        )
+        SELECT p.{id_col},
+               coalesce(r.text, '') AS text,
+               coalesce(r.n_kept, 0) AS n_kept,
+               t.n_total - coalesce(r.n_kept, 0) AS n_removed
+        FROM (SELECT DISTINCT {id_col} FROM ({pages_sql}) s2) p
+        JOIN _tot t USING ({id_col})
+        LEFT JOIN _reb r USING ({id_col})
     """

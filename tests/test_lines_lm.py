@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from auto_data_tokenize_spark.operators.lines import (
     c4_clean_lines,
+    remove_duplicated_spans,
     remove_repeated_lines,
     repeated_line_hashes,
     split_lines,
@@ -96,6 +97,79 @@ def test_lines_plan_is_python_free(spark):
 def test_min_docs_validation(spark):
     with pytest.raises(ValueError, match="min_docs"):
         repeated_line_hashes(split_lines(_docs(spark, [(1, "a")])), 0)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_golden_by_hand(spark):
+    # k=3: docs 1 and 2 share the run "p q r s" → dup 3-windows
+    # (p,q,r) and (q,r,s) cover p q r s in both docs; the unique
+    # tails survive. doc 3 has no 3-window shared with another doc.
+    docs = _docs(
+        spark,
+        [
+            (1, "p q r s alpha beta"),
+            (2, "gamma p q r s delta"),
+            (3, "p q x y z"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_kept, r.n_removed)
+        for r in remove_duplicated_spans(docs, k=3).collect()
+    }
+    assert out[1] == ("alpha beta", 2, 4)
+    assert out[2] == ("gamma delta", 2, 4)
+    assert out[3] == ("p q x y z", 5, 0)
+
+
+def test_span_dedup_within_doc_repeat_not_removed(spark):
+    # the census counts DISTINCT docs: a span repeated inside ONE doc
+    # is not cross-document boilerplate and must survive
+    docs = _docs(spark, [(1, "a b c a b c"), (2, "x y z w v u")])
+    out = {r.doc_id: r.n_removed for r in
+           remove_duplicated_spans(docs, k=3).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_span_dedup_short_and_empty_docs_untouched(spark):
+    # docs with < k tokens produce no windows; empty text round-trips
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "")])
+    out = {r.doc_id: (r.text, r.n_removed) for r in
+           remove_duplicated_spans(docs, k=3).collect()}
+    assert out[1] == ("a b", 0)
+    assert out[2] == ("a b", 0)
+    assert out[3] == ("", 0)
+
+
+def test_span_dedup_whole_doc_removed(spark):
+    # two identical docs of >= k tokens lose every token
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    out = {r.doc_id: (r.text, r.n_kept, r.n_removed) for r in
+           remove_duplicated_spans(docs, k=3).collect()}
+    assert out[1] == ("", 0, 4)
+    assert out[2] == ("", 0, 4)
+
+
+def test_span_dedup_validation(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="k must"):
+        remove_duplicated_spans(docs, k=1)
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_duplicated_spans(docs, min_docs=1)
+
+
+def test_span_dedup_plan_is_python_free(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    plan = (
+        remove_duplicated_spans(docs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
 
 
 # ---------------------------------------------------------------------------
