@@ -2148,6 +2148,23 @@ def q90_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): hashed
+    unigram+bigram bucket distributions of the English target slice
+    vs the full mixed-language corpus, Laplace-smoothed importance
+    log-ratios in exact integer micro-units, top-100 most
+    target-like docs on a total order. Scale: two map-side-combined
+    bucket censuses (<= 4096 rows each), the ratio table broadcasts,
+    one doc_id groupBy — the corpus never self-joins."""
+    from auto_data_tokenize_spark.operators.dsir import dsir_select
+
+    docs = _documents(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select(
+        docs.select("doc_id", "text"), target, k=100, n_buckets=4096
+    )
+
+
 def q83_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style cross-document repeated-line removal: any line
     occurring in >= 5 distinct pages (the cookie header everywhere,
@@ -2430,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_conversation_audit": _with_prep(q88_conversation_audit),
         "q89_chat_render_pack": _with_prep(q89_chat_render_pack),
         "q90_span_dedup": _with_prep(q90_span_dedup),
+        "q91_dsir_select": _with_prep(q91_dsir_select),
     }
 
 
@@ -2870,6 +2888,19 @@ def _duck_span_dedup() -> str:
     from auto_data_tokenize_spark.operators.lines import duckdb_span_dedup_sql
 
     return duckdb_span_dedup_sql(_duck_span_pages_sql(), k=8, min_docs=2)
+
+
+def _duck_dsir_select() -> str:
+    from auto_data_tokenize_spark.operators.dsir import (
+        duckdb_dsir_select_sql,
+    )
+
+    return duckdb_dsir_select_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        k=100,
+        n_buckets=4096,
+    )
 
 
 def _duck_lm_counts(docs_sql: str, order_col: str) -> str:
@@ -3776,6 +3807,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT doc_id, md5(text) AS text_md5, n_kept, n_removed
             FROM ({_duck_span_dedup()})
         """,
+        "q91_dsir_select": _duck_dsir_select(),
         "q89_chat_render_pack": f"""
             SELECT conv_id, shard, n_tokens, "offset", pack_id
             FROM ({_duck_chat_render_pack_sql(tr)})
