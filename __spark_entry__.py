@@ -2148,6 +2148,51 @@ def q90_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_loss_mask_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask manifest for the packed chat dataset: per-turn
+    whitespace-token spans of the rendered conversations shifted by
+    the q89 pack offsets — (conv, turn, role, shard, pack_id,
+    global_start, global_end, trainable) where only agent turns carry
+    loss. Scale: the span window shares the conv_id Exchange with
+    audit/render; the spans-to-pack join is conv_id-co-partitioned;
+    arithmetic is all exact BIGINTs."""
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_audit,
+        loss_mask_spans,
+        render_chat,
+    )
+    from auto_data_tokenize_spark.operators.corpus import pack_sequences
+
+    tr = _transcripts(spark, sf_dir)
+    ok = (
+        conversation_audit(tr, max_role_run=3)
+        .where("structurally_valid")
+        .select("conv_id")
+    )
+    rendered = render_chat(tr).join(ok, "conv_id").withColumn(
+        "shard", F.expr(f"{spark_md5_prefix('conv_id')} % {N_PACK_SHARDS}")
+    )
+    packed = pack_sequences(
+        rendered,
+        id_col="conv_id",
+        text_col="text",
+        target_tokens=512,
+        part_cols=["shard"],
+    ).select("conv_id", "shard", "offset", "pack_id")
+    spans = loss_mask_spans(tr, trainable_role="agent")
+    return spans.join(packed, "conv_id").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "shard",
+        "pack_id",
+        (F.col("offset") + F.col("tok_start")).alias("global_start"),
+        (F.col("offset") + F.col("tok_end")).alias("global_end"),
+        "trainable",
+    )
+
+
 def q91_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023): hashed
     unigram+bigram bucket distributions of the English target slice
@@ -2448,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_chat_render_pack": _with_prep(q89_chat_render_pack),
         "q90_span_dedup": _with_prep(q90_span_dedup),
         "q91_dsir_select": _with_prep(q91_dsir_select),
+        "q92_loss_mask_manifest": _with_prep(q92_loss_mask_manifest),
     }
 
 
@@ -2746,6 +2792,24 @@ def _duck_chat_render_pack_sql(tr: str) -> str:
         target_tokens=512,
         part_cols=["shard"],
     )
+
+
+def _duck_loss_mask_manifest(tr: str) -> str:
+    """Twin of q92: the q89 pack layout joined with the per-turn
+    loss-mask spans, shifted to global token positions."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_loss_mask_sql,
+    )
+
+    return f"""
+        WITH pk AS ({_duck_chat_render_pack_sql(tr)}),
+             sp AS ({duckdb_loss_mask_sql(f"SELECT * FROM {tr}")})
+        SELECT sp.conv_id, sp.turn_idx, sp.role, pk.shard, pk.pack_id,
+               pk."offset" + sp.tok_start AS global_start,
+               pk."offset" + sp.tok_end AS global_end,
+               sp.trainable
+        FROM sp JOIN pk USING (conv_id)
+    """
 
 
 def _duck_bloom_sql() -> str:
@@ -3808,6 +3872,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM ({_duck_span_dedup()})
         """,
         "q91_dsir_select": _duck_dsir_select(),
+        "q92_loss_mask_manifest": _duck_loss_mask_manifest(tr),
         "q89_chat_render_pack": f"""
             SELECT conv_id, shard, n_tokens, "offset", pack_id
             FROM ({_duck_chat_render_pack_sql(tr)})

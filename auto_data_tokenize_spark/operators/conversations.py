@@ -36,8 +36,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = [
     "conversation_audit",
     "render_chat",
+    "loss_mask_spans",
     "duckdb_conversation_audit_sql",
     "duckdb_render_chat_sql",
+    "duckdb_loss_mask_sql",
 ]
 
 #: Chat-template framing (public convention shape: role-tagged headers
@@ -266,4 +268,94 @@ def duckdb_render_chat_sql(turns_sql: str, conv_col: str = "conv_id") -> str:
         SELECT {conv_col}, text, CAST(n_turns AS BIGINT) AS n_turns,
                CAST({duckdb_ws_tokens_sql("text")} AS BIGINT) AS n_tokens
         FROM r
+    """
+
+
+def loss_mask_spans(
+    turns: DataFrame,
+    trainable_role: str = "agent",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Per-turn TOKEN spans of the rendered conversation, with the
+    SFT loss mask: only ``trainable_role`` turns carry loss.
+
+    Output: (conv_id, turn_idx, role, n_piece_tokens, tok_start,
+    tok_end, trainable) — [tok_start, tok_end) are whitespace-token
+    positions inside :func:`render_chat`'s document for the same
+    conversation. The invariant that makes span arithmetic exact:
+    every template piece ``<|role|>text`` starts with a non-whitespace
+    header glyph and pieces join on ``\\n``, so the rendered document's
+    token stream is EXACTLY the concatenation of per-piece token
+    streams plus the final ``<|end|>`` token — piece token counts sum
+    to the document count with no boundary merging, for any text
+    (empty, whitespace-only, embedded newlines).
+
+    Composed with ``pack_sequences`` offsets (one row per conv), the
+    global trainable ranges of a packed SFT dataset are
+    ``offset + tok_start .. offset + tok_end`` — see q92.
+
+    Plan shape: one running-sum window on (conv_id, turn_idx) — the
+    same single conv_id Exchange as audit/render; pure codegen, no
+    Python, no join.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pieces = turns.select(
+        conv_col,
+        idx_col,
+        "role",
+        _piece_expr().alias("_piece"),
+    ).withColumn(
+        "n_piece_tokens",
+        F.size(F.split(F.trim(F.col("_piece")), r"\s+")).cast("long"),
+    )
+    return (
+        pieces.withColumn(
+            "_cum", F.sum("n_piece_tokens").over(w).cast("long")
+        )
+        .select(
+            conv_col,
+            idx_col,
+            "role",
+            "n_piece_tokens",
+            (F.col("_cum") - F.col("n_piece_tokens")).alias("tok_start"),
+            F.col("_cum").alias("tok_end"),
+            (F.col("role") == trainable_role).alias("trainable"),
+        )
+    )
+
+
+def duckdb_loss_mask_sql(
+    turns_sql: str,
+    trainable_role: str = "agent",
+    conv_col: str = "conv_id",
+) -> str:
+    """DuckDB twin of :func:`loss_mask_spans`."""
+    piece = (
+        f"'{_HDR_OPEN}' || concat_ws(':', coalesce(role, ''), tool) "
+        f"|| '{_HDR_CLOSE}' || coalesce(text, '')"
+    )
+    return f"""
+        WITH p AS (
+          SELECT {conv_col}, turn_idx, role,
+                 CAST(length(string_split_regex(trim({piece}), '\\s+'))
+                      AS BIGINT) AS n_piece_tokens
+          FROM ({turns_sql})
+        ),
+        c AS (
+          SELECT *,
+                 CAST(sum(n_piece_tokens)
+                        OVER (PARTITION BY {conv_col} ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum
+          FROM p
+        )
+        SELECT {conv_col}, turn_idx, role, n_piece_tokens,
+               _cum - n_piece_tokens AS tok_start,
+               _cum AS tok_end,
+               role = '{trainable_role}' AS trainable
+        FROM c
     """

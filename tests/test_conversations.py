@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from auto_data_tokenize_spark.operators.conversations import (
     conversation_audit,
     duckdb_conversation_audit_sql,
+    duckdb_loss_mask_sql,
     duckdb_render_chat_sql,
+    loss_mask_spans,
     render_chat,
 )
 
@@ -164,3 +166,76 @@ def test_audit_single_exchange_plan(transcripts_small):
     role-run window and both groupBys reuse the conv_id Exchange."""
     plan = conversation_audit(transcripts_small)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# loss-mask spans
+# ---------------------------------------------------------------------------
+
+
+def test_loss_mask_spans_by_hand(handmade):
+    # c_ok piece token counts:
+    #   "<|customer|>hi there."            -> 2
+    #   "<|agent:crm_lookup|>looking that up." -> 3
+    #   "<|tool:crm_lookup|>record found." -> 2
+    #   "<|agent|>all set."                -> 2
+    out = (
+        loss_mask_spans(handmade)
+        .where(F.col("conv_id") == "c_ok")
+        .orderBy("turn_idx")
+        .collect()
+    )
+    spans = [(r.tok_start, r.tok_end, r.trainable) for r in out]
+    assert spans == [
+        (0, 2, False),
+        (2, 5, True),
+        (5, 7, False),
+        (7, 9, True),
+    ]
+
+
+def test_loss_mask_spans_partition_render_exactly(transcripts_small):
+    """The load-bearing invariant: per-conversation piece token
+    counts sum to render_chat's document count minus the one
+    <|end|> token — spans tile the rendered token stream exactly."""
+    spans = loss_mask_spans(transcripts_small).groupBy("conv_id").agg(
+        F.sum("n_piece_tokens").alias("sum_pieces"),
+        F.min("tok_start").alias("first_start"),
+    )
+    rendered = render_chat(transcripts_small).select("conv_id", "n_tokens")
+    bad = (
+        spans.join(rendered, "conv_id")
+        .where(
+            (F.col("sum_pieces") + 1 != F.col("n_tokens"))
+            | (F.col("first_start") != 0)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_loss_mask_matches_duckdb_twin(handmade):
+    spark_df = (
+        loss_mask_spans(handmade)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    duck = (
+        _duck_twin(handmade, duckdb_loss_mask_sql)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_df, duck[spark_df.columns], check_dtype=False
+    )
+
+
+def test_loss_mask_single_exchange_python_free(transcripts_small):
+    plan = (
+        loss_mask_spans(transcripts_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan
