@@ -2193,6 +2193,49 @@ def q92_loss_mask_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_stream_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q90 duplicated-span census as a continuous admission gate:
+    crawl pages arrive as a file stream and each micro-batch is scored
+    for the fraction of its tokens covered by the STATIC corpus
+    census; only pages at or below 50% known-boilerplate coverage
+    reach the exactly-once sink (the admission audit log). Oracle: the
+    batch coverage + the same threshold in SQL. Scale per
+    micro-batch: one forward-frame window pass over the batch, a
+    stream-static join against the persisted census (bounded by the
+    repeated-boilerplate universe); no state store — replayed batches
+    re-derive identical rows and the sink no-ops."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark.operators.lines import (
+        duplicated_window_hashes,
+    )
+    from auto_data_tokenize_spark.streaming.ingest import BoilerplateGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    pages = _span_pages(_documents(spark, sf_dir))
+    census = duplicated_window_hashes(pages, k=8, min_docs=2)
+
+    base = tempfile.mkdtemp(prefix="adt_q93_")
+    try:
+        mix = pages.toPandas().sort_values("doc_id")
+        staged = _stage_append_log(mix, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, text string")
+        st = st.repartition(spark.sparkContext.defaultParallelism)
+        sink = ExactlyOnceSink(f"{base}/out")
+        with BoilerplateGate(
+            census, sink, max_covered_frac=0.5, k=8
+        ) as gate:
+            gate.run(st, f"{base}/ckpt")
+        out = sink.read_committed(spark).select(
+            "doc_id", "n_tokens", "n_covered", "covered_frac"
+        )
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q91_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023): hashed
     unigram+bigram bucket distributions of the English target slice
@@ -2494,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_span_dedup": _with_prep(q90_span_dedup),
         "q91_dsir_select": _with_prep(q91_dsir_select),
         "q92_loss_mask_manifest": _with_prep(q92_loss_mask_manifest),
+        "q93_stream_boilerplate_gate": _with_prep(q93_stream_boilerplate_gate),
     }
 
 
@@ -2952,6 +2996,15 @@ def _duck_span_dedup() -> str:
     from auto_data_tokenize_spark.operators.lines import duckdb_span_dedup_sql
 
     return duckdb_span_dedup_sql(_duck_span_pages_sql(), k=8, min_docs=2)
+
+
+def _duck_span_coverage() -> str:
+    from auto_data_tokenize_spark.operators.lines import (
+        duckdb_span_coverage_sql,
+    )
+
+    pages = _duck_span_pages_sql()
+    return duckdb_span_coverage_sql(pages, pages, k=8, min_docs=2)
 
 
 def _duck_dsir_select() -> str:
@@ -3873,6 +3926,11 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         "q91_dsir_select": _duck_dsir_select(),
         "q92_loss_mask_manifest": _duck_loss_mask_manifest(tr),
+        "q93_stream_boilerplate_gate": f"""
+            SELECT doc_id, n_tokens, n_covered, covered_frac
+            FROM ({_duck_span_coverage()})
+            WHERE covered_frac <= 0.5
+        """,
         "q89_chat_render_pack": f"""
             SELECT conv_id, shard, n_tokens, "offset", pack_id
             FROM ({_duck_chat_render_pack_sql(tr)})

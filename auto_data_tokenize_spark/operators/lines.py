@@ -33,10 +33,13 @@ __all__ = [
     "remove_repeated_lines",
     "c4_clean_lines",
     "remove_duplicated_spans",
+    "duplicated_window_hashes",
+    "span_coverage",
     "duckdb_lines_sql",
     "duckdb_line_dedup_sql",
     "duckdb_c4_clean_sql",
     "duckdb_span_dedup_sql",
+    "duckdb_span_coverage_sql",
 ]
 
 #: Banned substrings from the C4 cleaning recipe (public: Raffel et
@@ -193,6 +196,110 @@ def c4_clean_lines(
     )
 
 
+def _window_grams(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, tok, _gh): every whitespace token with the md5 key of
+    the k-token window STARTING at it (null for the last k-1 positions
+    of a doc). One frame aggregate over the id partition."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    fwd = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    return toks.select(
+        id_col,
+        "pos",
+        "tok",
+        F.when(
+            F.count("tok").over(fwd) == k,
+            F.md5(F.concat_ws("\x1f", F.collect_list("tok").over(fwd))),
+        ).alias("_gh"),
+    )
+
+
+def duplicated_window_hashes(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The boilerplate census: (window_hash) of every k-token window
+    whose exact token sequence occurs in >= ``min_docs`` DISTINCT
+    documents. ONE map-side-combined corpus-wide shuffle; the output
+    is bounded by the repeated-boilerplate universe, not the corpus.
+    Persist it to serve :func:`span_coverage` gates."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    grams = _window_grams(docs, k, id_col, text_col)
+    return (
+        grams.where(F.col("_gh").isNotNull())
+        .groupBy("_gh")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select(F.col("_gh").alias("window_hash"))
+    )
+
+
+def span_coverage(
+    docs: DataFrame,
+    dup_hashes: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a duplicated-window census: (id,
+    n_tokens, n_covered, covered_frac) where n_covered counts tokens
+    covered by ANY census window and covered_frac is rounded to 6 dp
+    (cross-engine float contract). The ingest-gate primitive: a high
+    fraction means the doc is mostly known boilerplate.
+
+    Plan: the doc side gets the same forward-frame window keys (one
+    Exchange on id), a left join marks census hits (census side
+    bounded — broadcast or bucket at scale), the backward frame and
+    the per-doc count reuse the id partition.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    grams = _window_grams(docs, k, id_col, text_col)
+    flagged = grams.join(
+        dup_hashes.withColumnRenamed("window_hash", "_dup_gh"),
+        grams["_gh"] == F.col("_dup_gh"),
+        "left",
+    ).select(
+        id_col,
+        "pos",
+        F.col("_dup_gh").isNotNull().cast("int").alias("_dup_start"),
+    )
+    back = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
+    )
+    return (
+        flagged.withColumn(
+            "_covered",
+            (F.max("_dup_start").over(back) == 1).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_covered").cast("long").alias("n_covered"),
+        )
+        .withColumn(
+            "covered_frac",
+            F.round(F.col("n_covered") / F.col("n_tokens"), 6),
+        )
+    )
+
+
 def remove_duplicated_spans(
     docs: DataFrame,
     k: int = 8,
@@ -230,33 +337,12 @@ def remove_duplicated_spans(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
-            "pos", "tok"
-        ),
-    )
-    fwd = (
-        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
-    )
-    grams = toks.select(
-        id_col,
-        "pos",
-        "tok",
-        F.when(
-            F.count("tok").over(fwd) == k,
-            F.md5(F.concat_ws("\x1f", F.collect_list("tok").over(fwd))),
-        ).alias("_gh"),
-    )
-    dup = (
-        grams.where(F.col("_gh").isNotNull())
-        .groupBy("_gh")
-        .agg(F.count_distinct(id_col).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select(F.col("_gh").alias("_dup_gh"))
-    )
+    grams = _window_grams(docs, k, id_col, text_col)
+    dup = duplicated_window_hashes(
+        docs, k, min_docs, id_col, text_col
+    ).select(F.col("window_hash").alias("_dup_gh"))
     flagged = grams.join(
-        F.broadcast(dup), grams["_gh"] == dup["_dup_gh"], "left"
+        F.broadcast(dup), grams["_gh"] == F.col("_dup_gh"), "left"
     ).select(
         id_col,
         "pos",
@@ -381,6 +467,60 @@ def duckdb_c4_clean_sql(
         {_duck_reassemble(
             f"SELECT * FROM _lines WHERE {keep}", pages_sql, id_col
         )}
+    """
+
+
+def duckdb_span_coverage_sql(
+    docs_sql: str,
+    census_docs_sql: str,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> str:
+    """Twin of :func:`span_coverage` with the census built over
+    ``census_docs_sql`` — (id, n_tokens, n_covered, covered_frac)."""
+    sep = "chr(31)"
+
+    def toks(src: str, alias: str) -> str:
+        return f"""
+          SELECT {id_col},
+                 generate_subscripts(_ws, 1) - 1 AS pos,
+                 unnest(_ws) AS tok
+          FROM (SELECT {id_col},
+                       string_split_regex(trim(text), '\\s+') AS _ws
+                FROM ({src}) {alias})
+        """
+
+    def grams(toks_cte: str) -> str:
+        return f"""
+          SELECT {id_col}, pos, tok,
+                 CASE WHEN count(*) OVER w = {k}
+                      THEN md5(string_agg(tok, {sep}) OVER w) END AS _gh
+          FROM ({toks_cte})
+          WINDOW w AS (PARTITION BY {id_col} ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {k - 1} FOLLOWING)
+        """
+
+    return f"""
+        WITH _census AS (
+          SELECT _gh FROM ({grams(toks(census_docs_sql, "c0"))})
+          WHERE _gh IS NOT NULL
+          GROUP BY 1 HAVING count(DISTINCT {id_col}) >= {min_docs}
+        ),
+        _flag AS (
+          SELECT {id_col}, pos,
+                 max(CASE WHEN _gh IN (SELECT _gh FROM _census)
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY {id_col} ORDER BY pos
+                         ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                   AS _cov
+          FROM ({grams(toks(docs_sql, "d0"))})
+        )
+        SELECT {id_col},
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(_cov) AS BIGINT) AS n_covered,
+               round(sum(_cov) * 1.0 / count(*), 6) AS covered_frac
+        FROM _flag GROUP BY 1
     """
 
 

@@ -214,3 +214,102 @@ class IngestAdmissionPipeline:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class BoilerplateGate:
+    """Streaming boilerplate-span admission gate (the continuous form
+    of :func:`operators.lines.remove_duplicated_spans`'s census): each
+    arriving document is scored for the fraction of its tokens covered
+    by k-token windows from a STATIC duplicated-window census
+    (``operators.lines.duplicated_window_hashes`` over the existing
+    corpus), and only documents at or below ``max_covered_frac`` reach
+    the exactly-once sink — a crawl page that is mostly known
+    site-chrome never lands in the corpus.
+
+    No state store: the census is fixed for the life of the gate
+    (rebuild-and-swap, the same operational contract as the other
+    static-table gates), so the admit decision is deterministic and a
+    replayed micro-batch no-ops at the sink. Per micro-batch the doc
+    side does one forward-frame window pass (Exchange on the batch's
+    id only); the census join is stream-static against the persisted
+    hash set (bounded by the repeated-boilerplate universe — broadcast
+    when pruned, bucketed at full scale).
+
+    Emits (id, text, n_tokens, n_covered, covered_frac) so the sink
+    doubles as the admission audit log.
+    """
+
+    def __init__(
+        self,
+        census: DataFrame,
+        sink: ExactlyOnceSink,
+        max_covered_frac: float,
+        k: int = 8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        if not (0.0 <= max_covered_frac <= 1.0):
+            raise ValueError(
+                "max_covered_frac must be in [0, 1], got "
+                f"{max_covered_frac!r}"
+            )
+        if k < 2:
+            raise ValueError(f"k must be >= 2, got {k}")
+        self.census = census.select("window_hash").persist()
+        self.sink = sink
+        self.max_covered_frac = float(max_covered_frac)
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def admit(self, batch_df: DataFrame) -> DataFrame:
+        from auto_data_tokenize_spark.operators.lines import span_coverage
+
+        cov = span_coverage(
+            batch_df, self.census, self.k, self.id_col, self.text_col
+        )
+        return (
+            batch_df.join(cov, self.id_col)
+            .where(
+                F.col("covered_frac") <= F.lit(self.max_covered_frac)
+            )
+            .select(
+                self.id_col,
+                self.text_col,
+                "n_tokens",
+                "n_covered",
+                "covered_frac",
+            )
+        )
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.sink.foreach_batch(self.admit(batch_df), batch_id)
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "adt-boilerplate",
+    ) -> None:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+    def close(self) -> None:
+        self.census.unpersist()
+
+    def __enter__(self) -> "BoilerplateGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

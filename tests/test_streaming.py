@@ -987,3 +987,75 @@ def test_fluency_gate_resume_no_dupes(spark, tmp_path):
     # the sink carries the audit columns: every admitted row scored
     # with full trigram hits for interior positions
     assert all(r["n_hit3"] == r["n_tokens"] - 2 for r in rows_out)
+
+
+def test_boilerplate_gate_resume_no_dupes(spark, tmp_path):
+    """Streaming boilerplate-span gate (q93 shape) across a checkpoint
+    restart: pages that are mostly known site-chrome are rejected,
+    content-heavy pages pass, and resuming into the same sink must
+    not double-admit."""
+    import pandas as _pd
+
+    from auto_data_tokenize_spark.operators.lines import (
+        duplicated_window_hashes,
+    )
+    from auto_data_tokenize_spark.streaming.ingest import BoilerplateGate
+
+    chrome = "accept all cookies and our terms of service to continue"
+    body = "a genuinely unique sentence about topic number {} here"
+    corpus = spark.createDataFrame(
+        [(i, f"{chrome} {body.format(i)}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    census = duplicated_window_hashes(corpus, k=4, min_docs=2)
+
+    def crawl_row(i):
+        if i % 2 == 0:  # chrome-only page: fully covered -> rejected
+            return chrome
+        # chrome + a long unique tail: coverage < 0.5 -> admitted
+        tail = " ".join(f"w{i}x{j}" for j in range(20))
+        return f"{chrome} {tail}"
+
+    rows = [(1000 + i, crawl_row(i)) for i in range(20)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pdf = _pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf.iloc[:10].to_parquet(f"{in_dir}/a.parquet", index=False)
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        st = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        with BoilerplateGate(
+            census, sink, max_covered_frac=0.5, k=4
+        ) as gate:
+            gate.run(st, ckpt)
+
+    run()
+    mid = {r["doc_id"] for r in sink.read_committed(spark).collect()}
+    assert mid == {1000 + i for i in range(10) if i % 2 == 1}
+    pdf.iloc[10:].to_parquet(f"{in_dir}/b.parquet", index=False)
+    run()  # resume from the same checkpoint
+    rows_out = sink.read_committed(spark).collect()
+    ids = {r["doc_id"] for r in rows_out}
+    assert ids == {1000 + i for i in range(20) if i % 2 == 1}
+    assert len(rows_out) == len(ids)
+    # audit columns: the chrome prefix (10 tokens, all covered by
+    # 4-token census windows) over a 30-token page
+    assert all(r["n_tokens"] == 30 and r["n_covered"] == 10 for r in rows_out)
+
+
+def test_boilerplate_gate_validates_threshold(spark, tmp_path):
+    from auto_data_tokenize_spark.streaming.ingest import BoilerplateGate
+
+    census = spark.createDataFrame([("x",)], "window_hash string")
+    sink = ExactlyOnceSink(str(tmp_path / "o"))
+    with pytest.raises(ValueError, match="max_covered_frac"):
+        BoilerplateGate(census, sink, max_covered_frac=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        BoilerplateGate(census, sink, max_covered_frac=0.5, k=1)
