@@ -2236,6 +2236,65 @@ def q93_stream_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_URL_BLOCKED = ("src3.example.com", "src7.example.com")
+
+
+def _url_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl URLs over the documents table, planting
+    every canonicalization case: mixed-case scheme/host, a www.
+    prefix on every 4th id, a trailing path slash on every 3rd,
+    tracking params (utm_* / gclid) in varying order, and a fragment
+    on every 7th — all of which canonicalize away, so re-crawls of
+    the same page id (doc_id % 297 within a source) collapse to one
+    canonical URL. DuckDB twin: ``_duck_url_pages_sql``."""
+    pid = F.col("doc_id") % 297
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS")).otherwise(
+                F.lit("https")
+            ),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("WWW.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"),
+            F.lit(".Example.COM/articles/"),
+            pid,
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("?utm_source=feed&id="), pid, F.lit("&x=1")),
+            ).otherwise(
+                F.concat(F.lit("?x=1&id="), pid, F.lit("&gclid=abc123"))
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#top")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+
+
+def q94_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style pre-content URL pass: canonicalize (case,
+    www, trailing slash, tracking params, fragment), keep one page
+    per canonical URL (first crawl wins), drop blocklisted domains,
+    cap each domain at 5 pages by (n_chars DESC, id ASC). Scale: the
+    canonical key groupBy is map-side combined, the blocklist
+    broadcasts, the cap is ONE window shuffle on domain — all before
+    any content pass runs."""
+    from auto_data_tokenize_spark.operators.urls import url_pipeline
+
+    pages = _url_pages(_documents(spark, sf_dir))
+    blocked = spark.createDataFrame(
+        [(d,) for d in _URL_BLOCKED], "domain string"
+    )
+    return url_pipeline(pages, blocked, cap_n=5, order_col="n_chars")
+
+
 def q91_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023): hashed
     unigram+bigram bucket distributions of the English target slice
@@ -2538,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_dsir_select": _with_prep(q91_dsir_select),
         "q92_loss_mask_manifest": _with_prep(q92_loss_mask_manifest),
         "q93_stream_boilerplate_gate": _with_prep(q93_stream_boilerplate_gate),
+        "q94_url_pipeline": _with_prep(q94_url_pipeline),
     }
 
 
@@ -3005,6 +3065,34 @@ def _duck_span_coverage() -> str:
 
     pages = _duck_span_pages_sql()
     return duckdb_span_coverage_sql(pages, pages, k=8, min_docs=2)
+
+
+def _duck_url_pages_sql() -> str:
+    """DuckDB twin of :func:`_url_pages`."""
+    return """
+        SELECT doc_id, n_chars,
+          (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+          || '://'
+          || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+          || source || '.Example.COM/articles/' || (doc_id % 297)
+          || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 2 = 0
+                THEN '?utm_source=feed&id=' || (doc_id % 297) || '&x=1'
+                ELSE '?x=1&id=' || (doc_id % 297) || '&gclid=abc123' END)
+          || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END)
+          AS url
+        FROM documents
+    """
+
+
+def _duck_url_pipeline() -> str:
+    from auto_data_tokenize_spark.operators.urls import (
+        duckdb_url_pipeline_sql,
+    )
+
+    return duckdb_url_pipeline_sql(
+        _duck_url_pages_sql(), _URL_BLOCKED, cap_n=5, order_col="n_chars"
+    )
 
 
 def _duck_dsir_select() -> str:
@@ -3931,6 +4019,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM ({_duck_span_coverage()})
             WHERE covered_frac <= 0.5
         """,
+        "q94_url_pipeline": _duck_url_pipeline(),
         "q89_chat_render_pack": f"""
             SELECT conv_id, shard, n_tokens, "offset", pack_id
             FROM ({_duck_chat_render_pack_sql(tr)})
