@@ -2295,6 +2295,66 @@ def q94_url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_pipeline(pages, blocked, cap_n=5, order_col="n_chars")
 
 
+def q95_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q91 DSIR estimator as a continuous admission gate: crawl
+    docs arrive as a file stream and each micro-batch is scored
+    against the STATIC importance-ratio table (raw = full corpus,
+    target = English slice); docs whose per-gram average ratio
+    clears -85000 micro-units — the measured en-vs-rest separation
+    boundary at both gate SFs (en averages ~-58k/-73k, other langs
+    ~-92k..-113k; alpha=1 smoothing with B comparable to the corpus
+    totals shifts all averages negative) — reach the exactly-once
+    sink. The threshold compare is exact integer
+    cross-multiplication. Oracle: the batch weights filtered at the
+    same threshold. Scale per micro-batch: one lag-window gram pass,
+    the <= 4096-row ratio table broadcasts, one id groupBy; no state
+    store."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark.operators.dsir import (
+        dsir_default_ratio_micro6,
+        dsir_log_ratios,
+    )
+    from auto_data_tokenize_spark.streaming.ingest import DsirGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    target = docs.join(
+        _documents(spark, sf_dir)
+        .where(F.col("lang") == "en")
+        .select("doc_id"),
+        "doc_id",
+    )
+    ratios = dsir_log_ratios(docs, target, n_buckets=4096)
+    default = dsir_default_ratio_micro6(
+        docs, target, n_buckets=4096
+    ).first()[0]
+
+    base = tempfile.mkdtemp(prefix="adt_q95_")
+    try:
+        mix = docs.toPandas().sort_values("doc_id")
+        staged = _stage_append_log(mix, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, text string")
+        st = st.repartition(spark.sparkContext.defaultParallelism)
+        sink = ExactlyOnceSink(f"{base}/out")
+        with DsirGate(
+            ratios,
+            default,
+            sink,
+            min_avg_ratio_micro6=-85000,
+            n_buckets=4096,
+        ) as gate:
+            gate.run(st, f"{base}/ckpt")
+        out = sink.read_committed(spark).select(
+            "doc_id", "n_grams", "logw_micro6"
+        )
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q91_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023): hashed
     unigram+bigram bucket distributions of the English target slice
@@ -2598,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_loss_mask_manifest": _with_prep(q92_loss_mask_manifest),
         "q93_stream_boilerplate_gate": _with_prep(q93_stream_boilerplate_gate),
         "q94_url_pipeline": _with_prep(q94_url_pipeline),
+        "q95_stream_dsir_gate": _with_prep(q95_stream_dsir_gate),
     }
 
 
@@ -3104,6 +3165,18 @@ def _duck_dsir_select() -> str:
         "SELECT doc_id, text FROM documents",
         "SELECT doc_id, text FROM documents WHERE lang = 'en'",
         k=100,
+        n_buckets=4096,
+    )
+
+
+def _duck_dsir_weights() -> str:
+    from auto_data_tokenize_spark.operators.dsir import (
+        duckdb_dsir_weights_sql,
+    )
+
+    return duckdb_dsir_weights_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
         n_buckets=4096,
     )
 
@@ -4020,6 +4093,11 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             WHERE covered_frac <= 0.5
         """,
         "q94_url_pipeline": _duck_url_pipeline(),
+        "q95_stream_dsir_gate": f"""
+            SELECT doc_id, n_grams, logw_micro6
+            FROM ({_duck_dsir_weights()})
+            WHERE logw_micro6 >= -85000 * n_grams
+        """,
         "q89_chat_render_pack": f"""
             SELECT conv_id, shard, n_tokens, "offset", pack_id
             FROM ({_duck_chat_render_pack_sql(tr)})

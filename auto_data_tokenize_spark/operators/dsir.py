@@ -47,6 +47,8 @@ from auto_data_tokenize_spark.functions.xengine import (
 __all__ = [
     "hashed_gram_buckets",
     "dsir_log_ratios",
+    "dsir_default_ratio_micro6",
+    "score_against_ratios",
     "dsir_weights",
     "dsir_select",
     "duckdb_dsir_weights_sql",
@@ -128,10 +130,11 @@ def dsir_log_ratios(
 ) -> DataFrame:
     """(bucket, ratio_micro6): the Laplace-smoothed (alpha=1)
     importance log-ratio per hashed bucket, rounded to 6 dp and
-    scaled to integer micro-units. Only buckets OBSERVED in the raw
-    corpus are emitted — a document can never reference a bucket its
-    own occurrences did not put there, so the table is complete for
-    scoring raw docs."""
+    scaled to integer micro-units. Emits every bucket observed in
+    EITHER corpus (full outer), so the table is complete for scoring
+    the raw docs AND serves as a static table for new documents —
+    anything outside it is a both-sides-zero bucket, whose constant
+    ratio :func:`dsir_default_ratio_micro6` supplies."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     rg = _grams(raw, id_col, text_col)
@@ -143,9 +146,9 @@ def dsir_log_ratios(
     joined = (
         rb.withColumnRenamed("cnt", "_rc")
         .join(
-            F.broadcast(tb.withColumnRenamed("cnt", "_tc")),
+            tb.withColumnRenamed("cnt", "_tc"),
             "bucket",
-            "left",
+            "full_outer",
         )
         .crossJoin(F.broadcast(rtot))
         .crossJoin(F.broadcast(ttot))
@@ -153,7 +156,7 @@ def dsir_log_ratios(
     ratio = (
         F.log(F.coalesce("_tc", F.lit(0)) + F.lit(1))
         - F.log(F.col("_ttot") + F.lit(n_buckets))
-        - F.log(F.col("_rc") + F.lit(1))
+        - F.log(F.coalesce("_rc", F.lit(0)) + F.lit(1))
         + F.log(F.col("_rtot") + F.lit(n_buckets))
     )
     return joined.select(
@@ -161,6 +164,73 @@ def dsir_log_ratios(
         F.round(F.round(ratio, 6) * 1e6).cast("long").alias(
             "ratio_micro6"
         ),
+    )
+
+
+def dsir_default_ratio_micro6(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row (default_ratio_micro6): the log-ratio of a bucket with
+    ZERO count on both sides — ``ln(rtot+B) - ln(ttot+B)`` under the
+    same alpha=1 smoothing and rounding. This is what an
+    out-of-census bucket (a gram never seen when the static ratio
+    table was built) must contribute when scoring NEW documents, so
+    streaming gates stay exact instead of silently dropping unseen
+    grams."""
+    rtot = _grams(raw, id_col, text_col).agg(
+        F.count(F.lit(1)).alias("_r")
+    )
+    ttot = _grams(target, id_col, text_col).agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    return rtot.crossJoin(ttot).select(
+        F.round(
+            F.round(
+                F.log(F.col("_r") + F.lit(n_buckets))
+                - F.log(F.col("_t") + F.lit(n_buckets)),
+                6,
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("default_ratio_micro6")
+    )
+
+
+def score_against_ratios(
+    docs: DataFrame,
+    ratios: DataFrame,
+    default_ratio_micro6: int,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score NEW documents against a STATIC ratio table: (id,
+    n_grams, logw_micro6). Buckets absent from the table (grams the
+    table's raw corpus never produced) contribute
+    ``default_ratio_micro6`` per occurrence — the zero-count smoothing
+    value, so the streaming score equals what a batch rebuild with
+    those docs' buckets at count zero would give. LEFT broadcast join
+    + one map-side-combined groupBy on the id."""
+    per_doc = hashed_gram_buckets(docs, n_buckets, id_col, text_col)
+    return (
+        per_doc.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(
+                F.col("cnt")
+                * F.coalesce(
+                    "ratio_micro6", F.lit(int(default_ratio_micro6))
+                )
+            )
+            .cast("long")
+            .alias("logw_micro6"),
+        )
     )
 
 
@@ -261,14 +331,14 @@ def duckdb_dsir_weights_sql(
         _tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM _rb) AS rtot,
                         (SELECT CAST(sum(tc) AS BIGINT) FROM _tb) AS ttot),
         _ratio AS (
-          SELECT _rb.bucket,
+          SELECT bucket,
                  CAST(round(round(
                      ln(coalesce(tc, 0) + 1)
                    - ln(ttot + {n_buckets})
-                   - ln(rc + 1)
+                   - ln(coalesce(rc, 0) + 1)
                    + ln(rtot + {n_buckets}), 6) * 1e6) AS BIGINT)
                    AS ratio_micro6
-          FROM _rb LEFT JOIN _tb USING (bucket) CROSS JOIN _tot
+          FROM _rb FULL OUTER JOIN _tb USING (bucket) CROSS JOIN _tot
         ),
         _docb AS (
           SELECT {id_col}, {b} AS bucket,

@@ -216,6 +216,101 @@ class IngestAdmissionPipeline:
         self.close()
 
 
+class DsirGate:
+    """Streaming DSIR admission gate (the continuous form of
+    ``operators/dsir.py``): each arriving document is scored against
+    a STATIC hashed-n-gram importance ratio table (built once from a
+    raw corpus + target set), and only documents whose per-gram
+    average ratio clears ``min_avg_ratio_micro6`` reach the
+    exactly-once sink. The comparison is the exact integer
+    cross-multiplication ``logw_micro6 >= min * n_grams`` — no float
+    division anywhere, so a replayed batch re-derives bit-identical
+    decisions. Buckets outside the static table score the both-zero
+    smoothing constant (``dsir_default_ratio_micro6``), keeping the
+    streaming score equal to a batch rebuild.
+
+    Per micro-batch: one lag-window gram pass over the batch, the
+    ratio table (<= n_buckets rows) broadcasts, one id groupBy. No
+    state store; retrain-and-swap is a redeploy.
+
+    Emits (id, text, n_grams, logw_micro6) — the sink doubles as the
+    selection audit log."""
+
+    def __init__(
+        self,
+        ratios: DataFrame,
+        default_ratio_micro6: int,
+        sink: ExactlyOnceSink,
+        min_avg_ratio_micro6: int,
+        n_buckets: int = 4096,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.ratios = ratios.select("bucket", "ratio_micro6").persist()
+        self.default_ratio_micro6 = int(default_ratio_micro6)
+        self.sink = sink
+        self.min_avg_ratio_micro6 = int(min_avg_ratio_micro6)
+        self.n_buckets = n_buckets
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def admit(self, batch_df: DataFrame) -> DataFrame:
+        from auto_data_tokenize_spark.operators.dsir import (
+            score_against_ratios,
+        )
+
+        scored = score_against_ratios(
+            batch_df,
+            self.ratios,
+            self.default_ratio_micro6,
+            self.n_buckets,
+            self.id_col,
+            self.text_col,
+        )
+        return (
+            batch_df.join(scored, self.id_col)
+            .where(
+                F.col("logw_micro6")
+                >= F.lit(self.min_avg_ratio_micro6) * F.col("n_grams")
+            )
+            .select(
+                self.id_col, self.text_col, "n_grams", "logw_micro6"
+            )
+        )
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.sink.foreach_batch(self.admit(batch_df), batch_id)
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "adt-dsir",
+    ) -> None:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+    def close(self) -> None:
+        self.ratios.unpersist()
+
+    def __enter__(self) -> "DsirGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class BoilerplateGate:
     """Streaming boilerplate-span admission gate (the continuous form
     of :func:`operators.lines.remove_duplicated_spans`'s census): each

@@ -89,3 +89,61 @@ def test_plan_is_python_free_and_broadcasts(spark):
     )
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan  # the B-row ratio table side
+
+
+def test_static_scoring_default_for_oov(spark):
+    from auto_data_tokenize_spark.operators.dsir import (
+        dsir_default_ratio_micro6,
+        dsir_log_ratios,
+        score_against_ratios,
+    )
+
+    raw = _docs(spark, [(1, "x y"), (2, "y z")])
+    tgt = _docs(spark, [(9, "x")])
+    ratios = dsir_log_ratios(raw, tgt, n_buckets=32)
+    d = dsir_default_ratio_micro6(raw, tgt, n_buckets=32).first()[0]
+    # rtot = 6 gram occurrences (x,y,"x y",y,z,"y z"); ttot = 1 (x)
+    assert d == round(round(math.log(6 + 32) - math.log(1 + 32), 6) * 1e6)
+    # a fully-OOV doc: "zz qq" -> grams zz, qq, "zz qq" = 3 defaults
+    oov = _docs(spark, [(100, "zz qq")])
+    row = score_against_ratios(oov, ratios, d, n_buckets=32).first()
+    assert row.n_grams == 3 and row.logw_micro6 == 3 * d
+
+
+def test_static_scoring_equals_batch_on_known_docs(spark):
+    from auto_data_tokenize_spark.operators.dsir import (
+        dsir_default_ratio_micro6,
+        dsir_log_ratios,
+        score_against_ratios,
+    )
+
+    raw = _docs(spark, [(i, f"alpha beta w{i}") for i in range(6)])
+    tgt = _docs(spark, [(0, "alpha beta")])
+    ratios = dsir_log_ratios(raw, tgt, n_buckets=64)
+    d = dsir_default_ratio_micro6(raw, tgt, n_buckets=64).first()[0]
+    batch = {r.doc_id: (r.n_grams, r.logw_micro6) for r in
+             dsir_weights(raw, tgt, n_buckets=64).collect()}
+    static = {r.doc_id: (r.n_grams, r.logw_micro6) for r in
+              score_against_ratios(raw, ratios, d, n_buckets=64).collect()}
+    assert batch == static
+
+
+def test_ratio_table_covers_target_only_buckets(spark):
+    from auto_data_tokenize_spark.operators.dsir import (
+        dsir_log_ratios,
+        score_against_ratios,
+    )
+
+    # "t" appears ONLY in the target; a new doc using it must get its
+    # true smoothed ratio from the table, not the both-zero default
+    raw = _docs(spark, [(1, "x")])
+    tgt = _docs(spark, [(9, "t")])
+    ratios = dsir_log_ratios(raw, tgt, n_buckets=32)
+    row = score_against_ratios(
+        _docs(spark, [(5, "t")]), ratios, default_ratio_micro6=0,
+        n_buckets=32,
+    ).first()
+    # rc=0, tc=1, rtot=1, ttot=1:
+    want = round(round(
+        math.log(2) - math.log(33) - math.log(1) + math.log(33), 6) * 1e6)
+    assert row.logw_micro6 == want

@@ -1059,3 +1059,63 @@ def test_boilerplate_gate_validates_threshold(spark, tmp_path):
         BoilerplateGate(census, sink, max_covered_frac=1.5)
     with pytest.raises(ValueError, match="k must"):
         BoilerplateGate(census, sink, max_covered_frac=0.5, k=1)
+
+
+def test_dsir_gate_resume_no_dupes(spark, tmp_path):
+    """Streaming DSIR gate (q95 shape) across a checkpoint restart:
+    target-like docs pass, off-target docs are rejected, and resuming
+    into the same sink must not double-admit."""
+    import pandas as _pd
+
+    from auto_data_tokenize_spark.operators.dsir import (
+        dsir_default_ratio_micro6,
+        dsir_log_ratios,
+    )
+    from auto_data_tokenize_spark.streaming.ingest import DsirGate
+
+    raw = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(4)]
+        + [(10 + i, "omega psi chi phi") for i in range(4)],
+        "doc_id long, text string",
+    )
+    tgt = raw.where("doc_id < 4")
+    ratios = dsir_log_ratios(raw, tgt, n_buckets=64)
+    default = dsir_default_ratio_micro6(raw, tgt, n_buckets=64).first()[0]
+
+    def crawl_row(i):
+        return (
+            "alpha beta gamma delta" if i % 2 == 0
+            else "omega psi chi phi"
+        )
+
+    rows = [(1000 + i, crawl_row(i)) for i in range(20)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pdf = _pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf.iloc[:10].to_parquet(f"{in_dir}/a.parquet", index=False)
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        st = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        with DsirGate(
+            ratios, default, sink, min_avg_ratio_micro6=0, n_buckets=64
+        ) as gate:
+            gate.run(st, ckpt)
+
+    run()
+    mid = {r["doc_id"] for r in sink.read_committed(spark).collect()}
+    assert mid == {1000 + i for i in range(10) if i % 2 == 0}
+    pdf.iloc[10:].to_parquet(f"{in_dir}/b.parquet", index=False)
+    run()  # resume from the same checkpoint
+    rows_out = sink.read_committed(spark).collect()
+    ids = {r["doc_id"] for r in rows_out}
+    assert ids == {1000 + i for i in range(20) if i % 2 == 0}
+    assert len(rows_out) == len(ids)
+    # target-like docs carry a strictly positive integer weight
+    assert all(r["logw_micro6"] > 0 and r["n_grams"] == 7 for r in rows_out)
