@@ -141,8 +141,15 @@ def dsir_log_ratios(
     tg = _grams(target, id_col, text_col)
     rb = _bucket_totals(rg, n_buckets)
     tb = _bucket_totals(tg, n_buckets)
-    rtot = rb.agg(F.sum("cnt").cast("long").alias("_rtot"))
-    ttot = tb.agg(F.sum("cnt").cast("long").alias("_ttot"))
+    # coalesce: an EMPTY corpus sums to NULL, which would silently
+    # null every ratio; with 0 the alpha smoothing still defines a
+    # (uniform) distribution
+    rtot = rb.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("_rtot")
+    )
+    ttot = tb.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("_ttot")
+    )
     joined = (
         rb.withColumnRenamed("cnt", "_rc")
         .join(
@@ -182,7 +189,7 @@ def dsir_default_ratio_micro6(
     streaming gates stay exact instead of silently dropping unseen
     grams."""
     rtot = _grams(raw, id_col, text_col).agg(
-        F.count(F.lit(1)).alias("_r")
+        F.count(F.lit(1)).alias("_r")  # count(): 0 on empty, no NULL
     )
     ttot = _grams(target, id_col, text_col).agg(
         F.count(F.lit(1)).alias("_t")
@@ -328,8 +335,9 @@ def duckdb_dsir_weights_sql(
                 FROM _rg GROUP BY 1),
         _tb AS (SELECT {b} AS bucket, CAST(count(*) AS BIGINT) AS tc
                 FROM _tg GROUP BY 1),
-        _tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM _rb) AS rtot,
-                        (SELECT CAST(sum(tc) AS BIGINT) FROM _tb) AS ttot),
+        _tot AS (SELECT
+            (SELECT CAST(coalesce(sum(rc), 0) AS BIGINT) FROM _rb) AS rtot,
+            (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM _tb) AS ttot),
         _ratio AS (
           SELECT bucket,
                  CAST(round(round(

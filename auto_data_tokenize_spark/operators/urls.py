@@ -72,7 +72,14 @@ def _kept_query(url) -> "F.Column":
 
 def canonical_url_expr(url_col: str = "url") -> "F.Column":
     """The canonical form of ``url_col`` (see module docstring).
-    Twin: :func:`duckdb_canonical_url_sql` — byte-identical output."""
+    Twin: :func:`duckdb_canonical_url_sql` — byte-identical output.
+
+    Expects absolute URLs (``scheme://...``); a scheme-less or
+    malformed value degrades to ``"://"`` (every component regex
+    anchors on the scheme), which keeps such rows grouped together
+    and visibly wrong rather than silently passing through — filter
+    them upstream with ``url RLIKE '^[a-zA-Z][a-zA-Z0-9+.-]*://'``
+    if the crawl frontier can emit relative URLs."""
     url = F.col(url_col)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = F.regexp_replace(
