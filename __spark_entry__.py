@@ -803,8 +803,10 @@ def q47_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stage_append_log(pdf, staged: str, n_files: int = 8) -> str:
-    """Stage a pandas frame as doc_id-ordered sequential parquet files
+def _stage_append_log(
+    pdf, staged: str, n_files: int = 8, order_col: str = "doc_id"
+) -> str:
+    """Stage a pandas frame as id-ordered sequential parquet files
     with strictly increasing mtimes (FileStreamSource orders pending
     files by modification time; ties break arbitrarily) — the
     append-log arrival contract the order-dependent streaming
@@ -815,7 +817,7 @@ def _stage_append_log(pdf, staged: str, n_files: int = 8) -> str:
 
     os.makedirs(staged, exist_ok=True)
     t0 = _time.time() - 100
-    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pdf = pdf.sort_values(order_col).reset_index(drop=True)
     for k, chunk in enumerate(np.array_split(pdf, n_files)):
         p = f"{staged}/part-{k:03d}.parquet"
         chunk.to_parquet(p)
@@ -2562,6 +2564,117 @@ def q89_chat_render_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "shard", "n_tokens", "offset", "pack_id")
 
 
+def q96_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the augmented
+    embedding corpus (q18's planted near-copies put real pairs on both
+    sides of the 0.9 cut): k-means multi-probe cells generate the
+    candidates, exact cosine verifies, greedy keep-min-id marks
+    duplicates. Pair recall 1.0 at these (nlist=16, nprobe=4)
+    parameters is pinned by tests/test_similarity.py, which is what
+    lets the brute-force SQL oracle apply — precision is exact by
+    construction."""
+    from auto_data_tokenize_spark.operators.similarity import semantic_dedup
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    # dup_of sorts alphabetically before vec_id, so the parity
+    # harness's row sort would hit None-vs-int — sentinel -1 marks
+    # survivors (same trick as the other nullable-first gate outputs)
+    return semantic_dedup(
+        aug, threshold=0.9, nlist=16, nprobe=4, vec_col="v"
+    ).select(
+        "vec_id",
+        F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+    )
+
+
+def q97_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (alpha = 0.5): per-source keep
+    rates proportional to sqrt(source size) against a half-corpus
+    budget, computed in exact integer micro-units so both engines
+    derive identical 1/10000-bucket thresholds, then applied through
+    the md5-bucket survival rule of q54 — tail sources are upsampled
+    relative to raw proportions without duplicating documents. One
+    partial-agg groupBy for the counts (driver holds only the source
+    vocabulary), then a pure zero-shuffle filter."""
+    from auto_data_tokenize_spark.operators.corpus import (
+        mix_sources,
+        temperature_rates,
+    )
+
+    docs = _documents(spark, sf_dir)
+    rates = temperature_rates(docs, budget_num=1, budget_den=2)
+    return mix_sources(docs, rates, default_rate=0.0).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q98_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q96 semantic dedup as a continuous admission gate: the 50
+    planted near-copies arrive as an embedding stream and are probed
+    against the frozen k-means cells of the STATIC base corpus; an
+    arrival with any corpus vector at cosine ≥ 0.9 (exact rescore on
+    candidates only) is rejected, the rest reach the exactly-once
+    sink. The c=0.3 copies (cos ≈ 0.95) are rejected and the c=0.55
+    copies (cos 0.86–0.92) split on the threshold, so both gate
+    outcomes are exercised. Arrival-vs-arrival dedup is the batch
+    operator's job (q96); the gate checks arrivals against the corpus
+    only — the oracle is the same NOT-EXISTS over corpus pairs."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark.streaming.ingest import SemanticDedupGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    corpus = aug.filter(F.col("vec_id") < 1000000)
+    arrivals = aug.filter(F.col("vec_id") >= 1000000)
+
+    base = tempfile.mkdtemp(prefix="adt_q98_")
+    try:
+        pdf = arrivals.toPandas().sort_values("vec_id")
+        staged = _stage_append_log(
+            pdf, f"{base}/in", n_files=4, order_col="vec_id"
+        )
+        st = _stream_files(spark, staged, "vec_id long, v array<double>")
+        st = st.repartition(spark.sparkContext.defaultParallelism)
+        sink = ExactlyOnceSink(f"{base}/out")
+        with SemanticDedupGate(
+            corpus, sink, threshold=0.9, nlist=16, nprobe=4, vec_col="v"
+        ) as gate:
+            gate.run(st, f"{base}/ckpt")
+        out = sink.read_committed(spark).select("vec_id")
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+def q99_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicates over REAL decoded bitmaps: the 60-image
+    synth corpus (40 independent + 20 perturbed near-copies) is
+    BMP-encoded, decoded back by the stdlib parser, reduced to the
+    integer-exact 64-bit aHash, and paired by the pigeonhole-complete
+    hamming block join. The oracle hashes the same pixels with an
+    INDEPENDENT pure-Python-loop implementation (datagen golden
+    parquet, q30 methodology), so the gate checks the whole
+    encode → decode → hash → block-join path against spec
+    arithmetic."""
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.multimodal import (
+        image_ahash,
+        image_near_dups,
+        synth_image_corpus,
+    )
+
+    datagen.ensure_image_hashes(_sf_name(sf_dir))
+    imgs = synth_image_corpus(
+        spark,
+        n_base=datagen.IMAGE_CORPUS_BASE,
+        n_copies=datagen.IMAGE_CORPUS_COPIES,
+    )
+    return image_near_dups(image_ahash(imgs), max_hamming=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -2659,6 +2772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_stream_boilerplate_gate": _with_prep(q93_stream_boilerplate_gate),
         "q94_url_pipeline": _with_prep(q94_url_pipeline),
         "q95_stream_dsir_gate": _with_prep(q95_stream_dsir_gate),
+        "q96_semantic_dedup": _with_prep(q96_semantic_dedup),
+        "q97_temperature_mix": _with_prep(q97_temperature_mix),
+        "q98_stream_semantic_gate": _with_prep(q98_stream_semantic_gate),
+        "q99_image_near_dups": _with_prep(q99_image_near_dups),
     }
 
 
@@ -2896,6 +3013,74 @@ def _duck_mix_sql() -> str:
     from auto_data_tokenize_spark.operators.corpus import duckdb_mix_sql
 
     inner = duckdb_mix_sql("documents", _mix_rates())
+    return f"SELECT doc_id, source, lang FROM ({inner}) m"
+
+
+_DUCK_AUG_CTES = """
+        base AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ),
+        planted AS (
+          SELECT vec_id + 1000000 AS pvec_id,
+                 list_transform(range(1, len(v) + 1),
+                   i -> v[i] + (CASE WHEN vec_id < 25 THEN 0.3 ELSE 0.55 END)
+                               * v[len(v) + 1 - i]) AS v
+          FROM base WHERE vec_id < 50
+        ),
+        aug AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT pvec_id, v FROM planted
+        )
+"""
+
+_DUCK_COS_XY = """round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 6)"""
+
+
+def _duck_semantic_dedup_sql() -> str:
+    """Brute-force twin of q96: every exact pair at cosine >= 0.9
+    (the operator's probe recall is pinned 1.0, q18 methodology),
+    greedy min-id dup_of, -1 sentinel for survivors."""
+    return f"""
+        WITH {_DUCK_AUG_CTES},
+        dup AS (
+          SELECT y.vec_id AS vec_id, min(x.vec_id) AS dup_of
+          FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+          WHERE {_DUCK_COS_XY} >= 0.9
+          GROUP BY y.vec_id
+        )
+        SELECT a.vec_id, coalesce(d.dup_of, -1) AS dup_of
+        FROM aug a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """
+
+
+def _duck_semantic_gate_sql() -> str:
+    """Twin of q98: an arrival (planted id >= 1000000) is admitted iff
+    no BASE-corpus vector reaches cosine 0.9 — arrival-vs-arrival is
+    out of the gate's contract by design."""
+    return f"""
+        WITH {_DUCK_AUG_CTES}
+        SELECT y.vec_id
+        FROM aug y
+        WHERE y.vec_id >= 1000000
+          AND NOT EXISTS (
+            SELECT 1 FROM aug x
+            WHERE x.vec_id < 1000000 AND {_DUCK_COS_XY} >= 0.9
+          )
+    """
+
+
+def _duck_temperature_mix_sql() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_temperature_mix_sql,
+    )
+
+    inner = duckdb_temperature_mix_sql(
+        "documents", budget_num=1, budget_den=2
+    )
     return f"SELECT doc_id, source, lang FROM ({inner}) m"
 
 
@@ -3204,6 +3389,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
 
     datagen.ensure_extended(sf_name)
     datagen.ensure_bpe(sf_name)
+    datagen.ensure_image_hashes(sf_name)
 
     return {
         "q01_tokenize_turns": f"""
@@ -4101,5 +4287,18 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q89_chat_render_pack": f"""
             SELECT conv_id, shard, n_tokens, "offset", pack_id
             FROM ({_duck_chat_render_pack_sql(tr)})
+        """,
+        "q96_semantic_dedup": _duck_semantic_dedup_sql(),
+        "q97_temperature_mix": _duck_temperature_mix_sql(),
+        "q98_stream_semantic_gate": _duck_semantic_gate_sql(),
+        "q99_image_near_dups": f"""
+            WITH h AS (
+              SELECT media_id, ahash
+              FROM read_parquet('{dd}/image_ahash.parquet')
+            )
+            SELECT x.media_id AS a, y.media_id AS b,
+                   bit_count(xor(x.ahash, y.ahash))::INTEGER AS hamming
+            FROM h x JOIN h y ON x.media_id < y.media_id
+            WHERE bit_count(xor(x.ahash, y.ahash)) <= 8
         """,
     }

@@ -600,3 +600,65 @@ def ensure_bpe(
     )
     _write(enc, marker)
     return out_dir
+
+
+def golden_image_ahash(
+    ids: list, width: int = 16, height: int = 12, grid: int = 8
+) -> pd.DataFrame:
+    """INDEPENDENT pure-Python-loop implementation of the integer
+    aHash spec (operators/multimodal.py image_ahash docstring) over
+    the shared deterministic pixel generator — the q99 oracle golden.
+    Deliberately no numpy and no decode: it hashes the pixels the
+    synth WOULD encode, so the gate checks the operator's full
+    encode → BMP-decode → hash path against spec arithmetic."""
+    from auto_data_tokenize_spark.operators.multimodal import (
+        synth_image_pixels,
+    )
+
+    out = []
+    for media_id in ids:
+        px = synth_image_pixels(media_id, width, height)
+        gray = [
+            [
+                (px[y][x][0] * 299 + px[y][x][1] * 587 + px[y][x][2] * 114)
+                // 1000
+                for x in range(width)
+            ]
+            for y in range(height)
+        ]
+        lattice = [
+            gray[(ty * height) // grid][(tx * width) // grid]
+            for ty in range(grid)
+            for tx in range(grid)
+        ]
+        mean = sum(lattice) // (grid * grid)
+        v = 0
+        for g in lattice:
+            v = (v << 1) | (1 if g > mean else 0)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        out.append((media_id, v))
+    return pd.DataFrame(out, columns=["media_id", "ahash"]).astype(
+        {"media_id": "int64", "ahash": "int64"}
+    )
+
+
+IMAGE_CORPUS_BASE = 40
+IMAGE_CORPUS_COPIES = 20
+
+
+def ensure_image_hashes(
+    sf_name: str, data_root: str = DATA_ROOT, force: bool = False
+) -> str:
+    """Idempotently materialize the q99 golden: aHash of every image
+    in the synth image-dedup corpus (40 base + 20 planted near-copies;
+    the corpus itself is rebuilt deterministically in-query)."""
+    out_dir = ensure_sf(sf_name, data_root)
+    marker = os.path.join(out_dir, "image_ahash.parquet")
+    if os.path.exists(marker) and not force:
+        return out_dir
+    ids = list(range(IMAGE_CORPUS_BASE)) + [
+        1000 + i for i in range(IMAGE_CORPUS_COPIES)
+    ]
+    _write(golden_image_ahash(ids), marker)
+    return out_dir

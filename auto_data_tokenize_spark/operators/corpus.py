@@ -646,3 +646,104 @@ def normalized_dedup(
         )
         .select(id_col, "norm_hash", "n_dupes")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual-sampling rule
+    of Conneau & Lample 2019, alpha = 0.5): source s gets an expected
+    share proportional to sqrt(count_s), realized as a per-source keep
+    rate against a total budget of ``budget_num/budget_den`` of the
+    corpus, capped at 1. Feed the result straight to
+    :func:`mix_sources` — together they are the "size-temperature"
+    reweighting step of corpus assembly (upsamples tail sources
+    relative to raw proportions without duplicating documents).
+
+    Everything after the per-source counts is EXACT integer
+    arithmetic, chosen so the DuckDB twin
+    (:func:`duckdb_temperature_mix_sql`) reproduces the thresholds
+    bit-for-bit: sqrt is IEEE correctly-rounded in both engines, it is
+    quantized to integer micro-units BEFORE summing (integer sums are
+    order-free; double sums are not), and the final threshold is one
+    floor division. Thresholds are integer 1/10000 buckets, the same
+    grid ``mix_sources`` quantizes to, so the returned floats
+    round-trip exactly.
+
+    Scale: one partial-agg groupBy; the driver holds only the
+    per-source count list (bounded by the source vocabulary, like the
+    IVF centroid summary). Python integers are unbounded, so the
+    driver-side math cannot overflow at any corpus size (the SQL twin
+    notes its BIGINT headroom)."""
+    import math
+
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError("budget must be a non-negative rational p/q, q > 0")
+    counts = {
+        r["src"]: r["cnt"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    sw = {s: int(math.floor(math.sqrt(c) * 1_000_000)) for s, c in counts.items()}
+    ssw = sum(sw.values())
+    total = sum(counts.values())
+    budget = (total * budget_num) // budget_den
+    return {
+        s: min(
+            SPLIT_BUCKETS,
+            (budget * SPLIT_BUCKETS * sw[s]) // (counts[s] * ssw),
+        )
+        / float(SPLIT_BUCKETS)
+        for s in counts
+    }
+
+
+def duckdb_temperature_mix_sql(
+    table: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "adt-mix-v1",
+) -> str:
+    """DuckDB twin of ``mix_sources(df, temperature_rates(df, ...))``:
+    recomputes the same integer micro-unit thresholds and the same
+    md5-bucket survival rule in one statement. BIGINT products here
+    hold to ~9e18 (budget × 10000 × sw); beyond that cast the
+    threshold arithmetic to HUGEINT — the Spark side computes it in
+    unbounded Python integers either way."""
+    b = _duck_bucket_expr(id_col, seed)
+    return f"""
+        WITH _cnts AS (
+          SELECT {source_col} AS _src, CAST(count(*) AS BIGINT) AS _cnt
+          FROM {table} GROUP BY 1
+        ),
+        _w AS (
+          SELECT _src, _cnt,
+                 CAST(floor(sqrt(_cnt) * 1000000) AS BIGINT) AS _sw
+          FROM _cnts
+        ),
+        _tot AS (
+          SELECT CAST(sum(_sw) AS BIGINT) AS _ssw,
+                 CAST(sum(_cnt) AS BIGINT) AS _total
+          FROM _w
+        ),
+        _thr AS (
+          SELECT _src,
+                 least(
+                   {SPLIT_BUCKETS},
+                   (((_total * {int(budget_num)}) // {int(budget_den)})
+                    * {SPLIT_BUCKETS} * _sw) // (_cnt * _ssw)
+                 ) AS _t
+          FROM _w, _tot
+        )
+        SELECT t.*
+        FROM {table} t JOIN _thr ON t.{source_col} = _thr._src
+        WHERE {b} < _t
+    """

@@ -430,3 +430,168 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- image near-duplicates (average-hash) ---------------------------------
+
+AHASH_GRID = 8
+
+
+def synth_image_pixels(
+    media_id: int, width: int = 16, height: int = 12
+) -> list:
+    """Deterministic pure-Python pixel field for the image-dedup
+    fixtures: md5-seeded RGB noise per (id, y, x); ids >= 1000 are
+    NEAR-COPIES of id-1000 with a sparse lattice of pixels bumped by
+    +8 (every 37th position) — visually identical, a few aHash bits
+    apart. Pure ints so the datagen golden and the Spark-side synth
+    build bit-identical images on any machine."""
+    if media_id >= 1000:
+        px = synth_image_pixels(media_id - 1000, width, height)
+        for y in range(height):
+            for x in range(width):
+                if (y * width + x) % 37 == 0:
+                    px[y][x] = [(c + 8) % 256 for c in px[y][x]]
+        return px
+    px = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            h = hashlib.md5(
+                f"adt-img:{media_id}:{y}:{x}".encode()
+            ).digest()
+            row.append([h[0], h[1], h[2]])
+        px.append(row)
+    return px
+
+
+def synth_image_corpus(
+    spark, n_base: int = 40, n_copies: int = 20,
+    width: int = 16, height: int = 12,
+) -> DataFrame:
+    """Real-BMP image corpus with planted near-duplicates: ids
+    0..n_base-1 are independent noise images, ids 1000..1000+n_copies-1
+    are perturbed copies of 0..n_copies-1 (``synth_image_pixels``)."""
+    ids = list(range(n_base)) + [1000 + i for i in range(n_copies)]
+    rows = [
+        (
+            i,
+            encode_bmp(
+                np.array(
+                    synth_image_pixels(i, width, height), dtype=np.uint8
+                )
+            ),
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def image_ahash(
+    media: DataFrame,
+    grid: int = AHASH_GRID,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded bitmaps — the image
+    arm of corpus dedup (pHash-family; aHash is the DCT-free variant
+    computable without media libs). Integer-exact spec, so independent
+    implementations agree bit-for-bit (datagen's golden is pure-Python
+    loops, this operator is numpy — same 64 bits):
+
+      1. gray = (299·R + 587·G + 114·B) // 1000 per pixel
+      2. nearest-sample a grid×grid lattice: src = (t · dim) // grid
+      3. mean = sum(lattice) // grid²
+      4. bit (grid²-1-k) = 1 iff gray_k > mean (row-major k)
+
+    Poison payloads (null / truncated / non-BMP) quarantine as NULL.
+    Scale: payload-pruned projection before mapInPandas, one Arrow
+    pass, output is (id, int64) — the 100 TB image corpus reduces to
+    8 bytes per image before any join."""
+    pruned = media.select(id_col, payload_col)
+    bits_n = grid * grid
+    if bits_n > 64:
+        raise ValueError("grid too large for a 64-bit hash")
+
+    def _one(p):
+        try:
+            rgb = parse_bmp(bytes(p or b"")).astype(np.int64)
+        except Exception:
+            return None
+        h, w = rgb.shape[:2]
+        gray = (
+            rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114
+        ) // 1000
+        ys = (np.arange(grid) * h) // grid
+        xs = (np.arange(grid) * w) // grid
+        g = gray[np.ix_(ys, xs)]
+        m = int(g.sum()) // (grid * grid)
+        v = 0
+        for b in (g > m).ravel():
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "ahash": pd.array(
+                        [_one(p) for p in pdf[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return pruned.mapInPandas(_proc, "media_id long, ahash long")
+
+
+def image_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """All image pairs within ``max_hamming`` aHash bits — exact by the
+    pigeonhole block guarantee (max_hamming+1 blocks over the 64-bit
+    hash: any pair within the budget collides on at least one block),
+    the same completeness argument as ``dedup.simhash_near_dups``.
+    Quarantined (NULL-hash) images are excluded. Output (a, b, hamming)
+    with a < b. Shuffles: one (block_idx, block_key) candidate join +
+    a pair dedupe; the verify is pure JVM bit_count — no all-pairs
+    stage, no Python after the hash."""
+    n_blocks = int(max_hamming) + 1
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    keys = []
+    for i in range(n_blocks):
+        lo = i * 64 // n_blocks
+        hi = (i + 1) * 64 // n_blocks
+        mask = (1 << (hi - lo)) - 1
+        keys.append(
+            F.struct(
+                F.lit(i).alias("_bi"),
+                F.expr(f"shiftrightunsigned(_h, {lo}) & {mask}").alias(
+                    "_bk"
+                ),
+            )
+        )
+    blk = h.select(
+        "_id", "_h", F.explode(F.array(*keys)).alias("_b")
+    ).select("_id", "_h", F.col("_b._bi").alias("_bi"), F.col("_b._bk").alias("_bk"))
+    a = blk.select("_bi", "_bk", F.col("_id").alias("a"), F.col("_h").alias("_ha"))
+    b = blk.select("_bi", "_bk", F.col("_id").alias("b"), F.col("_h").alias("_hb"))
+    pairs = (
+        a.join(b, ["_bi", "_bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_ha", "_hb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.expr("cast(bit_count(_ha ^ _hb) as int)")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -352,3 +352,98 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def semantic_cells(
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Multi-probe k-means cell assignment: each vector lands in its
+    ``nprobe`` nearest of ``nlist`` deterministic Lloyd centroids
+    (:func:`ivf_index` seeding — md5 order, no RNG state). Returns
+    ``(cells_df(id, _cell), centroids ndarray)``; the exploded cell
+    table is the blocking structure for :func:`semantic_dedup` and the
+    streaming admission gate (which must probe ARRIVALS against the
+    same frozen centroids)."""
+    _, cents = ivf_index(corpus, nlist, iters, id_col, vec_col, seed)
+    n = min(int(nprobe), len(cents))
+    cells = (
+        corpus.withColumn(
+            "_cells", _argmin_cells_udf(cents, n=n)(F.col(vec_col))
+        )
+        .select(id_col, F.explode_outer("_cells").alias("_cell"))
+    )
+    return cells, cents
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with deterministic
+    k-means, generate candidate pairs only WITHIN shared cells, exact-
+    rescore candidates with true cosine, and mark a document as a
+    duplicate if a *smaller-id* document with cosine ≥ ``threshold``
+    exists (the same greedy keep-min-id policy as
+    ``dedup.minhash_dedup``). Output: ``(id_col, dup_of nullable)``.
+
+    Multi-probe assignment (``nprobe`` nearest cells per vector, OR
+    over shared cells) is the recall knob: near-dup pairs are nearly
+    coincident points, so they share a nearest-centroid set long
+    before unrelated pairs do — tests/test_similarity.py pins measured
+    pair recall 1.0 vs brute force at the driver-query parameters,
+    which is what lets the exact brute-force SQL oracle apply (the
+    q18 LSH methodology). Precision is exact regardless: every emitted
+    dup is verified by true cosine.
+
+    100 TB shape: the quadratic stage is per-cell, and SemDeDup's
+    design point is that ``nlist`` grows with the corpus so cell
+    population stays bounded; centroids (nlist × dim) are the only
+    driver-side data. Shuffles: one cell-keyed candidate join, one
+    pair dedupe, two id-keyed vector fetch-backs, one groupBy(b) —
+    no all-pairs stage anywhere.
+
+    Cross-engine contract: cosine is rounded to 6 decimals before the
+    threshold compare (``with_cosine``), the same emission rule as
+    q18's oracle."""
+    cells, _ = semantic_cells(
+        corpus, nlist, nprobe, iters, id_col, vec_col, seed
+    )
+    a = cells.select("_cell", F.col(id_col).alias("a"))
+    b = cells.select("_cell", F.col(id_col).alias("b"))
+    pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    rejoined = (
+        pairs.join(
+            vecs.withColumnRenamed("_vid", "a").withColumnRenamed("_v", "va"),
+            "a",
+        )
+        .join(
+            vecs.withColumnRenamed("_vid", "b").withColumnRenamed("_v", "vb"),
+            "b",
+        )
+    )
+    dup_pairs = with_cosine(rejoined, "va", "vb").filter(
+        F.col("cosine") >= threshold
+    )
+    dup_of = dup_pairs.groupBy(F.col("b").alias(id_col)).agg(
+        F.min("a").alias("dup_of")
+    )
+    return corpus.select(id_col).join(dup_of, id_col, "left")

@@ -408,3 +408,119 @@ class BoilerplateGate:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class SemanticDedupGate:
+    """Streaming semantic-dedup admission gate (the continuous form of
+    ``similarity.semantic_dedup``): each arriving embedding is probed
+    against the FROZEN k-means centroids of the existing corpus, joined
+    to the corpus's persisted cell table to collect candidate
+    neighbors, exact-rescored with true cosine, and admitted only if no
+    corpus vector reaches ``threshold``. The centroids are fixed for
+    the life of the gate (retrain-and-swap is a redeploy, same contract
+    as :class:`FluencyGate`'s LM), so the admit decision is a
+    deterministic function of batch content + static tables and a
+    replayed batch no-ops at the exactly-once sink.
+
+    100 TB shape per micro-batch: probing is one Arrow matmul over the
+    batch (centroids are nlist × dim, broadcast by closure); the
+    candidate join is keyed on the int cell id against the
+    cell-partitioned corpus table (bucket it at real scale); the
+    rescore touches only candidates. Recall of the probe at the
+    configured (nlist, nprobe) is pinned by tests, the same
+    methodology that backs the batch operator's brute-force oracle."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        sink: ExactlyOnceSink,
+        threshold: float = 0.9,
+        nlist: int = 16,
+        nprobe: int = 4,
+        iters: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ):
+        from auto_data_tokenize_spark.operators.similarity import (
+            semantic_cells,
+        )
+
+        self.sink = sink
+        self.threshold = float(threshold)
+        self.nprobe = int(nprobe)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        cells, cents = semantic_cells(
+            corpus, nlist, nprobe, iters, id_col, vec_col, seed
+        )
+        self.cents = cents
+        self.corpus_cells = cells.withColumnRenamed(id_col, "_cid").persist()
+        self.corpus_vecs = corpus.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        ).persist()
+
+    def admit(self, batch_df: DataFrame) -> DataFrame:
+        from auto_data_tokenize_spark.operators.similarity import (
+            _argmin_cells_udf,
+            with_cosine,
+        )
+
+        n = min(self.nprobe, len(self.cents))
+        probed = batch_df.withColumn(
+            "_cells", _argmin_cells_udf(self.cents, n=n)(F.col(self.vec_col))
+        ).select(
+            self.id_col, F.explode_outer("_cells").alias("_cell")
+        )
+        cand = (
+            probed.join(self.corpus_cells, "_cell")
+            .select(self.id_col, "_cid")
+            .distinct()
+            .join(self.corpus_vecs, "_cid")
+            .join(
+                batch_df.select(
+                    self.id_col, F.col(self.vec_col).alias("_av")
+                ),
+                self.id_col,
+            )
+        )
+        dup_ids = (
+            with_cosine(cand, "_av", "_cv")
+            .filter(F.col("cosine") >= self.threshold)
+            .select(self.id_col)
+            .distinct()
+        )
+        return batch_df.join(dup_ids, self.id_col, "left_anti")
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.sink.foreach_batch(self.admit(batch_df), batch_id)
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "adt-semdedup",
+    ) -> None:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+    def close(self) -> None:
+        self.corpus_cells.unpersist()
+        self.corpus_vecs.unpersist()
+
+    def __enter__(self) -> "SemanticDedupGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

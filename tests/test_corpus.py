@@ -470,3 +470,25 @@ def test_normalized_text_cross_engine_contract(spark):
         ).fetchall()
     )
     assert got_spark == got_duck
+
+
+def test_temperature_rates_exact_integer_thresholds(spark):
+    """Hand-computed micro-unit arithmetic: 900/100 split at a half
+    budget — the sqrt weighting upsamples the tail source to rate 1.0
+    while the head source lands on the exact floor-division bucket."""
+    from auto_data_tokenize_spark.operators.corpus import (
+        mix_sources,
+        temperature_rates,
+    )
+
+    rows = [(i, "A" if i < 900 else "B") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = temperature_rates(df, budget_num=1, budget_den=2)
+    # sw_A=30_000_000, sw_B=10_000_000, ssw=40_000_000, T=500
+    # thr_A = (500*10000*3e7)//(900*4e7) = 4166; thr_B caps at 10000
+    assert rates == {"A": 4166 / 10000.0, "B": 1.0}
+    kept = mix_sources(df, rates, default_rate=0.0).groupBy("source").count()
+    by = {r["source"]: r["count"] for r in kept.collect()}
+    assert by["B"] == 100           # tail source fully kept
+    assert 330 <= by["A"] <= 420    # ~0.4166 of 900 via md5 buckets
+    assert temperature_rates(df.limit(0)) == {}

@@ -290,3 +290,63 @@ def test_poison_payloads_quarantine_not_crash(spark):
         for r in resize_images(media, 4, 3, decoder="fake").collect()
     }
     assert rerun == fake  # deterministic across runs
+
+
+def test_image_ahash_matches_independent_golden(spark):
+    """The numpy decode-path aHash must equal the pure-Python-loop
+    spec arithmetic over the same pixels (q99's oracle contract)."""
+    from auto_data_tokenize_spark.datagen import golden_image_ahash
+    from auto_data_tokenize_spark.operators.multimodal import (
+        image_ahash,
+        synth_image_corpus,
+    )
+
+    imgs = synth_image_corpus(spark, n_base=10, n_copies=5)
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in image_ahash(imgs).collect()
+    }
+    want = golden_image_ahash(list(range(10)) + [1000 + i for i in range(5)])
+    assert got == dict(zip(want["media_id"], want["ahash"]))
+
+
+def test_image_near_dups_finds_planted_copies(spark):
+    """Every planted (i, 1000+i) pair is within the hamming budget;
+    no independent-noise pair sneaks under it; block join == brute
+    force (pigeonhole completeness check)."""
+    from auto_data_tokenize_spark.operators.multimodal import (
+        image_ahash,
+        image_near_dups,
+        synth_image_corpus,
+    )
+
+    imgs = synth_image_corpus(spark, n_base=20, n_copies=10)
+    hashes = image_ahash(imgs).collect()
+    hs = {r["media_id"]: r["ahash"] for r in hashes}
+    brute = {
+        (a, b)
+        for a in hs
+        for b in hs
+        if a < b and bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in image_near_dups(
+            image_ahash(imgs), max_hamming=8
+        ).collect()
+    }
+    assert got == brute
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= got
+    # no pair of two independent base images
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+
+
+def test_image_ahash_quarantines_poison(spark):
+    from auto_data_tokenize_spark.operators.multimodal import image_ahash
+
+    df = spark.createDataFrame(
+        [(1, b"not a bmp"), (2, None)], "media_id long, payload binary"
+    )
+    rows = image_ahash(df).collect()
+    assert all(r["ahash"] is None for r in rows) and len(rows) == 2

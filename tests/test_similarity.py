@@ -162,3 +162,100 @@ def test_scoring_is_jvm_side(spark, corpus, queries):
     )
     # the scoring crossJoin stage must not invoke Python
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_small_plants(spark, corpus):
+    """Greedy keep-min-id policy: the planted near-copy of vec 0
+    (vec 5, cos ≈ 1) must carry dup_of=0; everything else in the
+    i.i.d. corpus survives."""
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in similarity.semantic_dedup(
+            corpus, threshold=0.95, nlist=8, nprobe=4
+        ).collect()
+    }
+    assert out[5] == 0
+    assert sum(v is not None for v in out.values()) == 1
+    assert len(out) == 200
+
+
+def test_q96_semantic_recall_is_exact(spark):
+    """At the q96 parameters (nlist=16, nprobe=4, threshold 0.9) the
+    cell-blocked pipeline must mark EXACTLY the brute-force dup set on
+    the sf0.01 corpus — the measured-recall=1.0 property that licenses
+    q96's exact SQL oracle (same methodology as q18's)."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as em
+
+    aug = em._augmented_embeddings(spark, sf)
+    a = aug.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = aug.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        similarity.with_cosine(
+            a.crossJoin(b).filter(F.col("a") < F.col("b")), "va", "vb"
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .collect()
+    )
+    want = {}
+    for r in pairs:
+        want[r["b"]] = min(want.get(r["b"], r["a"]), r["a"])
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in em.q96_semantic_dedup(spark, sf).collect()
+    }
+    assert len(want) >= 20  # planted dups exist on this corpus
+    for vid, d in got.items():
+        assert d == want.get(vid, -1)
+
+
+def test_stream_semantic_gate_matches_batch(spark, tmp_path):
+    """The streaming admission decision equals the batch NOT-EXISTS
+    twin: rejected arrivals are exactly those with a corpus near-dup."""
+    import numpy as np
+
+    from auto_data_tokenize_spark.streaming.ingest import SemanticDedupGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, DIM)).astype(np.float64)
+    corpus_df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    # arrivals: 3 near-copies of corpus rows (rejected), 3 fresh (admitted)
+    arr = []
+    for j, src in enumerate([0, 7, 33]):
+        arr.append((1000 + j, [float(x) for x in base[src] * 1.01]))
+    fresh = rng.normal(size=(3, DIM))
+    for j in range(3):
+        arr.append((2000 + j, [float(x) for x in fresh[j]]))
+    import pandas as pd
+
+    pdf = pd.DataFrame(arr, columns=["vec_id", "embedding"])
+    in_dir = str(tmp_path / "in")
+    import os as _os
+
+    _os.makedirs(in_dir)
+    pdf.iloc[:3].to_parquet(f"{in_dir}/a.parquet", index=False)
+    pdf.iloc[3:].to_parquet(f"{in_dir}/b.parquet", index=False)
+    _os.utime(f"{in_dir}/a.parquet", (1, 1))
+    _os.utime(f"{in_dir}/b.parquet", (2, 2))
+    st = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    with SemanticDedupGate(
+        corpus_df, sink, threshold=0.99, nlist=8, nprobe=4
+    ) as gate:
+        gate.run(st, str(tmp_path / "ckpt"))
+    got = sorted(
+        r["vec_id"] for r in sink.read_committed(spark).collect()
+    )
+    assert got == [2000, 2001, 2002]
