@@ -179,14 +179,14 @@ def test_semantic_dedup_small_plants(spark, corpus):
     assert len(out) == 200
 
 
-def test_q96_semantic_recall_is_exact(spark):
-    """At the q96 parameters (nlist=16, nprobe=4, threshold 0.9) the
-    cell-blocked pipeline must mark EXACTLY the brute-force dup set on
-    the sf0.01 corpus — the measured-recall=1.0 property that licenses
-    q96's exact SQL oracle (same methodology as q18's)."""
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_q96_semantic_recall_is_exact(spark, sf):
+    """At the q96 parameters (nlist=64, nprobe=4, threshold 0.9) the
+    cell-blocked pipeline must mark EXACTLY the brute-force dup set at
+    BOTH gate scale factors — the measured-recall=1.0 property that
+    licenses q96's exact SQL oracle (same methodology as q18's)."""
     import os
 
-    sf = "/root/testdata/sf0.01"
     if not os.path.exists(f"{sf}/embeddings.parquet"):
         pytest.skip("driver testdata not present")
     import __spark_entry__ as em
