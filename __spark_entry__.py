@@ -2677,6 +2677,28 @@ def q99_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dups(image_ahash(imgs), max_hamming=8)
 
 
+def q100_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier (the CCNet/GPT-3 linear-filter
+    recipe): train on the documents table with lang=='en' as the
+    positive label (a deterministic ground truth both engines can
+    derive), score every document with the exact integer micro-unit
+    log-posterior ratio. Train = one map-side-combined (token, class)
+    groupBy; score = one broadcast hash join + per-doc partial agg —
+    no iterative driver loop anywhere. min_count=2 exercises the
+    vocabulary cutoff that keeps the model broadcast-sized at 100 TB."""
+    from auto_data_tokenize_spark.operators.quality_clf import (
+        score_nb,
+        train_nb,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    labeled = docs.withColumn("label", F.col("lang") == "en")
+    model = train_nb(labeled, min_count=2)
+    return score_nb(docs, model).select(
+        "doc_id", "n_tokens", "score_micro6"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -2778,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_temperature_mix": _with_prep(q97_temperature_mix),
         "q98_stream_semantic_gate": _with_prep(q98_stream_semantic_gate),
         "q99_image_near_dups": _with_prep(q99_image_near_dups),
+        "q100_nb_quality_scores": _with_prep(q100_nb_quality_scores),
     }
 
 
@@ -3084,6 +3107,19 @@ def _duck_temperature_mix_sql() -> str:
         "documents", budget_num=1, budget_den=2
     )
     return f"SELECT doc_id, source, lang FROM ({inner}) m"
+
+
+def _duck_nb_sql() -> str:
+    from auto_data_tokenize_spark.operators.quality_clf import (
+        duckdb_nb_score_sql,
+    )
+
+    base = "SELECT doc_id, text, lang FROM documents"
+    return duckdb_nb_score_sql(
+        labeled_sql=f"SELECT *, lang = 'en' AS label FROM ({base}) b",
+        docs_sql=base,
+        min_count=2,
+    )
 
 
 def _duck_dataset_report_sql() -> str:
@@ -4303,4 +4339,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM h x JOIN h y ON x.media_id < y.media_id
             WHERE bit_count(xor(x.ahash, y.ahash)) <= 8
         """,
+        "q100_nb_quality_scores": _duck_nb_sql(),
     }

@@ -253,6 +253,13 @@ def ivf_index(
         .collect()
     )
     cents = np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    if len(cents) == 0:
+        # empty corpus: no centroids to assign against (the UDF's
+        # vectorized norm needs a 2-D matrix) — degenerate explicitly
+        return (
+            corpus.withColumn("_cell", F.lit(None).cast("int")),
+            cents,
+        )
     for _ in range(iters):
         assigned = corpus.withColumn(
             "_cell", _argmin_cells_udf(cents)(F.col(vec_col))
@@ -369,8 +376,20 @@ def semantic_cells(
     ``(cells_df(id, _cell), centroids ndarray)``; the exploded cell
     table is the blocking structure for :func:`semantic_dedup` and the
     streaming admission gate (which must probe ARRIVALS against the
-    same frozen centroids)."""
+    same frozen centroids).
+
+    An EMPTY corpus yields zero centroids; the assignment UDF cannot
+    matmul against a 0-row matrix, so this degenerates explicitly to
+    an empty cell table (same empty-input posture as the DSIR
+    totals)."""
     _, cents = ivf_index(corpus, nlist, iters, id_col, vec_col, seed)
+    if len(cents) == 0:
+        return (
+            corpus.select(
+                id_col, F.lit(None).cast("int").alias("_cell")
+            ).limit(0),
+            cents,
+        )
     n = min(int(nprobe), len(cents))
     cells = (
         corpus.withColumn(

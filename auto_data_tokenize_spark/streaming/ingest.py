@@ -466,6 +466,9 @@ class SemanticDedupGate:
             with_cosine,
         )
 
+        if len(self.cents) == 0:
+            # empty corpus: nothing to collide with — admit everything
+            return batch_df
         n = min(self.nprobe, len(self.cents))
         probed = batch_df.withColumn(
             "_cells", _argmin_cells_udf(self.cents, n=n)(F.col(self.vec_col))

@@ -259,3 +259,10 @@ def test_stream_semantic_gate_matches_batch(spark, tmp_path):
         r["vec_id"] for r in sink.read_committed(spark).collect()
     )
     assert got == [2000, 2001, 2002]
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    """Zero centroids must degenerate to an empty result, not a
+    0-row-matmul crash (the DSIR empty-input posture)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.semantic_dedup(empty).count() == 0
