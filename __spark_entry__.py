@@ -3610,28 +3610,11 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 10
         """,
-        "q18_embedding_near_dups": """
-            WITH base AS (
-              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-              FROM embeddings
-            ),
-            planted AS (
-              SELECT vec_id + 1000000 AS pvec_id,
-                     list_transform(range(1, len(v) + 1),
-                       i -> v[i] + (CASE WHEN vec_id < 25 THEN 0.3 ELSE 0.55 END)
-                                   * v[len(v) + 1 - i]) AS v
-              FROM base WHERE vec_id < 50
-            ),
-            aug AS (
-              SELECT vec_id, v FROM base
-              UNION ALL
-              SELECT pvec_id, v FROM planted
-            ),
+        "q18_embedding_near_dups": f"""
+            WITH {_DUCK_AUG_CTES},
             scored AS (
               SELECT x.vec_id AS a, y.vec_id AS b,
-                     round(list_dot_product(x.v, y.v)
-                           / (sqrt(list_dot_product(x.v, x.v))
-                              * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+                     {_DUCK_COS_XY} AS cosine
               FROM aug x JOIN aug y ON x.vec_id < y.vec_id
             )
             SELECT a, b, cosine FROM scored WHERE cosine >= 0.9

@@ -688,6 +688,16 @@ def temperature_rates(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    if None in counts:
+        # mix_sources can never apply a NULL-keyed rate (its when-chain
+        # condition `col == NULL` is never true), so NULL-source docs
+        # would silently fall to default_rate while still inflating the
+        # budget and the sqrt-weight denominators — and the SQL twin's
+        # inner join would drop them instead. Fail fast.
+        raise ValueError(
+            f"{source_col} contains NULLs ({counts[None]} docs); assign "
+            "an explicit source (or filter) before temperature mixing"
+        )
     if not counts:
         return {}
     sw = {s: int(math.floor(math.sqrt(c) * 1_000_000)) for s, c in counts.items()}

@@ -578,7 +578,7 @@ def image_near_dups(
             )
         )
     blk = h.select(
-        "_id", "_h", F.explode(F.array(*keys)).alias("_b")
+        "_id", "_h", F.explode_outer(F.array(*keys)).alias("_b")
     ).select("_id", "_h", F.col("_b._bi").alias("_bi"), F.col("_b._bk").alias("_bk"))
     a = blk.select("_bi", "_bk", F.col("_id").alias("a"), F.col("_h").alias("_ha"))
     b = blk.select("_bi", "_bk", F.col("_id").alias("b"), F.col("_h").alias("_hb"))

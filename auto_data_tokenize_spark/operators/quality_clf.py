@@ -53,16 +53,28 @@ def _tokens(text_col: str) -> "F.Column":
 @dataclass
 class NaiveBayesModel:
     """ratios: (token, ratio_micro6 long); defaults: 1 row
-    (default_ratio_micro6, prior_micro6) — both bounded tables."""
+    (default_ratio_micro6, prior_micro6) — both bounded tables.
+    ``ratios`` is built on a PERSISTED count table (see train_nb);
+    call :meth:`unpersist` when the model is retired."""
 
     ratios: DataFrame
     defaults: DataFrame
+    _counts: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._counts is not None:
+            self._counts.unpersist()
+
+    def __enter__(self) -> "NaiveBayesModel":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
 
 def train_nb(
     labeled: DataFrame,
     label_col: str = "label",
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 1,
 ) -> NaiveBayesModel:
@@ -86,6 +98,12 @@ def train_nb(
         )
         .filter((F.col("_c1") + F.col("_c0")) >= min_count)
     )
+    # persist: the count table is consumed twice (the totals row here,
+    # the ratio projection at score time) — without it the full
+    # explode+groupBy over the labeled corpus would run twice, and a
+    # mutated source between train and score would silently desync the
+    # collected totals from the recomputed counts
+    counts = counts.persist()
     # class totals and doc priors are 1-row bounded summaries (the IVF
     # centroid precedent) — collecting them here both inlines them as
     # literals (no crossJoins in the ratio plan) and lets an unusable
@@ -130,7 +148,7 @@ def train_nb(
             F.log(F.lit(dc["_d1"])) - F.log(F.lit(dc["_d0"]))
         ).alias("prior_micro6"),
     )
-    return NaiveBayesModel(ratios=ratios, defaults=defaults)
+    return NaiveBayesModel(ratios=ratios, defaults=defaults, _counts=counts)
 
 
 def score_nb(

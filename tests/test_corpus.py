@@ -492,3 +492,15 @@ def test_temperature_rates_exact_integer_thresholds(spark):
     assert by["B"] == 100           # tail source fully kept
     assert 330 <= by["A"] <= 420    # ~0.4166 of 900 via md5 buckets
     assert temperature_rates(df.limit(0)) == {}
+
+
+def test_temperature_rates_rejects_null_sources(spark):
+    """A NULL source key can never match mix_sources' when-chain, so
+    it must fail fast instead of silently skewing the budget."""
+    from auto_data_tokenize_spark.operators.corpus import temperature_rates
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "B")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_rates(df)

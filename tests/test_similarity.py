@@ -266,3 +266,44 @@ def test_semantic_dedup_empty_corpus(spark):
     0-row-matmul crash (the DSIR empty-input posture)."""
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.semantic_dedup(empty).count() == 0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_q98_gate_recall_matches_not_exists_oracle(spark, sf):
+    """q98's probe configuration (nlist=16, nprobe=4, threshold 0.9)
+    must admit EXACTLY the arrivals with no >= 0.9 corpus partner
+    (brute force over corpus pairs) at both gate scale factors — the
+    measured-recall property that licenses its NOT-EXISTS SQL oracle."""
+    import os
+
+    if not os.path.exists(f"{sf}/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as em
+
+    aug = em._augmented_embeddings(spark, sf)
+    corpus = aug.filter(F.col("vec_id") < 1000000)
+    arrivals = aug.filter(F.col("vec_id") >= 1000000)
+    rejected = {
+        r["a"]
+        for r in similarity.with_cosine(
+            arrivals.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+            .crossJoin(
+                corpus.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+            ),
+            "va",
+            "vb",
+        )
+        .filter(F.col("cosine") >= 0.9)
+        .select("a")
+        .distinct()
+        .collect()
+    }
+    want = sorted(
+        r["vec_id"] for r in arrivals.select("vec_id").collect()
+        if r["vec_id"] not in rejected
+    )
+    got = sorted(
+        r["vec_id"] for r in em.q98_stream_semantic_gate(spark, sf).collect()
+    )
+    assert 0 < len(want) < 50  # both gate outcomes exercised
+    assert got == want
