@@ -2699,6 +2699,52 @@ def q100_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NB_GATE_MIN_SCORE_MICRO6 = -450000
+
+
+def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q100 classifier as a continuous admission gate: documents
+    arrive as a file stream and each micro-batch is scored against the
+    STATIC Naive-Bayes model (trained once on the corpus with
+    lang=='en' as the positive label); only docs whose exact integer
+    log-posterior ratio clears the threshold reach the exactly-once
+    sink. The threshold sits between the measured en / non-en score
+    bands so both gate outcomes are exercised. Oracle: the q100 score
+    SQL filtered at the same integer threshold. Per micro-batch: one
+    token explode, the vocabulary-bounded ratio table broadcasts, one
+    id groupBy — no state store."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark.operators.quality_clf import train_nb
+    from auto_data_tokenize_spark.streaming.ingest import NbQualityGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    model = train_nb(
+        docs.withColumn("label", F.col("lang") == "en"), min_count=2
+    )
+
+    base = tempfile.mkdtemp(prefix="adt_q101_")
+    try:
+        pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, text string")
+        st = st.repartition(spark.sparkContext.defaultParallelism)
+        sink = ExactlyOnceSink(f"{base}/out")
+        with NbQualityGate(
+            model, sink, min_score_micro6=NB_GATE_MIN_SCORE_MICRO6
+        ) as gate:
+            gate.run(st, f"{base}/ckpt")
+        out = sink.read_committed(spark).select(
+            "doc_id", "n_tokens", "score_micro6"
+        )
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -2801,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_stream_semantic_gate": _with_prep(q98_stream_semantic_gate),
         "q99_image_near_dups": _with_prep(q99_image_near_dups),
         "q100_nb_quality_scores": _with_prep(q100_nb_quality_scores),
+        "q101_stream_nb_gate": _with_prep(q101_stream_nb_gate),
     }
 
 
@@ -4323,4 +4370,8 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             WHERE bit_count(xor(x.ahash, y.ahash)) <= 8
         """,
         "q100_nb_quality_scores": _duck_nb_sql(),
+        "q101_stream_nb_gate": f"""
+            SELECT * FROM ({_duck_nb_sql()}) s
+            WHERE score_micro6 >= {NB_GATE_MIN_SCORE_MICRO6}
+        """,
     }

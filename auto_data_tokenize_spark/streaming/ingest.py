@@ -527,3 +527,82 @@ class SemanticDedupGate:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class NbQualityGate:
+    """Streaming quality-classifier admission gate (the continuous
+    form of ``operators/quality_clf.py``): each arriving document is
+    scored against a STATIC Naive-Bayes model — the ratio table is
+    vocabulary-bounded (count-cutoff pruned) and broadcasts per
+    micro-batch — and only documents whose exact integer log-posterior
+    ratio clears ``min_score_micro6`` reach the exactly-once sink.
+    Integer compares only, so a replayed batch re-derives bit-identical
+    decisions; retrain-and-swap is a redeploy (the FluencyGate/DsirGate
+    operational contract).
+
+    Emits (id, text, n_tokens, score_micro6) — the sink doubles as the
+    classifier audit log."""
+
+    def __init__(
+        self,
+        model,
+        sink: ExactlyOnceSink,
+        min_score_micro6: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.model = model
+        self.sink = sink
+        self.min_score_micro6 = int(min_score_micro6)
+        self.id_col = id_col
+        self.text_col = text_col
+        model.ratios.persist()
+        model.defaults.persist()
+
+    def admit(self, batch_df: DataFrame) -> DataFrame:
+        from auto_data_tokenize_spark.operators.quality_clf import (
+            score_nb,
+        )
+
+        scored = score_nb(
+            batch_df, self.model, self.id_col, self.text_col
+        )
+        return (
+            batch_df.join(scored, self.id_col)
+            .where(F.col("score_micro6") >= F.lit(self.min_score_micro6))
+            .select(self.id_col, self.text_col, "n_tokens", "score_micro6")
+        )
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.sink.foreach_batch(self.admit(batch_df), batch_id)
+
+    def run(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "adt-nb-quality",
+    ) -> None:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+
+    def close(self) -> None:
+        self.model.ratios.unpersist()
+        self.model.defaults.unpersist()
+        self.model.unpersist()
+
+    def __enter__(self) -> "NbQualityGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
