@@ -332,3 +332,60 @@ def test_normalized_text_duckdb_matches_python_mirror(text):
         f"SELECT {duckdb_normalized_text_sql('?')}", [text]
     ).fetchone()[0]
     assert got == mirror
+
+
+# --- image aHash spec: numpy operator == pure-Python golden ---------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 40), st.integers(4, 40))
+def test_ahash_numpy_matches_pure_python_spec(seed, w, h):
+    """The integer aHash spec has two independent implementations (the
+    numpy decode-path operator and datagen's pure-Python-loop golden);
+    they must agree bit-for-bit on ARBITRARY image dims/content, not
+    just the synth corpus — encode_bmp/parse_bmp round-trip included."""
+    import numpy as _np
+
+    from auto_data_tokenize_spark.operators.multimodal import (
+        encode_bmp,
+        parse_bmp,
+    )
+
+    rng = _np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=_np.uint8)
+
+    # numpy path over the DECODED bytes (the operator's arithmetic)
+    dec = parse_bmp(encode_bmp(rgb)).astype(_np.int64)
+    assert (dec == rgb).all()
+    grid = 8
+    gray = (dec[..., 0] * 299 + dec[..., 1] * 587 + dec[..., 2] * 114) // 1000
+    ys = (_np.arange(grid) * h) // grid
+    xs = (_np.arange(grid) * w) // grid
+    g = gray[_np.ix_(ys, xs)]
+    m = int(g.sum()) // (grid * grid)
+    v = 0
+    for b in (g > m).ravel():
+        v = (v << 1) | int(b)
+    got = v - (1 << 64) if v >= (1 << 63) else v
+
+    # pure-Python spec loop (golden arithmetic) over the raw pixels
+    gray2 = [
+        [
+            (int(rgb[y][x][0]) * 299 + int(rgb[y][x][1]) * 587
+             + int(rgb[y][x][2]) * 114) // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    lattice = [
+        gray2[(ty * h) // grid][(tx * w) // grid]
+        for ty in range(grid)
+        for tx in range(grid)
+    ]
+    mean = sum(lattice) // (grid * grid)
+    want = 0
+    for gv in lattice:
+        want = (want << 1) | (1 if gv > mean else 0)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
