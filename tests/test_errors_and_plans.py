@@ -166,3 +166,68 @@ def test_upsert_resolution_single_shuffle(spark, tmp_path):
     plan = _executed(sink.read_committed(spark))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan
+
+
+def test_round5_nb_and_mix_stay_jvm_side(spark):
+    """q97/q100-family plans must have zero Python eval nodes: NB
+    train/score are explode + hash-join + partial agg, temperature
+    mixing is a pure filter."""
+    from auto_data_tokenize_spark.operators.corpus import (
+        mix_sources,
+        temperature_rates,
+    )
+    from auto_data_tokenize_spark.operators.quality_clf import (
+        score_nb,
+        train_nb,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang", "source")
+    with train_nb(
+        docs.withColumn("label", F.col("lang") == "en"), min_count=2
+    ) as model:
+        for df in (
+            score_nb(docs, model),
+            mix_sources(docs, temperature_rates(docs), default_rate=0.0),
+        ):
+            plan = _executed(df)
+            for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+                assert bad not in plan, plan
+        # the vocabulary table must broadcast into the score join
+        assert "BroadcastHashJoin" in _executed(score_nb(docs, model))
+
+
+def test_image_near_dups_python_free_after_hash(spark):
+    """q99: the only Python node is the decode+hash mapInPandas; the
+    block join, dedupe and bit_count verify are pure JVM."""
+    from auto_data_tokenize_spark.operators.multimodal import (
+        image_ahash,
+        image_near_dups,
+        synth_image_corpus,
+    )
+
+    hashes = image_ahash(synth_image_corpus(spark, n_base=10, n_copies=5))
+    plan = _executed(image_near_dups(hashes, max_hamming=8))
+    assert plan.count("MapInPandas") == 2  # once per join side, pre-hash
+    for bad in ("ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
+def test_semantic_dedup_rescore_python_free(spark):
+    """q96: Python appears only in the centroid-assignment
+    ArrowEvalPython stages; the candidate join, dedupe and cosine
+    rescore are pure JVM (per-vector norms, codegen arithmetic)."""
+    from auto_data_tokenize_spark.operators import similarity
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _executed(similarity.semantic_dedup(corpus, nlist=4, nprobe=2))
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+    assert "MapInPandas" not in plan, plan
