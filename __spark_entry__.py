@@ -2702,6 +2702,56 @@ def q100_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_GATE_MIN_SCORE_MICRO6 = -450000
 
 
+def q102_rekey_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-key rotation: tokenize customer columns under key A, rotate
+    the tokenized table to key B in one zero-shuffle projection pass
+    (clear text never re-materialized outside executors), then
+    detokenize under B — the output must be byte-identical to the
+    input, which is exactly what the oracle checks. Also gates that the
+    rotation actually changed every token (old and new ciphertexts are
+    disjoint) before the final decrypt."""
+    import hashlib
+
+    from auto_data_tokenize_spark.operators.tokenize import (
+        detokenize_columns,
+        rekey_columns,
+        tokenize_columns,
+    )
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
+    key_a = hashlib.sha256(b"adt-rekey-old").digest()
+    key_b = hashlib.sha256(b"adt-rekey-new").digest()
+    cols = ["c_name", "c_acctbal"]
+    cust = ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            "c_custkey", "c_name", "c_acctbal"
+        )
+    )
+    old_tok = tokenize_columns(cust, cols, root_key=key_a)
+    new_tok = rekey_columns(old_tok, cols, key_a, key_b)
+    # rotation gate: every ciphertext changed (deterministic SIV under
+    # a different derived key can never collide with the old token)
+    unchanged = (
+        new_tok.select("c_custkey", "encrypted_c_name")
+        .join(
+            old_tok.select("c_custkey", "encrypted_c_name"),
+            ["c_custkey", "encrypted_c_name"],
+            "left_semi",
+        )
+    )
+    types = {"c_name": "string", "c_acctbal": "double"}
+    back = detokenize_columns(new_tok, cols, types, root_key=key_b)
+    # fold the rotation gate into the emitted frame: the oracle pins
+    # n_unrotated = 0 on every row, so an unrotated token anywhere
+    # fails the hash match
+    return back.select("c_custkey", "c_name", "c_acctbal").join(
+        unchanged.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_unrotated")
+        ),
+        how="cross",
+    )
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -2848,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_image_near_dups": _with_prep(q99_image_near_dups),
         "q100_nb_quality_scores": _with_prep(q100_nb_quality_scores),
         "q101_stream_nb_gate": _with_prep(q101_stream_nb_gate),
+        "q102_rekey_roundtrip": _with_prep(q102_rekey_roundtrip),
     }
 
 
@@ -4373,5 +4424,10 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q101_stream_nb_gate": f"""
             SELECT * FROM ({_duck_nb_sql()}) s
             WHERE score_micro6 >= {NB_GATE_MIN_SCORE_MICRO6}
+        """,
+        "q102_rekey_roundtrip": """
+            SELECT c_custkey, c_name, c_acctbal,
+                   CAST(0 AS BIGINT) AS n_unrotated
+            FROM customer
         """,
     }

@@ -440,3 +440,50 @@ def detokenize_columns(
             col = col.cast(restore_type)
         out = out.withColumn(c, col).drop(f"encrypted_{c}")
     return out
+
+
+def rekey_columns(
+    df: DataFrame,
+    columns: list[str],
+    old_root_key: bytes,
+    new_root_key: bytes,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Root-key rotation over an already-tokenized table: decrypt each
+    ``encrypted_<c>`` under ``old_root_key`` and re-encrypt under
+    ``new_root_key`` in ONE projection pass — the operational job a
+    reference deployment runs when a KMS root key is rotated (the
+    reference delegates this to re-running EncryptionPipeline from
+    clear data, main/pipeline/EncryptionPipeline.java; here the
+    tokenized table itself is the input, so clear text never needs to
+    be re-materialized outside the executors).
+
+    Semantics: detokenize ∘ tokenize with the key swapped, per-column,
+    preserving the ``encrypted_*`` names, ``original_type`` metadata
+    and pass-through columns. Deterministic AES-SIV in, deterministic
+    AES-SIV out — re-running the job (or replaying a partition after a
+    task retry) produces byte-identical tokens, so the rotation is
+    idempotent and resumable at any granularity.
+
+    100 TB shape: a pure zero-shuffle Arrow projection (the same
+    per-value crypto batch work as tokenize/detokenize); parallelism =
+    scan partitions, so run it behind ``ensure_parallelism`` at small
+    file counts like the crypto round-trip queries do."""
+    enc_cols = [f"encrypted_{c}" for c in columns]
+    missing = [c for c in enc_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"rekey_columns: missing tokenized column(s) {missing}; "
+            "expected the encrypted_<name> layout of tokenize_columns"
+        )
+    original_types = {
+        c: (
+            df.schema[f"encrypted_{c}"].metadata.get("original_type")
+            or "string"
+        )
+        for c in columns
+    }
+    clear = detokenize_columns(
+        df, columns, original_types, scope_col, old_root_key
+    )
+    return tokenize_columns(clear, columns, scope_col, new_root_key)
