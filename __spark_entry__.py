@@ -2702,6 +2702,44 @@ def q100_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 NB_GATE_MIN_SCORE_MICRO6 = -450000
 
 
+def q103_tink_keyset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tink-keyset wire-compatible tokenization: a cleartext AES256-SIV
+    keyset (the reference's own key format; tinkey output) drives
+    whole-column encrypt → decrypt, and the output must equal the
+    input. Byte-parity with the reference's DaeadEncryptingValueTokenizer
+    is pinned separately against its published golden encrypted records
+    (tests/test_tink_compat.py) — this query gates the Spark column
+    plumbing end-to-end on driver data."""
+    import hashlib
+
+    from auto_data_tokenize_spark.functions.tink_compat import (
+        make_keyset_json,
+    )
+    from auto_data_tokenize_spark.operators.tokenize import (
+        detokenize_columns_tink,
+        tokenize_columns_tink,
+    )
+    from auto_data_tokenize_spark.sources.readers import ensure_parallelism
+
+    ks = make_keyset_json(
+        hashlib.sha512(b"adt-tink-demo").digest(), key_id=20260818
+    )
+    cols = ["c_name", "c_acctbal", "c_nationkey"]
+    cust = ensure_parallelism(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+        )
+    )
+    tok = tokenize_columns_tink(cust, cols, ks)
+    back = detokenize_columns_tink(
+        tok,
+        cols,
+        ks,
+        {"c_name": "string", "c_acctbal": "double", "c_nationkey": "bigint"},
+    )
+    return back.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+
+
 def q102_rekey_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root-key rotation: tokenize customer columns under key A, rotate
     the tokenized table to key B in one zero-shuffle projection pass
@@ -2899,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_nb_quality_scores": _with_prep(q100_nb_quality_scores),
         "q101_stream_nb_gate": _with_prep(q101_stream_nb_gate),
         "q102_rekey_roundtrip": _with_prep(q102_rekey_roundtrip),
+        "q103_tink_keyset_roundtrip": _with_prep(q103_tink_keyset_roundtrip),
     }
 
 
@@ -4428,6 +4467,11 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q102_rekey_roundtrip": """
             SELECT c_custkey, c_name, c_acctbal,
                    CAST(0 AS BIGINT) AS n_unrotated
+            FROM customer
+        """,
+        "q103_tink_keyset_roundtrip": """
+            SELECT c_custkey, c_name, c_acctbal,
+                   CAST(c_nationkey AS BIGINT) AS c_nationkey
             FROM customer
         """,
     }
