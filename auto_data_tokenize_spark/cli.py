@@ -238,6 +238,27 @@ def cmd_encrypt(args) -> int:
         )
     spark = get_spark("adt-encrypt", cores=args.cores)
     df = _read_input(spark, args)
+    if args.tinkEncryptionKeySetJson:
+        # the reference's own key path (EncryptionPipelineOptions.java:47;
+        # EncryptionPipeline.java:117): a cleartext Tink AES256-SIV
+        # keyset drives WIRE-COMPATIBLE tokens (functions/tink_compat.py,
+        # byte-parity pinned against the reference's goldens). KMS-
+        # wrapped keysets (--mainKmsKeyUri) are out of scope (GCP
+        # service); pass the cleartext keyset or a file path to one.
+        from auto_data_tokenize_spark.operators.tokenize import (
+            tokenize_columns_tink,
+        )
+
+        if args.dlpEncryptConfigJson:
+            raise SystemExit(
+                "--tinkEncryptionKeySetJson applies whole-value Tink "
+                "tokens; combine it with --tokenizeColumns only"
+            )
+        src = args.tinkEncryptionKeySetJson
+        ks = src if src.lstrip().startswith("{") else open(src).read()
+        cols = [_strip_column_id(c) for c in (args.tokenizeColumns or [])]
+        out = tokenize_columns_tink(df, cols, ks)
+        return _write_encrypt_output(args, out)
     rk = _root_key(args)
     out = df
     if args.dlpEncryptConfigJson:
@@ -253,6 +274,10 @@ def cmd_encrypt(args) -> int:
         out = tokenize_columns(
             out, cols, scope_col=args.scopeColumn, root_key=rk
         )
+    return _write_encrypt_output(args, out)
+
+
+def _write_encrypt_output(args, out) -> int:
     fmt = args.outputFormat.lower()
     if fmt == "avro":
         from auto_data_tokenize_spark.sources.avro_io import write_avro
@@ -358,6 +383,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="column scoping the per-record key derivation")
     p_enc.add_argument("--rootKeyHex", default=None,
                        help="hex root key; default ADT_ROOT_KEY_HEX env")
+    p_enc.add_argument("--tinkEncryptionKeySetJson", default=None,
+                       help="cleartext Tink AES256-SIV keyset JSON (or a "
+                            "path to one) — emits tokens byte-compatible "
+                            "with the reference's "
+                            "DaeadEncryptingValueTokenizer")
     p_enc.set_defaults(func=cmd_encrypt)
 
     p_csv = sub.add_parser(

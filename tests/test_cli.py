@@ -209,3 +209,45 @@ def test_cli_inspect_reference_userdata_snappy(spark, tmp_path, capsys):
         it["infoType"] == "EMAIL_ADDRESS" and int(it["count"]) > 0
         for it in rep["infoTypes"]
     )
+
+
+def test_cli_encrypt_tink_keyset_reference_wire(
+    spark, sf_dir_small, tmp_path, capsys
+):
+    """--tinkEncryptionKeySetJson (the reference's own flag,
+    EncryptionPipelineOptions.java:47) with the reference's own keyset
+    fixture: emitted tokens must be exactly what the reference's
+    DaeadEncryptingValueTokenizer produces for the same values."""
+    import os
+
+    ks_path = "/root/reference/src/test/resources/test_encryption_key.json"
+    if not os.path.exists(ks_path):
+        pytest.skip("reference fixtures not present")
+    from auto_data_tokenize_spark.functions.tink_compat import (
+        TinkDaeadTokenizer,
+    )
+    from auto_data_tokenize_spark.sources.avro_io import read_avro
+
+    out_dir = str(tmp_path / "tink_out")
+    rc = main([
+        "encrypt",
+        f"--inputPattern={sf_dir_small}/transcripts.parquet",
+        "--sourceType=PARQUET",
+        "--tokenizeColumns=$.Record.role",
+        f"--tinkEncryptionKeySetJson={ks_path}",
+        f"--outputDirectory={out_dir}",
+        "--outputFormat=avro",
+    ])
+    assert rc == 0
+    back = read_avro(spark, out_dir)
+    want = spark.read.parquet(f"{sf_dir_small}/transcripts.parquet")
+    tok = TinkDaeadTokenizer(open(ks_path).read())
+    exp = {
+        (r["conv_id"], r["turn_idx"]): tok.encrypt(r["role"])
+        for r in want.collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["encrypted_role"]
+        for r in back.collect()
+    }
+    assert got == exp  # byte-identical to the reference's wire format
