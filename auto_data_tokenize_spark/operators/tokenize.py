@@ -603,3 +603,33 @@ def detokenize_columns_tink(
         )
         out = out.withColumn(c, _dec_udf()(F.col(enc)).cast(typ)).drop(enc)
     return out
+
+
+def rekey_columns_tink(
+    df: DataFrame,
+    columns: list[str],
+    old_keyset_json: str,
+    new_keyset_json: str,
+) -> DataFrame:
+    """Keyset rotation over a table tokenized in the REFERENCE's wire
+    format (or by :func:`tokenize_columns_tink`): decrypt each
+    ``encrypted_<c>`` under the old Tink keyset, re-encrypt under the
+    new one, one zero-shuffle pass — the migration job for a user
+    moving off the reference with an existing keyset, or rotating it.
+    Same fail-fast layout check and idempotence argument as
+    :func:`rekey_columns` (deterministic SIV)."""
+    missing = [c for c in columns if f"encrypted_{c}" not in df.columns]
+    if missing:
+        raise ValueError(
+            f"rekey_columns_tink: missing tokenized column(s) "
+            f"{[f'encrypted_{c}' for c in missing]}"
+        )
+    types = {
+        c: (
+            df.schema[f"encrypted_{c}"].metadata.get("original_type")
+            or "string"
+        )
+        for c in columns
+    }
+    clear = detokenize_columns_tink(df, columns, old_keyset_json, types)
+    return tokenize_columns_tink(clear, columns, new_keyset_json)

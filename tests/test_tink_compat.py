@@ -97,3 +97,28 @@ def test_spark_columns_roundtrip_and_cross_decrypt(spark):
     )
     got = sorted(map(tuple, back.select("id", "name", "bal", "phone").collect()))
     assert got == [(1, "alice", 10.5, 123), (2, "bob", -3.25, None)]
+
+
+def test_tink_rekey_rotates_reference_wire_tokens(spark):
+    """Rotate a table tokenized under keyset A to keyset B: every token
+    changes, B's scalar tokenizer decrypts the result, and values
+    survive — the migration job for reference users."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        rekey_columns_tink,
+        tokenize_columns_tink,
+    )
+
+    ks_a = make_keyset_json(bytes(range(64)), key_id=1)
+    ks_b = make_keyset_json(bytes(range(64, 128)), key_id=2)
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "id long, name string"
+    )
+    tok_a = tokenize_columns_tink(df, ["name"], ks_a)
+    rot = rekey_columns_tink(tok_a, ["name"], ks_a, ks_b)
+    a = {r["id"]: r["encrypted_name"] for r in tok_a.collect()}
+    b = {r["id"]: r["encrypted_name"] for r in rot.collect()}
+    assert all(a[i] != b[i] for i in a)
+    dec = TinkDaeadTokenizer(ks_b)
+    assert dec.decrypt(b[1]) == "alice" and dec.decrypt(b[2]) == "bob"
+    with pytest.raises(ValueError, match="missing tokenized"):
+        rekey_columns_tink(df, ["name"], ks_a, ks_b)
