@@ -2767,15 +2767,21 @@ def q102_rekey_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_tok = tokenize_columns(cust, cols, root_key=key_a)
     new_tok = rekey_columns(old_tok, cols, key_a, key_b)
-    # rotation gate: every ciphertext changed (deterministic SIV under
-    # a different derived key can never collide with the old token)
-    unchanged = (
-        new_tok.select("c_custkey", "encrypted_c_name")
-        .join(
-            old_tok.select("c_custkey", "encrypted_c_name"),
-            ["c_custkey", "encrypted_c_name"],
-            "left_semi",
-        )
+    # rotation gate: every ciphertext of EVERY rotated column changed
+    # (deterministic SIV under a different derived key can never
+    # collide with the old token)
+    o = old_tok.select(
+        "c_custkey",
+        F.col("encrypted_c_name").alias("_on"),
+        F.col("encrypted_c_acctbal").alias("_oa"),
+    )
+    n = new_tok.select(
+        "c_custkey",
+        F.col("encrypted_c_name").alias("_nn"),
+        F.col("encrypted_c_acctbal").alias("_na"),
+    )
+    unchanged = n.join(o, "c_custkey").filter(
+        (F.col("_nn") == F.col("_on")) | (F.col("_na") == F.col("_oa"))
     )
     types = {"c_name": "string", "c_acctbal": "double"}
     back = detokenize_columns(new_tok, cols, types, root_key=key_b)

@@ -254,6 +254,16 @@ def cmd_encrypt(args) -> int:
                 "--tinkEncryptionKeySetJson applies whole-value Tink "
                 "tokens; combine it with --tokenizeColumns only"
             )
+        if args.scopeColumn:
+            # the Tink wire format has no per-record key scope (one
+            # keyset for the run, like the reference) — silently
+            # ignoring the flag would restore cross-record token
+            # joinability the user asked to prevent
+            raise SystemExit(
+                "--scopeColumn is not supported with "
+                "--tinkEncryptionKeySetJson (Tink tokens are "
+                "keyset-global, matching the reference's wire format)"
+            )
         src = args.tinkEncryptionKeySetJson
         ks = src if src.lstrip().startswith("{") else open(src).read()
         cols = [_strip_column_id(c) for c in (args.tokenizeColumns or [])]

@@ -124,6 +124,12 @@ def encode_dlp_value(value) -> bytes:
     if isinstance(value, bool):
         return bytes([0x20]) + _write_varint(1 if value else 0)
     if isinstance(value, int):
+        if not -(1 << 63) <= value < (1 << 63):
+            # the proto field is int64; silent varint wraparound would
+            # corrupt the value through an encrypt/decrypt roundtrip
+            raise ValueError(
+                f"integer {value} outside int64 range for DLP Value"
+            )
         return bytes([0x08]) + _write_varint(value)
     if isinstance(value, float):
         return bytes([0x11]) + struct.pack("<d", value)
@@ -198,3 +204,16 @@ def make_keyset_json(key: bytes, key_id: int = 42) -> str:
             ],
         }
     )
+
+
+_TOKENIZER_CACHE: dict[str, "TinkDaeadTokenizer"] = {}
+
+
+def get_tokenizer(keyset_json: str) -> "TinkDaeadTokenizer":
+    """Per-process memoized tokenizer (the _get_tokenizer discipline of
+    functions/udfs.py): keyset parse + AESSIV key schedule happen once
+    per executor, not once per Arrow batch."""
+    tok = _TOKENIZER_CACHE.get(keyset_json)
+    if tok is None:
+        tok = _TOKENIZER_CACHE[keyset_json] = TinkDaeadTokenizer(keyset_json)
+    return tok

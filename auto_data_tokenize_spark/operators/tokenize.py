@@ -469,23 +469,16 @@ def rekey_columns(
     per-value crypto batch work as tokenize/detokenize); parallelism =
     scan partitions, so run it behind ``ensure_parallelism`` at small
     file counts like the crypto round-trip queries do."""
-    enc_cols = [f"encrypted_{c}" for c in columns]
-    missing = [c for c in enc_cols if c not in df.columns]
+    missing = [c for c in columns if f"encrypted_{c}" not in df.columns]
     if missing:
         raise ValueError(
-            f"rekey_columns: missing tokenized column(s) {missing}; "
-            "expected the encrypted_<name> layout of tokenize_columns"
+            f"rekey_columns: missing tokenized column(s) "
+            f"{[f'encrypted_{c}' for c in missing]}; expected the "
+            "encrypted_<name> layout of tokenize_columns"
         )
-    original_types = {
-        c: (
-            df.schema[f"encrypted_{c}"].metadata.get("original_type")
-            or "string"
-        )
-        for c in columns
-    }
-    clear = detokenize_columns(
-        df, columns, original_types, scope_col, old_root_key
-    )
+    # original_types=None: detokenize derives types from the columns'
+    # own original_type metadata (single source of truth)
+    clear = detokenize_columns(df, columns, None, scope_col, old_root_key)
     return tokenize_columns(clear, columns, scope_col, new_root_key)
 
 
@@ -523,7 +516,16 @@ def tokenize_columns_tink(
             return "float"
         if dt == "boolean":
             return "bool"
-        return "str"
+        if dt == "string":
+            return "str"
+        # date/timestamp/decimal/binary have no locally-implemented DLP
+        # Value member — encoding them as string_value would silently
+        # break the byte-compatibility contract (and binary crashes
+        # opaquely in the Arrow worker); fail fast with the column type
+        raise ValueError(
+            f"tokenize_columns_tink: unsupported column type {dt!r} — "
+            "supported: integral, float/double, boolean, string"
+        )
 
     def _enc_udf(kind: str):
         # values arrive STRING-cast (Spark's Double.toString shortest
@@ -539,7 +541,11 @@ def tokenize_columns_tink(
 
         @pandas_udf("string")
         def _enc(vals: pd.Series) -> pd.Series:
-            tok = TinkDaeadTokenizer(keyset_json)
+            from auto_data_tokenize_spark.functions.tink_compat import (
+                get_tokenizer,
+            )
+
+            tok = get_tokenizer(keyset_json)
             return pd.Series(
                 [
                     None if v is None else tok.encrypt(parse(v))
@@ -554,9 +560,16 @@ def tokenize_columns_tink(
     for c in columns:
         dt = out.schema[c].dataType.simpleString()
         meta = {"original_type": dt}
+        src = F.col(c)
+        if dt == "float":
+            # IEEE float→double widening FIRST (what Java does when an
+            # Avro float lands in Value.float_value), THEN the shortest
+            # round-trip string — float("0.1"-as-float32) parsed as a
+            # double would be a DIFFERENT double and a different token
+            src = src.cast("double")
         out = out.withColumn(
             f"encrypted_{c}",
-            _enc_udf(_kind(dt))(F.col(c).cast("string")).alias(
+            _enc_udf(_kind(dt))(src.cast("string")).alias(
                 c, metadata=meta
             ),
         ).drop(c)
@@ -574,14 +587,14 @@ def detokenize_columns_tink(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from auto_data_tokenize_spark.functions.tink_compat import (
-        TinkDaeadTokenizer,
-    )
-
     def _dec_udf():
         @pandas_udf("string")
         def _dec(vals: pd.Series) -> pd.Series:
-            tok = TinkDaeadTokenizer(keyset_json)
+            from auto_data_tokenize_spark.functions.tink_compat import (
+                get_tokenizer,
+            )
+
+            tok = get_tokenizer(keyset_json)
             out = []
             for v in vals:
                 if v is None:
@@ -596,11 +609,10 @@ def detokenize_columns_tink(
     out = df
     for c in columns:
         enc = f"encrypted_{c}"
-        typ = (original_types or {}).get(c) or (
-            df.schema[enc].metadata.get("original_type")
-            if enc in df.columns and df.schema[enc].metadata
-            else "string"
-        )
+        typ = (original_types or {}).get(c)
+        if typ is None and enc in df.columns and df.schema[enc].metadata:
+            typ = df.schema[enc].metadata.get("original_type")
+        typ = typ or "string"
         out = out.withColumn(c, _dec_udf()(F.col(enc)).cast(typ)).drop(enc)
     return out
 
@@ -624,12 +636,6 @@ def rekey_columns_tink(
             f"rekey_columns_tink: missing tokenized column(s) "
             f"{[f'encrypted_{c}' for c in missing]}"
         )
-    types = {
-        c: (
-            df.schema[f"encrypted_{c}"].metadata.get("original_type")
-            or "string"
-        )
-        for c in columns
-    }
-    clear = detokenize_columns_tink(df, columns, old_keyset_json, types)
+    # types come from the columns' own original_type metadata
+    clear = detokenize_columns_tink(df, columns, old_keyset_json, None)
     return tokenize_columns_tink(clear, columns, new_keyset_json)

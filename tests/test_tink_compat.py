@@ -122,3 +122,45 @@ def test_tink_rekey_rotates_reference_wire_tokens(spark):
     assert dec.decrypt(b[1]) == "alice" and dec.decrypt(b[2]) == "bob"
     with pytest.raises(ValueError, match="missing tokenized"):
         rekey_columns_tink(df, ["name"], ks_a, ks_b)
+
+
+def test_encode_rejects_out_of_range_int():
+    t = TinkDaeadTokenizer(make_keyset_json(bytes(range(64))))
+    for v in (2**63, -(2**63) - 1, 2**64):
+        with pytest.raises(ValueError, match="int64"):
+            t.encrypt(v)
+    # boundary values survive exactly
+    assert t.decrypt(t.encrypt(2**63 - 1)) == 2**63 - 1
+    assert t.decrypt(t.encrypt(-(2**63))) == -(2**63)
+
+
+def test_tokenize_columns_tink_rejects_unsupported_types(spark):
+    from auto_data_tokenize_spark.operators.tokenize import (
+        tokenize_columns_tink,
+    )
+
+    ks = make_keyset_json(bytes(range(64)))
+    df = spark.createDataFrame([(1, b"\x00")], "id long, blob binary")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        tokenize_columns_tink(df, ["blob"], ks)
+
+
+def test_float_column_widens_like_java(spark):
+    """A FloatType column must token-match the double produced by IEEE
+    float→double widening (what the reference encodes), NOT the double
+    nearest the shortest float repr."""
+    import struct as _struct
+
+    from auto_data_tokenize_spark.operators.tokenize import (
+        tokenize_columns_tink,
+    )
+
+    ks = make_keyset_json(bytes(range(64)))
+    df = spark.createDataFrame([(1, 0.1)], "id long, x float")
+    tok = tokenize_columns_tink(df, ["x"], ks)
+    got = tok.first()["encrypted_x"]
+    widened = _struct.unpack("<f", _struct.pack("<f", 0.1))[0]
+    assert widened != 0.1  # the two candidate doubles really differ
+    scalar = TinkDaeadTokenizer(ks)
+    assert got == scalar.encrypt(widened)
+    assert got != scalar.encrypt(0.1)
