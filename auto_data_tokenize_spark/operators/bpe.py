@@ -35,9 +35,20 @@ Known limit: initial symbolization splits per UTF-16 code unit on the
 JVM (``split(word, '')``), so supplementary-plane characters (emoji
 etc.) would split into surrogate halves where the Python golden keeps
 one code point. BMP text — including all CJK — is unaffected.
+
+Pre-tokenization whitespace is pinned to the explicit ASCII class
+``[ \\t\\n\\x0b\\f\\r]`` on BOTH engines (the same
+explicit-character-class house rule as the dedup key normalizer):
+Java ``\\s`` is exactly that class but Python ``str.split()`` splits
+on UNICODE whitespace (NBSP, U+2028, ideographic space …), so a
+golden built with ``str.split()`` would disagree with the Spark-
+trained merges on any scraped-HTML corpus containing a non-breaking
+space inside a word.
 """
 
 from __future__ import annotations
+
+import re
 
 import pandas as pd
 
@@ -53,13 +64,24 @@ __all__ = [
 _S, _E = "\x00", "\x01"
 END_OF_WORD = "</w>"
 
+#: The one pre-tokenization contract (see module docstring): Java
+#: ``\s`` == this class, Python must match it explicitly.
+_WS_RE = r"[ \t\n\x0b\f\r]+"
+_WS_SPLIT = re.compile(_WS_RE)
+
+
+def _ws_words(text: str | None) -> list[str]:
+    """Python twin of the Spark-side ``split(text, _WS_RE)`` word
+    iteration: ASCII-whitespace split, empties dropped."""
+    return [w for w in _WS_SPLIT.split(text or "") if w]
+
 
 def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
     """The one corpus-level shuffle: distinct-word frequency table."""
     return (
         docs.select(
             F.explode(
-                F.split(F.trim(F.col(text_col)), r"\s+")
+                F.split(F.trim(F.col(text_col)), _WS_RE)
             ).alias("word")
         )
         .where((F.col("word") != "") & ~F.col("word").contains(_S) & ~F.col("word").contains(_E))
@@ -166,7 +188,7 @@ def train_bpe_golden(
     freqs: dict[tuple[str, ...], int] = {}
     counts: dict[str, int] = {}
     for t in texts:
-        for w in t.strip().split():
+        for w in _ws_words(t):
             if _S in w or _E in w:
                 continue
             counts[w] = counts.get(w, 0) + 1
@@ -241,7 +263,7 @@ def encode_text(text: str | None, merges: list[tuple[str, str]]) -> list[str]:
     by_rank = {i: tuple(m) for i, m in enumerate(merges)}
     return [
         tok
-        for w in (text or "").strip().split()
+        for w in _ws_words(text)
         for tok in _encode_word(w, ranks, by_rank)
     ]
 
@@ -266,7 +288,7 @@ def apply_bpe(
         return texts.map(
             lambda t: [
                 tok
-                for w in (t or "").strip().split()
+                for w in _ws_words(t)
                 for tok in _encode_word(w, ranks, by_rank)
             ]
         )

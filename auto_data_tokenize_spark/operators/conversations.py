@@ -107,10 +107,15 @@ def conversation_audit(
     runs = with_prev.withColumn(
         "_grp", F.col("_rn") - F.row_number().over(w_role)
     )
+    # null-safe on purpose: a NULL role is never a tool result, and a
+    # NULL _prev_role is never a valid tool CALL — plain =/!= would
+    # three-valued-NULL out of the sum() for exactly the malformed
+    # rows this audit exists to count.
     orphan = (
-        (F.col("role") == "tool")
+        F.col("role").eqNullSafe("tool")
         & ~(
             F.col("_prev_tool").isNotNull()
+            & F.col("_prev_role").isNotNull()
             & (F.col("_prev_role") != "tool")
         )
     ).cast("int")
@@ -146,9 +151,12 @@ def conversation_audit(
         F.sum("_orphans").cast("long").alias("orphan_tool_results"),
         F.max("_run_len").cast("long").alias("longest_role_run"),
     )
+    # eqNullSafe: a NULL first_role (role-less opening turn) must read
+    # as invalid=false, not verdict=NULL, or filters on the verdict
+    # silently drop the very conversations they should flag.
     return agg.withColumn(
         "structurally_valid",
-        (F.col("first_role") == "customer")
+        F.col("first_role").eqNullSafe("customer")
         & (F.col("n_agent") > 0)
         & (F.col("orphan_tool_results") == 0)
         & (F.col("longest_role_run") <= max_role_run),
@@ -211,8 +219,9 @@ def duckdb_conversation_audit_sql(
         ),
         runs AS (
           SELECT {conv_col}, role, _rn - _rr AS _grp,
-                 CASE WHEN role = 'tool' AND NOT
-                      (_prev_tool IS NOT NULL AND _prev_role <> 'tool')
+                 CASE WHEN role IS NOT DISTINCT FROM 'tool' AND NOT
+                      (_prev_tool IS NOT NULL AND _prev_role IS NOT NULL
+                       AND _prev_role <> 'tool')
                       THEN 1 ELSE 0 END AS _orphan,
                  CASE WHEN _rn = 1 THEN role END AS _first
           FROM t
@@ -239,7 +248,8 @@ def duckdb_conversation_audit_sql(
           FROM per_run GROUP BY 1
         )
         SELECT *,
-               (first_role = 'customer' AND n_agent > 0
+               (first_role IS NOT DISTINCT FROM 'customer'
+                AND n_agent > 0
                 AND orphan_tool_results = 0
                 AND longest_role_run <= {max_role_run})
                  AS structurally_valid
@@ -285,11 +295,16 @@ def loss_mask_spans(
     positions inside :func:`render_chat`'s document for the same
     conversation. The invariant that makes span arithmetic exact:
     every template piece ``<|role|>text`` starts with a non-whitespace
-    header glyph and pieces join on ``\\n``, so the rendered document's
-    token stream is EXACTLY the concatenation of per-piece token
-    streams plus the final ``<|end|>`` token — piece token counts sum
-    to the document count with no boundary merging, for any text
-    (empty, whitespace-only, embedded newlines).
+    header glyph and pieces join on ``\\n``, so every maximal
+    non-whitespace run of the rendered document lies inside exactly
+    one piece — piece token counts sum to the document count plus the
+    final ``<|end|>`` token, with no boundary merging, for any text
+    (empty, whitespace-only, embedded newlines, trailing tabs or
+    newlines). Counting therefore uses non-whitespace RUNS
+    (``regexp_extract_all '\\S+'``) rather than split-after-trim:
+    ``trim`` strips only 0x20, so a piece ending in ``\\n``/``\\t``
+    would otherwise count a phantom trailing empty token and shift
+    every later turn's span.
 
     Composed with ``pack_sequences`` offsets (one row per conv), the
     global trainable ranges of a packed SFT dataset are
@@ -311,7 +326,9 @@ def loss_mask_spans(
         _piece_expr().alias("_piece"),
     ).withColumn(
         "n_piece_tokens",
-        F.size(F.split(F.trim(F.col("_piece")), r"\s+")).cast("long"),
+        F.size(
+            F.expr("regexp_extract_all(_piece, '\\\\S+', 0)")
+        ).cast("long"),
     )
     return (
         pieces.withColumn(
@@ -342,7 +359,7 @@ def duckdb_loss_mask_sql(
     return f"""
         WITH p AS (
           SELECT {conv_col}, turn_idx, role,
-                 CAST(length(string_split_regex(trim({piece}), '\\s+'))
+                 CAST(length(regexp_extract_all({piece}, '\\S+'))
                       AS BIGINT) AS n_piece_tokens
           FROM ({turns_sql})
         ),

@@ -325,7 +325,8 @@ def remove_duplicated_spans(
     Exchange on id); the census groupBy on the window hash is the
     only corpus-wide shuffle (map-side combined, output = the
     duplicated-window set, bounded by the repeated-boilerplate
-    universe); the census joins back broadcast; coverage is a second
+    universe); the census joins back with the strategy left to
+    Catalyst/AQE (broadcast when small); coverage is a second
     frame aggregate over the SAME id partition (no new Exchange); the
     regroup reuses it too; total token counts are a pure projection on
     the input (no extra explode branch). Docs shorter than ``k``
@@ -341,8 +342,14 @@ def remove_duplicated_spans(
     dup = duplicated_window_hashes(
         docs, k, min_docs, id_col, text_col
     ).select(F.col("window_hash").alias("_dup_gh"))
+    # join strategy left to Catalyst/AQE (same posture as
+    # span_coverage): the census is bounded by the repeated-
+    # boilerplate universe, which broadcasts when pruned but can be
+    # multi-GB on a full crawl — a forced broadcast hint would bypass
+    # autoBroadcastJoinThreshold and OOM instead of falling back to a
+    # shuffle join.
     flagged = grams.join(
-        F.broadcast(dup), grams["_gh"] == F.col("_dup_gh"), "left"
+        dup, grams["_gh"] == F.col("_dup_gh"), "left"
     ).select(
         id_col,
         "pos",

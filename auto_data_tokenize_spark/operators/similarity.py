@@ -201,23 +201,33 @@ def lsh_ann_topk(
     )
 
 
-def _argmin_cells_udf(centroids: np.ndarray, n: int = 1):
+def _argmin_cells_udf(
+    centroids: np.ndarray, n: int = 1, as_array: bool = False
+):
     """vec → the ``n`` nearest centroid ids (squared-L2 argmin, one
-    matmul per Arrow batch). n=1 → int cell; n>1 → array of cells."""
+    matmul per Arrow batch). Scalar int cell when ``n == 1`` and
+    ``as_array`` is False (the ivf_index assign step); otherwise an
+    array of cells — callers that ``explode`` the result MUST pass
+    ``as_array=True``, or ``min(nprobe, nlist) == 1`` (nprobe=1, or a
+    single-vector corpus) makes the column a plain INT and the explode
+    dies with an AnalysisException."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     c = centroids.astype(np.float64)
     c_norms = (c * c).sum(axis=1)
 
     from pyspark.sql.types import IntegerType as _I
 
-    ret = _I() if n == 1 else ArrayType(_I())
+    scalar = n == 1 and not as_array
+    ret = _I() if scalar else ArrayType(_I())
 
     @pandas_udf(ret)
     def _a(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
-            return pd.Series([], dtype="int32" if n == 1 else "object")
+            return pd.Series([], dtype="int32" if scalar else "object")
         m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         d2 = c_norms[None, :] - 2.0 * (m @ c.T)  # ||x||² constant per row
-        if n == 1:
+        if scalar:
             out = d2.argmin(axis=1).astype("int32")
             return pd.Series(out, index=vecs.index)
         idx = np.argsort(d2, axis=1, kind="stable")[:, :n]
@@ -296,9 +306,23 @@ def ivf_topk(
     vs brute force is pinned by tests/test_similarity.py. The probed
     queries are broadcast; the corpus-side join key is the int cell id,
     so the scan stays partition-parallel with one equi-join."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     assigned, cents = ivf_index(corpus, nlist, iters, id_col, vec_col, seed)
+    if len(cents) == 0:
+        # empty corpus: nothing to probe — empty result, same schema
+        return (
+            queries.select(query_id_col)
+            .crossJoin(corpus.select(id_col))
+            .withColumn("cosine", F.lit(0.0))
+            .withColumn("rank", F.lit(0))
+            .limit(0)
+        )
     q = queries.withColumn(
-        "_cells", _argmin_cells_udf(cents, n=nprobe)(F.col(query_vec_col))
+        "_cells",
+        _argmin_cells_udf(
+            cents, n=min(int(nprobe), len(cents)), as_array=True
+        )(F.col(query_vec_col)),
     ).select("*", F.explode_outer("_cells").alias("_cell")).drop("_cells")
     joined = assigned.join(F.broadcast(q), "_cell")
     scored = with_cosine(joined, vec_col, query_vec_col).select(
@@ -382,6 +406,8 @@ def semantic_cells(
     matmul against a 0-row matrix, so this degenerates explicitly to
     an empty cell table (same empty-input posture as the DSIR
     totals)."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     _, cents = ivf_index(corpus, nlist, iters, id_col, vec_col, seed)
     if len(cents) == 0:
         return (
@@ -393,7 +419,8 @@ def semantic_cells(
     n = min(int(nprobe), len(cents))
     cells = (
         corpus.withColumn(
-            "_cells", _argmin_cells_udf(cents, n=n)(F.col(vec_col))
+            "_cells",
+            _argmin_cells_udf(cents, n=n, as_array=True)(F.col(vec_col)),
         )
         .select(id_col, F.explode_outer("_cells").alias("_cell"))
     )

@@ -56,7 +56,10 @@ TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|ref)="
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the '?' must precede any '#': a '?' inside the fragment is fragment
+# content (RFC 3986 §3.5) and must NOT leak into the canonical query —
+# anchored [^#?]* admits only the FIRST '?' and only before a '#'.
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def _kept_query(url) -> "F.Column":
@@ -257,7 +260,16 @@ def duckdb_url_pipeline_sql(
     """Twin of the composed pipeline: canonical dedup (min id wins) →
     blocklist → per-domain cap. Emits (keep_id, canon_url, domain,
     n_crawls)."""
-    blocked = ", ".join(f"'{d}'" for d in blocked_domains) or "''"
+    # an EMPTY blocklist must be a no-op ('' is a legal domain value —
+    # the malformed-URL degenerate — and NOT IN ('') would drop it);
+    # single quotes in domains are doubled per SQL literal rules
+    if blocked_domains:
+        quoted = ", ".join(
+            "'" + d.replace("'", "''") + "'" for d in blocked_domains
+        )
+        block_clause = f"d.domain NOT IN ({quoted})"
+    else:
+        block_clause = "TRUE"
     return f"""
         WITH _p AS (
           SELECT {id_col}, {order_col}, url,
@@ -275,7 +287,7 @@ def duckdb_url_pipeline_sql(
           SELECT d.*, p.{order_col}
           FROM _dedup d
           JOIN _p p ON p.{id_col} = d.keep_id
-          WHERE d.domain NOT IN ({blocked})
+          WHERE {block_clause}
         )
         SELECT keep_id, canon_url, domain, n_crawls
         FROM (

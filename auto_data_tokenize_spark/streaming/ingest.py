@@ -131,6 +131,7 @@ class IngestAdmissionPipeline:
         self.text_col = text_col
         self.k = k
         self.sink = sink
+        self._batch_cache: list[DataFrame] = []
         self.corpus_keys = (
             corpus_banded.select("band_idx", "band_key").distinct().persist()
         )
@@ -154,9 +155,19 @@ class IngestAdmissionPipeline:
         )
 
         cols = batch_df.columns
-        passed = quality_features(batch_df, self.text_col).filter(
-            "is_quality"
-        ).select(*cols)
+        # `passed` feeds three branches (bands, the fresh anti-join,
+        # and — through fresh — the final result) and `fresh` feeds
+        # two; without a persist Spark re-runs the quality_features
+        # scan per branch, ~3x the gate's hot-path cost. Cached per
+        # micro-batch, released by _release_batch_cache() after the
+        # sink write (or at close()).
+        passed = (
+            quality_features(batch_df, self.text_col)
+            .filter("is_quality")
+            .select(*cols)
+            .persist()
+        )
+        self._batch_cache.append(passed)
         bands = banded_keys(
             minhash_signatures_rowwise(passed, self.id_col, self.text_col, self.k),
             self.id_col,
@@ -166,7 +177,8 @@ class IngestAdmissionPipeline:
             .select(F.col("id").alias(self.id_col))
             .distinct()
         )
-        fresh = passed.join(dup_ids, self.id_col, "left_anti")
+        fresh = passed.join(dup_ids, self.id_col, "left_anti").persist()
+        self._batch_cache.append(fresh)
         cont_ids = (
             word_shingles(fresh, self.text_col, self.k, out_col="_g")
             .select(
@@ -179,8 +191,16 @@ class IngestAdmissionPipeline:
         )
         return fresh.join(cont_ids, self.id_col, "left_anti")
 
+    def _release_batch_cache(self) -> None:
+        for df in self._batch_cache:
+            df.unpersist()
+        self._batch_cache.clear()
+
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        self.sink.foreach_batch(self.admit(batch_df), batch_id)
+        try:
+            self.sink.foreach_batch(self.admit(batch_df), batch_id)
+        finally:
+            self._release_batch_cache()
 
     def run(
         self,
@@ -206,6 +226,7 @@ class IngestAdmissionPipeline:
             raise RuntimeError(str(q.exception()))
 
     def close(self) -> None:
+        self._release_batch_cache()
         self.corpus_keys.unpersist()
         self.eval_shingles.unpersist()
 
@@ -446,6 +467,10 @@ class SemanticDedupGate:
             semantic_cells,
         )
 
+        if nprobe < 1:
+            # nprobe=0 would silently admit EVERYTHING (empty probe
+            # list → zero candidates → no collisions); fail loudly
+            raise ValueError(f"nprobe must be >= 1, got {nprobe}")
         self.sink = sink
         self.threshold = float(threshold)
         self.nprobe = int(nprobe)
@@ -469,9 +494,14 @@ class SemanticDedupGate:
         if len(self.cents) == 0:
             # empty corpus: nothing to collide with — admit everything
             return batch_df
+        # as_array=True: n collapses to 1 for a single-centroid corpus
+        # (or nprobe=1) and the explode below needs an ARRAY column
         n = min(self.nprobe, len(self.cents))
         probed = batch_df.withColumn(
-            "_cells", _argmin_cells_udf(self.cents, n=n)(F.col(self.vec_col))
+            "_cells",
+            _argmin_cells_udf(self.cents, n=n, as_array=True)(
+                F.col(self.vec_col)
+            ),
         ).select(
             self.id_col, F.explode_outer("_cells").alias("_cell")
         )

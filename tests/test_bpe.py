@@ -107,3 +107,29 @@ def test_apply_bpe_empty_and_null(spark):
     assert out[0] == []
     assert out[1] == []
     assert out[2] == ["ab", END_OF_WORD]
+
+
+def test_unicode_whitespace_pinned_to_ascii_class(spark):
+    """NBSP (and any other UNICODE-only whitespace) is NOT a word
+    boundary: Java \\s is the ASCII class, so the Spark word table
+    keeps 'foo\\u00a0bar' whole — the Python golden and encoders must
+    match (regression: str.split() split it, so goldens disagreed
+    with the Spark-trained merges on scraped-HTML corpora)."""
+    from auto_data_tokenize_spark.operators.bpe import encode_text
+
+    texts = ["foo\u00a0bar foo\u00a0bar", "foo\u00a0bar baz baz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    golden = [(l, r) for _, l, r in train_bpe_golden(texts, n_merges=6)]
+    assert merges == golden
+    # the NBSP word is ONE word on both paths: its encode reassembles
+    # to the full word + end-of-word, never split at the NBSP
+    toks = encode_text("foo\u00a0bar", merges)
+    assert "".join(toks) == "foo\u00a0bar" + END_OF_WORD
+    applied = apply_bpe(docs, merges).orderBy("doc_id").collect()
+    assert list(applied[0]["bpe_tokens"]) == encode_text(texts[0], merges)

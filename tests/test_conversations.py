@@ -239,3 +239,52 @@ def test_loss_mask_single_exchange_python_free(transcripts_small):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Python" not in plan
+
+
+def test_loss_mask_trailing_nonspace_whitespace_exact(spark):
+    """trim() strips only 0x20 — turn text ending in \\n or \\t must
+    not count a phantom trailing token and shift every later turn's
+    span (regression: split-after-trim counted 2 tokens for
+    '<|customer|>hello\\n'; counts now use non-whitespace RUNS)."""
+    rows = [
+        ("c_ws", 1, "customer", "hello\n", None),
+        ("c_ws", 2, "agent", "world", None),
+        ("c_ws", 3, "customer", "tabbed\t", None),
+        ("c_ws", 4, "agent", "  ", None),  # whitespace-only text
+    ]
+    df = _mk(spark, rows)
+    out = loss_mask_spans(df).orderBy("turn_idx").collect()
+    spans = [(r.n_piece_tokens, r.tok_start, r.tok_end) for r in out]
+    assert spans == [(1, 0, 1), (1, 1, 2), (1, 2, 3), (1, 3, 4)]
+    # pieces + the <|end|> token tile the rendered document exactly
+    n_tokens = render_chat(df).collect()[0]["n_tokens"]
+    assert sum(r.n_piece_tokens for r in out) + 1 == n_tokens
+    duck = (
+        _duck_twin(df, duckdb_loss_mask_sql)
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert list(duck["n_piece_tokens"]) == [1, 1, 1, 1]
+    assert list(duck["tok_end"]) == [1, 2, 3, 4]
+
+
+def test_audit_null_roles_are_not_a_three_valued_escape(spark):
+    """NULL roles must not NULL out the verdict or skip the orphan
+    sum (regression: plain =/!= let a tool result after a role-less
+    turn escape the orphan count, and a NULL first_role made
+    structurally_valid NULL so 'find invalid' filters dropped exactly
+    the malformed conversations the audit exists to flag)."""
+    rows = [
+        ("c_null", 1, None, "hi", "search"),  # role-less turn w/ tool set
+        ("c_null", 2, "tool", "result", "search"),
+        ("c_null", 3, "agent", "done", None),
+    ]
+    df = _mk(spark, rows)
+    out = conversation_audit(df).collect()[0]
+    assert out["orphan_tool_results"] == 1
+    assert out["first_role"] is None
+    assert out["structurally_valid"] is False  # False, not None
+    duck = _duck_twin(df, duckdb_conversation_audit_sql)
+    assert int(duck["orphan_tool_results"][0]) == 1
+    assert not bool(duck["structurally_valid"][0])
+    assert duck["structurally_valid"].notna().all()

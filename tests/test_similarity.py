@@ -307,3 +307,54 @@ def test_q98_gate_recall_matches_not_exists_oracle(spark, sf):
     )
     assert 0 < len(want) < 50  # both gate outcomes exercised
     assert got == want
+
+
+def test_nprobe_one_and_single_vector_corpus(spark, corpus, queries):
+    """min(nprobe, nlist) == 1 must yield an ARRAY cell column
+    everywhere it is exploded (regression: the scalar-int UDF return
+    made semantic_cells / ivf_topk die with an AnalysisException at
+    nprobe=1 or on a single-vector corpus); nprobe=0 fails loudly."""
+    rows = similarity.ivf_topk(
+        corpus, queries, k=1, nlist=8, nprobe=1
+    ).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for r in rows:  # self shares its own probe cell -> rank 1
+        assert r["vec_id"] == r["query_id"] and r["rank"] == 1
+    one = corpus.limit(1)
+    cells, cents = similarity.semantic_cells(one, nlist=4, nprobe=4)
+    assert len(cents) == 1 and cells.count() == 1
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.semantic_cells(corpus, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk(corpus, queries, nprobe=0)
+
+
+def test_stream_semantic_gate_nprobe_one_and_zero(spark, tmp_path):
+    """The streaming gate at nprobe=1 (and over a single-centroid
+    corpus) must run, not AnalysisException; nprobe=0 — which would
+    silently admit EVERYTHING — must raise at construction."""
+    from auto_data_tokenize_spark.streaming.ingest import SemanticDedupGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(1, DIM)).astype(np.float64)
+    corpus_df = spark.createDataFrame(
+        [(0, [float(x) for x in base[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="nprobe"):
+        SemanticDedupGate(corpus_df, sink, nprobe=0)
+    fresh = rng.normal(size=DIM)
+    batch = spark.createDataFrame(
+        [
+            (100, [float(x) for x in base[0] * 1.01]),  # near-copy
+            (200, [float(x) for x in fresh]),           # fresh
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with SemanticDedupGate(
+        corpus_df, sink, threshold=0.99, nlist=4, nprobe=1
+    ) as gate:
+        got = sorted(r["vec_id"] for r in gate.admit(batch).collect())
+    assert got == [200]

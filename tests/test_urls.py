@@ -140,3 +140,58 @@ def test_pipeline_plan_is_python_free(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fragment_question_mark_is_not_query(spark):
+    """RFC 3986 §3.5: a '?' after '#' is fragment content — it must
+    not leak into the canonical query (regression: _QUERY_RE once
+    matched the FIRST '?' anywhere, re-attaching fragment text as a
+    query and splitting the dedup group for the same page)."""
+    cases = [
+        ("http://example.com/page#section?x=1", "http://example.com/page"),
+        ("http://example.com/page?a=1#sec?x=2",
+         "http://example.com/page?a=1"),
+    ]
+    df = _pages(spark, [c[0] for c in cases]).select(
+        "doc_id", canonical_url_expr().alias("c")
+    )
+    got = {r.doc_id: r.c for r in df.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"url": [c[0] for c in cases]}))
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {duckdb_canonical_url_sql('url')} FROM u"
+        ).fetchall()
+    ]
+    assert duck == [c[1] for c in cases]
+
+
+def test_empty_blocklist_twin_is_noop(spark):
+    """An empty blocklist keeps EVERY row in both engines — including
+    the ''-domain degenerate a malformed URL canonicalizes to
+    (regression: the twin rendered NOT IN ('') and silently dropped
+    it). Quote-bearing domains must render as doubled-quote SQL
+    literals."""
+    pages = _pages(spark, ["https://a.com/x", "not-a-url"])
+    empty = spark.createDataFrame([], "domain string")
+    got = (
+        url_pipeline(pages, empty, cap_n=5, order_col="n_chars")
+        .orderBy("canon_url")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    want = (
+        con.sql(duckdb_url_pipeline_sql("SELECT * FROM pages", (), 5,
+                                        "n_chars"))
+        .df()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert len(got) == 2  # the malformed ''-domain row survives too
+    sql = duckdb_url_pipeline_sql("SELECT 1", ("o'brien.com",), 1, "n")
+    assert "o''brien.com" in sql
