@@ -24,9 +24,11 @@ Algorithms 7/8) — pinned against NIST's own AES-128 sample vectors in
 
 Scale posture: pure per-value crypto inside Arrow batches (same shape
 as the AES-SIV tokenize hot path) — no shuffle, no driver data. The
-per-(length, tweak-length) FF1 preamble block is cached per cipher
-object so long columns of same-format values pay the AES-CBC-MAC of
-the varying half only.
+FF1 preamble CBC state (the P||tweak-head MAC) is cached per cipher
+object keyed by (radix, length, tweak) — bounded at 4096 entries,
+cleared when full — so long columns of same-format, same-context
+values (the free-form span path always tweaks with ``""``) pay the
+AES-CBC-MAC of the varying half only.
 """
 
 from __future__ import annotations
@@ -82,6 +84,8 @@ class _AesEcb:
         if len(key) not in (16, 24, 32):
             raise ValueError("FF1 key must be 16, 24, or 32 bytes (AES)")
         self._cipher = Cipher(algorithms.AES(key), modes.ECB())
+        # (radix, n, tweak) -> preamble CBC state; see _ff1_rounds
+        self.iv_cache: dict[tuple[int, int, bytes], bytes] = {}
 
     def enc(self, data: bytes) -> bytes:
         e = self._cipher.encryptor()
@@ -145,11 +149,24 @@ def _ff1_rounds(
     )
     q_pad = tweak + b"\x00" * ((-t - b - 1) % 16)
     # CBC state after absorbing P (and any full 16-byte prefix of the
-    # constant tweak padding) is round-invariant — hoist it.
+    # constant tweak padding) is round-invariant — hoist it, and cache
+    # it on the cipher object across calls: same-format values under
+    # the same tweak (a column of SSNs, free-form spans with the ""
+    # tweak) then skip the preamble MAC entirely. Bounded + cleared so
+    # high-cardinality context tweaks cannot grow executor memory.
     fixed = P + q_pad
     cut = len(fixed) - (len(fixed) % 16)
     head, tail = fixed[:cut], fixed[cut:]
-    iv0 = _prf(aes, head) if head else b"\x00" * 16
+    cache = getattr(aes, "iv_cache", None)
+    ck = (radix, n, tweak)
+    if cache is not None and ck in cache:
+        iv0 = cache[ck]
+    else:
+        iv0 = _prf(aes, head) if head else b"\x00" * 16
+        if cache is not None:
+            if len(cache) >= 4096:
+                cache.clear()
+            cache[ck] = iv0
     rad_u, rad_v = radix**u, radix**v
     rounds = range(9, -1, -1) if decrypt else range(10)
     for i in rounds:
@@ -297,7 +314,11 @@ def reidentify_text(
     with its decrypted value. Parsing is length-driven (left to right,
     earliest match first); a head whose name differs, whose declared
     length overruns the text, or whose body leaves the alphabet is kept
-    verbatim and scanning resumes after it."""
+    verbatim — and scanning resumes ONE character later, not after the
+    failed head, because a failed head can CONTAIN a genuine one (the
+    name class is greedy: ``IDSSN(9):...`` — a token adjacent to the
+    word ``ID`` — matches name ``IDSSN`` first, and the real
+    ``SSN(9):`` head starts inside it)."""
     if not text:
         return text
     out: list[str] = []
@@ -319,5 +340,5 @@ def reidentify_text(
             out.append(cipher.decrypt(body, context))
             pos = m.end() + ln
         else:
-            out.append(m.group(0))
-            pos = m.end()
+            out.append(text[m.start()])
+            pos = m.start() + 1

@@ -84,13 +84,42 @@ def tokenize_text_udf(
     return _tokenize
 
 
-def transform_text_udf(repl, info_types: tuple[str, ...] | None = None):
+def transform_text_udf(
+    repl,
+    info_types: tuple[str, ...] | None = None,
+    *,
+    takes_context: bool = False,
+):
     """text -> text with every validated finding rewritten by
     ``repl(info_type, matched) -> str`` — the free-form carrier for the
     non-crypto primitive transformations (characterMask / redact /
     replace / replaceWithInfoType; operators.deidentify.free_form_repl).
     Same Arrow batch shape and per-row compiled-regex pass as
-    ``tokenize_text_udf``, minus the cipher (no key, no scope)."""
+    ``tokenize_text_udf``, minus the cipher (no key, no scope).
+
+    ``takes_context=True`` builds a TWO-column UDF ``(text, ctx)`` and
+    calls ``repl(info_type, matched, ctx)`` per row (NULL ctx binds as
+    ``""``, the FPE tweak posture) — used by the free-form FPE path to
+    honor a configured ``context`` column."""
+
+    if takes_context:
+
+        @pandas_udf(StringType())
+        def _transform_ctx(text: pd.Series, ctxs: pd.Series) -> pd.Series:
+            out = []
+            for t, c in zip(text, ctxs):
+                if t is None or t != t:
+                    out.append(None)
+                    continue
+                cv = "" if c is None or c != c else str(c)
+                out.append(
+                    detectors.replace_spans(
+                        t, lambda it, s, cv=cv: repl(it, s, cv), info_types
+                    )
+                )
+            return pd.Series(out, index=text.index, dtype=object)
+
+        return _transform_ctx
 
     @pandas_udf(StringType())
     def _transform(text: pd.Series) -> pd.Series:

@@ -121,11 +121,18 @@ def date_shift(
     """``dateShiftConfig``: deterministic per-context day shift in
     ``[lower, upper]`` (inclusive). Equal context values receive equal
     shifts (DLP consistency contract); ``salt`` folds the crypto key
-    into the hash driver-side so the expression stays JVM-only."""
+    into the hash driver-side so the expression stays JVM-only.
+
+    A NULL context value hashes as ``""`` — the same posture as the
+    FPE UDF's null-context tweak — so such rows still shift
+    deterministically instead of having their dates silently nulled
+    by null-propagating concat/date_add."""
     lo, hi = int(lower_bound_days), int(upper_bound_days)
     if lo > hi:
         raise ValueError(f"lowerBoundDays {lo} > upperBoundDays {hi}")
-    basis = (context if context is not None else col).cast("string")
+    basis = F.coalesce(
+        (context if context is not None else col).cast("string"), F.lit("")
+    )
     h = _md5_prefix_long(F.concat(F.lit(salt), F.lit(":"), basis))
     shift = F.pmod(h, F.lit(hi - lo + 1)) + F.lit(lo)
     return F.date_add(col.cast("date"), shift.cast("int"))
@@ -164,13 +171,24 @@ def fixed_size_buckets(
     # including non-integral ones above 1e7 — formats identically to
     # the "<L"/">=U" boundary labels and to any SQL twin (Spark's
     # double→string cast switches to scientific notation at 1e7).
-    label: Column = F.lit(None).cast("string")
-    for i in range(n_buckets - 1, -1, -1):
-        b_lo = lo + i * size
-        b_hi = min(b_lo + size, hi)
-        label = F.when(
-            b == F.lit(i), F.lit(f"{_num_str(b_lo)}-{_num_str(b_hi)}")
-        ).otherwise(label)
+    # The lookup is ONE array literal + element_at, not a CASE chain:
+    # a per-bucket when() tree — nested OR flat — makes Catalyst/Janino
+    # scale with the bucket count (a nested tree stack-overflows
+    # analysis, and even a flat 10k-branch CaseWhen OOMs whole-stage
+    # codegen building its local-variable maps); a single Literal
+    # array is O(1) plan nodes at any permitted bucket count. The
+    # index is clamped: v in [lo, hi) puts b in [0, n_buckets-1]
+    # mathematically, and the clamp keeps one-ulp float division
+    # artifacts at the edges inside the array (ANSI element_at errors
+    # out of range).
+    labels = [
+        f"{_num_str(lo + i * size)}-{_num_str(min(lo + i * size + size, hi))}"
+        for i in range(n_buckets)
+    ]
+    idx = F.greatest(
+        F.lit(0).cast("long"), F.least(F.lit(n_buckets - 1).cast("long"), b)
+    )
+    label: Column = F.element_at(F.lit(labels), (idx + F.lit(1)).cast("int"))
     return (
         F.when(v.isNull(), F.lit(None).cast("string"))
         .when(v < F.lit(lo), F.lit("<" + _num_str(lo)))
@@ -309,14 +327,36 @@ def fpe_transform_udf(cipher, *, surrogate: str | None = None, decrypt=False):
     return _fpe
 
 
-def fpe_reidentify_udf(cipher, surrogate: str):
+def fpe_reidentify_udf(cipher, surrogate: str, *, takes_context: bool = False):
     """Reverse of the free-form FPE path: scan text for
     ``surrogate(<len>):<ct>`` annotations and replace each with its
-    decrypted value (:func:`functions.fpe.reidentify_text`)."""
+    decrypted value (:func:`functions.fpe.reidentify_text`).
+    ``takes_context=True`` builds a two-column ``(text, ctx)`` UDF for
+    tokens produced under a per-row context tweak (NULL ctx reads as
+    ``""``, matching the encrypt side)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
     from auto_data_tokenize_spark.functions.fpe import reidentify_text
+
+    if takes_context:
+
+        @pandas_udf(StringType())
+        def _reid_ctx(text: pd.Series, ctxs: pd.Series) -> pd.Series:
+            out = []
+            for t, c in zip(text, ctxs):
+                cv = "" if c is None or c != c else str(c)
+                out.append(
+                    reidentify_text(
+                        t if isinstance(t, str) else None,
+                        cipher,
+                        surrogate,
+                        cv,
+                    )
+                )
+            return pd.Series(out, index=text.index, dtype=object)
+
+        return _reid_ctx
 
     @pandas_udf(StringType())
     def _reid(text: pd.Series) -> pd.Series:
@@ -454,7 +494,14 @@ def free_form_repl(
     for a free-form (within-text findings) primitive transformation.
     Used with :func:`functions.detectors.replace_spans` and the Arrow
     UDF wrapper in ``functions.udfs``. ``column``/``root_key`` are only
-    consulted by the key-deriving transform (FPE)."""
+    consulted by the key-deriving transform (FPE).
+
+    The FPE callback additionally accepts an optional third argument —
+    the per-row context tweak (``repl(info_type, matched, ctx)``) —
+    which ``functions.udfs.transform_text_udf(takes_context=True)``
+    binds from a context column, delivering the DLP cross-scope
+    unlinkability contract (equal values in different contexts yield
+    different tokens) on free-form columns too."""
     if "cryptoReplaceFfxFpeConfig" in transform:
         from auto_data_tokenize_spark.functions.fpe import wrap_surrogate
 
@@ -468,13 +515,13 @@ def free_form_repl(
             )
         cipher = fpe_cipher_for(column or "", c, root_key)
 
-        def _fpe_span(info_type: str, s: str) -> str:
+        def _fpe_span(info_type: str, s: str, ctx: str = "") -> str:
             # spans too short for FF1 at this radix, or containing
             # out-of-alphabet characters, are kept verbatim: erroring
             # mid-text would poison the whole document for one finding
             if not cipher.can_encrypt(s):
                 return s
-            return wrap_surrogate(name, cipher.encrypt(s))
+            return wrap_surrogate(name, cipher.encrypt(s, ctx))
 
         return _fpe_span
     if "characterMaskConfig" in transform:
@@ -494,7 +541,12 @@ def free_form_repl(
     if "redactConfig" in transform:
         return lambda info_type, s: ""
     if "replaceConfig" in transform:
-        new = str(_value_of(transform["replaceConfig"].get("newValue")))
+        if "newValue" not in transform["replaceConfig"]:
+            # str(None) would write the literal word "None" over every
+            # finding in every document — the same silent-corruption
+            # mode the whole-value path and value_buckets guard against
+            raise ValueError("replaceConfig missing newValue")
+        new = str(_value_of(transform["replaceConfig"]["newValue"]))
         return lambda info_type, s: new
     if "replaceWithInfoTypeConfig" in transform:
         return lambda info_type, s: f"[{info_type}]"

@@ -222,21 +222,33 @@ def apply_encrypt_config(
                 )
             col = spec.parts[0]
             if spec.primitive is not None:
-                # non-crypto finding transform (mask/redact/replace/
-                # replace-with-infoType) over detected spans in place
+                # finding transform (mask/redact/replace/replace-with-
+                # infoType/FPE) over detected spans in place; a
+                # configured FPE context column binds per row through
+                # the two-column UDF (read from the ORIGINAL-value
+                # snapshot, like the whole-value transforms)
                 from auto_data_tokenize_spark.functions.udfs import (
                     transform_text_udf,
                 )
 
-                out = out.withColumn(
-                    col,
-                    transform_text_udf(
-                        free_form_repl(
-                            spec.primitive, column=col, root_key=root_key
-                        ),
-                        spec.info_types,
-                    )(out[col]),
+                ff_ctx = None
+                if "cryptoReplaceFfxFpeConfig" in spec.primitive:
+                    c = spec.primitive["cryptoReplaceFfxFpeConfig"]
+                    name = (c.get("context") or {}).get("name")
+                    if name:
+                        ff_ctx = snap.get(name, name)
+                repl = free_form_repl(
+                    spec.primitive, column=col, root_key=root_key
                 )
+                if ff_ctx is not None:
+                    expr = transform_text_udf(
+                        repl, spec.info_types, takes_context=True
+                    )(out[col], F.col(ff_ctx).cast("string"))
+                else:
+                    expr = transform_text_udf(repl, spec.info_types)(
+                        out[col]
+                    )
+                out = out.withColumn(col, expr)
             elif scope_col:
                 out = tokenize_turns(
                     out,

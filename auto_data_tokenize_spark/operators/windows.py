@@ -22,6 +22,27 @@ def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataF
     return df.withWatermark(ts_col, watermark) if watermark else df
 
 
+_DURATION_UNIT_S = {
+    "millisecond": 0.001,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def _duration_seconds(s: str) -> float:
+    """Parse a Spark window-duration string ('5 minutes', '1 hour')
+    into seconds — used only for driver-side validation."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+?)s?\s*", s)
+    if m and m.group(2).lower() in _DURATION_UNIT_S:
+        return int(m.group(1)) * _DURATION_UNIT_S[m.group(2).lower()]
+    raise ValueError(f"unsupported window duration: {s!r}")
+
+
 def infotype_frequencies(
     detections: DataFrame,
     duration: str = "5 minutes",
@@ -71,7 +92,23 @@ def infotype_rollup(
     map-side, so the coarse state only ever sees pre-aggregated rows;
     both state keys are conversation-free and bounded. In streaming the
     coarse windows emit when the watermark passes (append mode), which
-    the DuckDB oracle reproduces with the final-watermark filter."""
+    the DuckDB oracle reproduces with the final-watermark filter.
+
+    ``coarse`` must be an integer multiple of ``fine`` (both are
+    epoch-aligned tumbling windows, so divisibility makes every fine
+    window nest inside exactly one coarse window): the coarse window
+    is assigned from the fine window's ``window_time`` (end − 1µs), so
+    a straddling fine window — e.g. fine='7 minutes' against
+    coarse='1 hour', window [00:56, 01:03) — would attribute ALL its
+    events to the later coarse window and the rollup would disagree
+    with a direct coarse aggregation."""
+    fine_s, coarse_s = _duration_seconds(fine), _duration_seconds(coarse)
+    if coarse_s % fine_s != 0:
+        raise ValueError(
+            f"coarse ({coarse!r}) must be an integer multiple of fine "
+            f"({fine!r}): a straddling fine window would be attributed "
+            "entirely to one coarse window"
+        )
     d = _maybe_watermark(detections, ts_col, watermark)
     fine_agg = d.groupBy(
         F.window(F.col(ts_col), fine).alias("w"), "info_type"
@@ -150,6 +187,7 @@ def sessionize_generic(
             key_col,
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
-            *[c for c in ("n_events", "sum_value") if value_col or c == "n_events"],
+            "n_events",
+            *(["sum_value"] if value_col else []),
         )
     )

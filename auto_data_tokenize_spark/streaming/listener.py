@@ -45,7 +45,16 @@ class JsonlMetricsListener(StreamingQueryListener):
         )
 
     def onQueryTerminated(self, event) -> None:
-        self._append({"event": "terminated", "id": str(event.id)})
+        # event.exception distinguishes a crash from a clean stop — the
+        # one field an observability log must not drop
+        rec = {"event": "terminated", "id": str(event.id)}
+        exc = getattr(event, "exception", None)
+        if exc:
+            rec["exception"] = str(exc)
+            err_cls = getattr(event, "errorClassOnException", None)
+            if err_cls:
+                rec["error_class"] = str(err_cls)
+        self._append(rec)
 
     def onQueryIdle(self, event) -> None:
         pass

@@ -72,10 +72,26 @@ def stage_stream_input(
     relative to the watermark — they are late by generation, not by
     file order).
 
+    ``arrival_order='original'`` keeps the input row order.
+
     ``replicate=k`` scales the stream k× by cloning rows under suffixed
     conv_ids (deterministic; used by the scaling benchmark so compute
-    dominates fixed per-job overhead)."""
+    dominates fixed per-job overhead).
+
+    Pre-existing ``chunk-*.parquet`` files in ``out_dir`` are removed
+    first: a rerun that writes fewer chunks (smaller input or smaller
+    ``n_files``) would otherwise leave stale chunks from the previous
+    dataset for the file-source stream to replay — silent
+    double-counting."""
+    if arrival_order not in ("ts", "original"):
+        raise ValueError(
+            f"arrival_order must be 'ts' or 'original': {arrival_order!r}"
+        )
     os.makedirs(out_dir, exist_ok=True)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "chunk-*.parquet")):
+        os.unlink(stale)
     df = pd.read_parquet(parquet_path)
     if replicate > 1:
         clones = []

@@ -456,3 +456,43 @@ def test_fixed_size_buckets_large_nonintegral_edges(spark):
         fixed_size_buckets(F.col("x"), 0.0, 20_000_000.0, 2_500_000.5).alias("b")
     ).collect()[0].b
     assert "E" not in out and out == "10000002-12500002.5"
+
+
+def test_date_shift_null_context_shifts_instead_of_nulling(spark):
+    """A NULL context value must hash as '' (the FPE tweak posture)
+    and still shift deterministically (regression: null-propagating
+    concat made date_add return NULL, silently erasing the date)."""
+    df = spark.createDataFrame(
+        [(None, datetime.date(2020, 6, 15)),
+         (None, datetime.date(2021, 1, 1)),
+         ("u1", datetime.date(2020, 6, 15))],
+        "k string, d date",
+    )
+    out = df.select(
+        "k", "d",
+        date_shift(F.col("d"), -30, 30, context=F.col("k"), salt="s1").alias("s"),
+    ).collect()
+    deltas = {}
+    for r in out:
+        assert r.s is not None
+        delta = (r.s - r.d).days
+        assert -30 <= delta <= 30
+        deltas.setdefault(r.k, set()).add(delta)
+    assert len(deltas[None]) == 1  # consistency holds for NULL context
+
+
+def test_free_form_replace_requires_new_value():
+    with pytest.raises(ValueError, match="newValue"):
+        free_form_repl({"replaceConfig": {}})
+
+
+def test_fixed_size_buckets_10k_buckets_is_flat(spark):
+    """The permitted 10,000-bucket maximum must analyze and execute —
+    a nested per-bucket when().otherwise() tree stack-overflowed
+    Catalyst far below the cap; the chain is now ONE flat CaseWhen."""
+    expr = fixed_size_buckets(F.col("v"), 0.0, 100000.0, 10.0)
+    df = spark.createDataFrame(
+        [(5.0,), (99995.0,), (-1.0,), (100000.0,)], "v double"
+    )
+    got = [r[0] for r in df.select(expr).collect()]
+    assert got == ["0-10", "99990-100000", "<0", ">=100000"]

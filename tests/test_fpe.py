@@ -288,3 +288,127 @@ def test_free_form_fpe_requires_surrogate():
 
     with pytest.raises(ValueError, match="surrogateInfoType"):
         free_form_repl({"cryptoReplaceFfxFpeConfig": {"radix": 95}})
+
+
+def test_reidentify_recovers_token_adjacent_to_word_chars(spark):
+    """A surrogate head immediately preceded by word characters must
+    still be found: the greedy name class matches 'IDSSN(9):' first,
+    and scanning must resume INSIDE the failed head (regression: it
+    resumed after it, silently leaving the token encrypted)."""
+    from auto_data_tokenize_spark.functions.fpe import (
+        FpeCipher,
+        reidentify_text,
+        wrap_surrogate,
+    )
+
+    cipher = FpeCipher(b"k" * 16, common_alphabet="NUMERIC")
+    tok = wrap_surrogate("SSN", cipher.encrypt("536904399"))
+    text = f"ID{tok} and tail"
+    back = reidentify_text(text, cipher, "SSN")
+    assert back == "ID536904399 and tail"
+    # a genuinely foreign annotation is still kept verbatim
+    keep = reidentify_text("OTHER(3):123", cipher, "SSN")
+    assert keep == "OTHER(3):123"
+
+
+def test_ff1_preamble_cache_is_transparent(spark):
+    """The per-(radix, n, tweak) preamble cache must not change any
+    ciphertext: same value+context always round-trips and differing
+    contexts still diverge after the cache is warm."""
+    from auto_data_tokenize_spark.functions.fpe import FpeCipher
+
+    cipher = FpeCipher(b"q" * 16, radix=62)
+    vals = ["abc123", "zzz999", "abc123"]
+    for ctx in ("", "conv-1", "conv-2", ""):
+        toks = [cipher.encrypt(v, ctx) for v in vals]
+        assert toks[0] == toks[2]  # deterministic under warm cache
+        for v, t in zip(vals, toks):
+            assert cipher.decrypt(t, ctx) == v
+    t1 = cipher.encrypt("abc123", "conv-1")
+    t2 = cipher.encrypt("abc123", "conv-2")
+    assert t1 != t2
+    assert len(cipher._aes.iv_cache) > 0
+
+
+def test_free_form_fpe_context_binds_per_row(spark):
+    """A configured context column must reach the free-form FPE spans:
+    equal values in different conversations yield DIFFERENT tokens
+    (cross-scope unlinkability), and context-aware re-identification
+    round-trips (regression: the span callback silently dropped the
+    configured context and tokens were keyset-global)."""
+    from auto_data_tokenize_spark.functions.udfs import transform_text_udf
+    from auto_data_tokenize_spark.operators.deidentify import (
+        fpe_cipher_for,
+        fpe_reidentify_udf,
+        free_form_repl,
+    )
+
+    cfg = {
+        "cryptoReplaceFfxFpeConfig": {
+            "radix": 95,
+            "context": {"name": "conv_id"},
+            "surrogateInfoType": {"name": "ADT_TOKEN"},
+        }
+    }
+    df = spark.createDataFrame(
+        [
+            ("c1", "ssn is 536-90-4399"),
+            ("c2", "ssn is 536-90-4399"),
+            (None, "ssn is 536-90-4399"),
+        ],
+        "conv_id string, text string",
+    )
+    repl = free_form_repl(cfg, column="text")
+    masked = df.withColumn(
+        "masked",
+        transform_text_udf(repl, takes_context=True)(
+            df["text"], df["conv_id"]
+        ),
+    )
+    rows = {r["conv_id"]: r["masked"] for r in masked.collect()}
+    assert rows["c1"] != rows["c2"]  # unlinkable across contexts
+    assert all("536-90-4399" not in (m or "") for m in rows.values())
+    cipher = fpe_cipher_for("text", cfg["cryptoReplaceFfxFpeConfig"])
+    back = masked.withColumn(
+        "back",
+        fpe_reidentify_udf(cipher, "ADT_TOKEN", takes_context=True)(
+            masked["masked"], masked["conv_id"]
+        ),
+    )
+    for r in back.collect():
+        assert r["back"] == r["text"]
+
+
+def test_encrypt_config_free_form_fpe_context_applies(spark):
+    """apply_encrypt_config must thread a freeFormColumn FPE context
+    through to the spans (and read it from the original-value
+    snapshot)."""
+    from auto_data_tokenize_spark.operators.dlp_config import (
+        apply_encrypt_config,
+        parse_encrypt_config,
+    )
+
+    cfg = {
+        "transforms": [
+            {
+                "columnId": "$.r.text",
+                "freeFormColumn": "true",
+                "infoTypes": ["US_SOCIAL_SECURITY_NUMBER"],
+                "transform": {
+                    "cryptoReplaceFfxFpeConfig": {
+                        "radix": 95,
+                        "context": {"name": "conv_id"},
+                        "surrogateInfoType": {"name": "ADT_TOKEN"},
+                    }
+                },
+            }
+        ]
+    }
+    df = spark.createDataFrame(
+        [("c1", "ssn 536-90-4399"), ("c2", "ssn 536-90-4399")],
+        "conv_id string, text string",
+    )
+    out = apply_encrypt_config(df, parse_encrypt_config(cfg))
+    rows = {r["conv_id"]: r["text"] for r in out.collect()}
+    assert rows["c1"] != rows["c2"]
+    assert all("ADT_TOKEN(" in v for v in rows.values())

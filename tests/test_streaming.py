@@ -1119,3 +1119,58 @@ def test_dsir_gate_resume_no_dupes(spark, tmp_path):
     assert len(rows_out) == len(ids)
     # target-like docs carry a strictly positive integer weight
     assert all(r["logw_micro6"] > 0 and r["n_grams"] == 7 for r in rows_out)
+
+
+def test_stage_stream_input_clears_stale_chunks(spark, tmp_path):
+    """A rerun that writes FEWER chunks must not leave the previous
+    dataset's tail for the file source to replay (silent
+    double-counting); unknown arrival_order values fail loudly."""
+    import glob
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.streaming import source
+
+    src = str(tmp_path / "src.parquet")
+    pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(16)],
+            "ts": pd.date_range("2026-01-01", periods=16, freq="min"),
+        }
+    ).to_parquet(src, index=False)
+    out = str(tmp_path / "staged")
+    source.stage_stream_input(src, out, n_files=8)
+    assert len(glob.glob(f"{out}/chunk-*.parquet")) == 8
+    source.stage_stream_input(src, out, n_files=2)
+    files = glob.glob(f"{out}/chunk-*.parquet")
+    assert len(files) == 2
+    total = sum(len(pd.read_parquet(f)) for f in files)
+    assert total == 16  # exactly one copy of the dataset remains
+    with _pytest.raises(ValueError, match="arrival_order"):
+        source.stage_stream_input(src, out, arrival_order="shuffled")
+
+
+def test_metrics_listener_records_termination_exception(tmp_path):
+    """A crashed query must be distinguishable from a clean stop in
+    progress.jsonl (regression: event.exception was dropped)."""
+    import json
+    import types
+
+    from auto_data_tokenize_spark.streaming.listener import (
+        JsonlMetricsListener,
+    )
+
+    listener = JsonlMetricsListener(str(tmp_path / "m"))
+    ev = types.SimpleNamespace(
+        id="q-1", exception="boom: executor lost", errorClassOnException=None
+    )
+    listener.onQueryTerminated(ev)
+    clean = types.SimpleNamespace(id="q-2", exception=None)
+    listener.onQueryTerminated(clean)
+    recs = [
+        json.loads(line)
+        for line in open(listener.path).read().splitlines()
+    ]
+    assert recs[0]["exception"] == "boom: executor lost"
+    assert "exception" not in recs[1]

@@ -95,3 +95,22 @@ def test_infotype_rollup_batch_consistency(spark):
     # first hour: minutes 0,3 -> bucket 0; 7 -> 5; 12 -> 10; 59 -> 55 = 4 buckets
     assert got[("2026-01-01T00:00:00", "EMAIL_ADDRESS")] == (5, 4)
     assert got[("2026-01-01T01:00:00", "EMAIL_ADDRESS")] == (2, 2)
+
+
+def test_infotype_rollup_rejects_non_divisible_durations(spark):
+    """coarse must be an integer multiple of fine: a straddling fine
+    window (e.g. [00:56, 01:03) against hourly) is attributed entirely
+    to ONE coarse window by window_time, so the rollup would silently
+    disagree with a direct coarse aggregation."""
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.operators.windows import infotype_rollup
+
+    df = spark.createDataFrame(
+        [("EMAIL", "2026-01-01 00:57:00")], "info_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="integer multiple"):
+        infotype_rollup(df, fine="7 minutes", coarse="1 hour")
+    # divisible combinations still build
+    infotype_rollup(df, fine="5 minutes", coarse="1 hour").collect()
+    infotype_rollup(df, fine="30 seconds", coarse="2 minutes").collect()
