@@ -2796,6 +2796,62 @@ def q102_rekey_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET_PER_LANG = 5_000
+
+
+def q104_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling — "take the best N tokens
+    per language", the mixture-building primitive data recipes quote
+    budgets in. Docs are taken by (n_chars DESC, doc_id ASC) priority
+    until the whitespace-token running total would exceed the budget.
+    ONE window shuffle on lang (the domain_cap pattern — per-key sort,
+    no global order)."""
+    from auto_data_tokenize_spark.operators.corpus import take_token_budget
+
+    return take_token_budget(
+        _documents(spark, sf_dir),
+        TOKEN_BUDGET_PER_LANG,
+        key_col="lang",
+        order_col="n_chars",
+    )
+
+
+def q105_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-doc contamination scores (the reverse direction of
+    q53): for each held-out doc, the fraction of its distinct 5-word
+    shingles present anywhere in the corpus — GPT-3 appendix C's
+    per-benchmark dirtiness table. The corpus is never shuffled: its
+    shingles semi-join the broadcast eval universe and only the
+    eval-bounded survivors aggregate."""
+    from auto_data_tokenize_spark.operators.corpus import (
+        contamination_report,
+    )
+
+    docs = _documents(spark, sf_dir)
+    ev = docs.filter(f"doc_id % {EVAL_MOD} = 0").select("doc_id", "text")
+    corpus = docs.filter(f"doc_id % {EVAL_MOD} != 0").select(
+        "doc_id", "text"
+    )
+    return contamination_report(corpus, ev, k=5)
+
+
+def q106_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation dashboard over the synthetic crawl: page
+    count, quality pass rate, token volume — the table per-domain
+    crawl rules are tuned from. Quality features are narrow codegen
+    projections; the domain groupBy is map-side combined (output is
+    domain-cardinality)."""
+    from auto_data_tokenize_spark.operators.urls import (
+        domain_curation_report,
+    )
+
+    docs = _documents(spark, sf_dir)
+    pages = _url_pages(docs).select("doc_id", "url").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    return domain_curation_report(pages)
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -2944,6 +3000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_stream_nb_gate": _with_prep(q101_stream_nb_gate),
         "q102_rekey_roundtrip": _with_prep(q102_rekey_roundtrip),
         "q103_tink_keyset_roundtrip": _with_prep(q103_tink_keyset_roundtrip),
+        "q104_token_budget": _with_prep(q104_token_budget),
+        "q105_contamination_report": _with_prep(q105_contamination_report),
+        "q106_domain_curation": _with_prep(q106_domain_curation),
     }
 
 
@@ -3520,6 +3579,63 @@ def _duck_url_pipeline() -> str:
     return duckdb_url_pipeline_sql(
         _duck_url_pages_sql(), _URL_BLOCKED, cap_n=5, order_col="n_chars"
     )
+
+
+def _duck_token_budget() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_token_budget_sql,
+    )
+
+    return duckdb_token_budget_sql(
+        "SELECT * FROM documents",
+        TOKEN_BUDGET_PER_LANG,
+        key_col="lang",
+        order_col="n_chars",
+    )
+
+
+def _duck_contamination_report() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_contamination_report_sql,
+    )
+
+    return duckdb_contamination_report_sql(
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} != 0",
+        f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0",
+        k=5,
+    )
+
+
+def _duck_domain_curation() -> str:
+    from auto_data_tokenize_spark.operators.urls import duckdb_domain_sql
+
+    ws = "length(string_split_regex(trim(text), '\\s+'))"
+    stop_hits = (
+        f"length(list_filter({_EN_STOP}, "
+        "w -> list_contains(string_split_regex(lower(text), '[^a-z]+'), w)))"
+    )
+    return f"""
+        WITH p AS (
+          SELECT u.doc_id, u.url, d.text
+          FROM ({_duck_url_pages_sql()}) u
+          JOIN documents d USING (doc_id)
+        ),
+        q AS (
+          SELECT {duckdb_domain_sql("url")} AS domain,
+                 CAST({ws} AS BIGINT) AS n_ws_tokens,
+                 ({ws} >= 5 AND length(text) >= 20
+                  AND {stop_hits} >= 1) AS is_quality
+          FROM p
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality,
+               round(sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
+                     / count(*), 6) AS quality_rate,
+               CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens
+        FROM q GROUP BY domain
+    """
 
 
 def _duck_dsir_select() -> str:
@@ -4480,4 +4596,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                    CAST(c_nationkey AS BIGINT) AS c_nationkey
             FROM customer
         """,
+        "q104_token_budget": _duck_token_budget(),
+        "q105_contamination_report": _duck_contamination_report(),
+        "q106_domain_curation": _duck_domain_curation(),
     }

@@ -757,3 +757,175 @@ def duckdb_temperature_mix_sql(
         FROM {table} t JOIN _thr ON t.{source_col} = _thr._src
         WHERE {b} < _t
     """
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    key_col: str = "lang",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-key token-budget sampling — "take the best N tokens per
+    language/source", the deterministic mixture-building primitive
+    (Llama/GPT-style data recipes quote per-source token budgets, not
+    document counts). Documents are taken in (``order_col`` DESC,
+    id ASC) priority order — a total order, so the cut is
+    deterministic — while the running whitespace-token total stays
+    within ``budget_tokens``; the budget-crossing document is EXCLUDED
+    (``cum_tokens <= budget``), so each key emits at most
+    ``budget_tokens`` tokens. Token counts use the shared
+    ``textstats.ws_tokens_expr`` contract.
+
+    Output: (id, key, n_tokens, cum_tokens).
+
+    100 TB shape: ONE window shuffle on the key (the domain_cap
+    pattern) — per-key sort, no global order anywhere; the token count
+    is a pure projection. Twin: :func:`duckdb_token_budget_sql`.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    from auto_data_tokenize_spark.operators.textstats import ws_tokens_expr
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.select(
+        id_col,
+        key_col,
+        order_col,
+        ws_tokens_expr(text_col).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .where(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .select(id_col, key_col, "n_tokens", "cum_tokens")
+    )
+
+
+def duckdb_token_budget_sql(
+    src_sql: str,
+    budget_tokens: int,
+    key_col: str = "lang",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`take_token_budget`."""
+    return f"""
+        WITH _t AS (
+          SELECT {id_col}, {key_col}, {order_col},
+                 CAST(length(string_split_regex(trim(text), '\\s+'))
+                      AS BIGINT) AS n_tokens
+          FROM ({src_sql}) src
+        ),
+        _c AS (
+          SELECT *,
+                 CAST(SUM(n_tokens) OVER (
+                        PARTITION BY {key_col}
+                        ORDER BY {order_col} DESC, {id_col} ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM _t
+        )
+        SELECT {id_col}, {key_col}, n_tokens, cum_tokens
+        FROM _c WHERE cum_tokens <= {int(budget_tokens)}
+    """
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-EVAL-document contamination scores — the reverse direction
+    of :func:`decontaminate`: for each held-out evaluation document,
+    the fraction of its distinct k-word shingles present ANYWHERE in
+    the corpus (GPT-3 appendix C reports exactly this per-benchmark
+    "dirtiness"; q53 flags corpus docs, this scores the benchmark).
+    Output: (id, n_shingles, n_hit, contaminated_frac) — frac rounded
+    to 6 dp (cross-engine float contract), 0.0 for docs too short to
+    shingle.
+
+    100 TB shape: the corpus side is scan → shingle explode →
+    semi-join against the BROADCAST eval-shingle universe → distinct;
+    its output is bounded by the EVAL universe (megabytes), not the
+    corpus, and that bounded present-set broadcasts back onto the
+    per-eval-doc shingle table. The corpus is never shuffled; every
+    aggregation runs on eval-sized tables.
+    Twin: :func:`duckdb_contamination_report_sql`.
+    """
+    from auto_data_tokenize_spark.operators.dedup import word_shingles
+
+    ev_pairs = word_shingles(eval_df, text_col, k, out_col="_g").select(
+        id_col, F.explode_outer(F.array_distinct("_g")).alias("_s")
+    )
+    ev_set = ev_pairs.where(F.col("_s").isNotNull()).select("_s").distinct()
+    cg = word_shingles(corpus, text_col, k, out_col="_g").select(
+        F.explode_outer(F.array_distinct("_g")).alias("_s")
+    )
+    present = (
+        cg.join(F.broadcast(ev_set), "_s", "left_semi")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    n_shingles = F.count("_s").cast("long")
+    n_hit = F.count("_hit").cast("long")
+    return (
+        ev_pairs.join(F.broadcast(present), "_s", "left")
+        .groupBy(id_col)
+        .agg(
+            n_shingles.alias("n_shingles"),
+            n_hit.alias("n_hit"),
+            F.when(n_shingles == 0, F.lit(0.0))
+            .otherwise(F.round(n_hit / n_shingles, 6))
+            .alias("contaminated_frac"),
+        )
+    )
+
+
+def duckdb_contamination_report_sql(
+    corpus_sql: str, eval_sql: str, k: int = 5
+) -> str:
+    """DuckDB twin of :func:`contamination_report` (shared shingle
+    construction with :func:`duckdb_decontaminate_sql`)."""
+
+    def shingles(src: str) -> str:
+        return f"""
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(w) - {k}, 0) + 1),
+                     i -> array_to_string(list_slice(w, i + 1, i + {k}), ' ')
+                 )) AS g
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM ({src}) src)
+        """
+
+    return f"""
+        WITH ev AS (SELECT doc_id, unnest(g) AS s FROM ({shingles(eval_sql)}) e),
+        cs AS (SELECT DISTINCT unnest(g) AS s FROM ({shingles(corpus_sql)}) c),
+        present AS (SELECT s FROM (SELECT DISTINCT s FROM ev) es
+                    WHERE s IN (SELECT s FROM cs)),
+        j AS (
+          SELECT ev.doc_id, ev.s,
+                 CASE WHEN present.s IS NOT NULL THEN 1 END AS hit
+          FROM ev LEFT JOIN present USING (s)
+        )
+        -- the doc spine keeps eval docs too short to shingle: DuckDB's
+        -- unnest of an empty list emits ZERO rows where Spark's
+        -- explode_outer emits one NULL row
+        SELECT d.doc_id,
+               CAST(count(j.s) AS BIGINT) AS n_shingles,
+               CAST(count(j.hit) AS BIGINT) AS n_hit,
+               CASE WHEN count(j.s) = 0 THEN 0.0
+                    ELSE round(count(j.hit) / count(j.s), 6)
+               END AS contaminated_frac
+        FROM (SELECT DISTINCT doc_id FROM ({eval_sql}) sp) d
+        LEFT JOIN j USING (doc_id)
+        GROUP BY d.doc_id
+    """

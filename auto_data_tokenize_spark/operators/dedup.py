@@ -112,13 +112,22 @@ def duckdb_affine_sig_expr(hs_col: str = "hs", n_hashes: int = 64) -> str:
 def word_shingles(
     df: DataFrame, text_col: str = "text", k: int = 5, out_col: str = "shingles"
 ) -> DataFrame:
-    """k-word shingles (contiguous): narrow, codegen'd."""
+    """k-word shingles (contiguous): narrow, codegen'd.
+
+    NULL text yields an EMPTY array — the same contract as the DuckDB
+    twins' list_transform over a NULL split (concat_ws over the NULL
+    slice would otherwise fabricate one ``""`` shingle on the Spark
+    side only, a cross-engine divergence every shingle consumer would
+    inherit). Empty text still yields the single ``""`` shingle on
+    BOTH engines."""
     words = f"split(trim(lower({text_col})), '\\\\s+')"
     return df.withColumn(
         out_col,
         F.expr(
-            f"transform(sequence(0, greatest(size({words}) - {k}, 0)),"
-            f" i -> concat_ws(' ', slice({words}, i + 1, {k})))"
+            f"CASE WHEN {text_col} IS NULL "
+            "THEN CAST(array() AS array<string>) "
+            f"ELSE transform(sequence(0, greatest(size({words}) - {k}, 0)),"
+            f" i -> concat_ws(' ', slice({words}, i + 1, {k}))) END"
         ),
     )
 

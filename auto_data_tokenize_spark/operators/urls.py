@@ -297,3 +297,35 @@ def duckdb_url_pipeline_sql(
           FROM _kept
         ) WHERE _rank <= {cap_n}
     """
+
+
+def domain_curation_report(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain curation dashboard: page count, quality pass count
+    and rate (``textstats.quality_features``), and token volume — the
+    aggregate a crawl-curation loop ranks domains by (RefinedWeb-style
+    per-domain rules are tuned from exactly this table). Output:
+    (domain, n_pages, n_quality, quality_rate, n_tokens) with
+    quality_rate rounded to 6 dp (cross-engine float contract).
+
+    100 TB shape: quality features are narrow codegen projections and
+    the groupBy on domain is map-side combined — ONE shuffle whose
+    output is domain-cardinality, not page-cardinality."""
+    from auto_data_tokenize_spark.operators.textstats import (
+        quality_features,
+    )
+
+    q = quality_features(pages, text_col).withColumn(
+        "domain", domain_expr(url_col)
+    )
+    n_pages = F.count(F.lit(1)).cast("long")
+    n_quality = F.sum(F.col("is_quality").cast("int")).cast("long")
+    return q.groupBy("domain").agg(
+        n_pages.alias("n_pages"),
+        n_quality.alias("n_quality"),
+        F.round(n_quality / n_pages, 6).alias("quality_rate"),
+        F.sum("n_ws_tokens").cast("long").alias("n_tokens"),
+    )

@@ -504,3 +504,80 @@ def test_temperature_rates_rejects_null_sources(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         temperature_rates(df)
+
+
+# ------------------------------------------------------ token budget
+def test_take_token_budget_boundary_and_order(spark):
+    """Docs are taken by (order DESC, id ASC) until the running token
+    total would exceed the budget; the crossing doc is EXCLUDED."""
+    from auto_data_tokenize_spark.operators.corpus import take_token_budget
+
+    rows = [
+        # lang en, priority by n_chars desc: d1(4 toks), d2(3), d3(2)
+        (1, "en", 40, "a b c d"),
+        (2, "en", 30, "a b c"),
+        (3, "en", 20, "a b"),
+        # lang fr: one doc that alone exceeds the budget
+        (4, "fr", 99, "un deux trois quatre cinq six sept huit"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in take_token_budget(df, 7, key_col="lang").collect()
+    }
+    # en: 4 + 3 = 7 <= 7 kept; d3 would make 9 -> excluded
+    assert got == {1: (4, 4), 2: (3, 7)}
+    with pytest.raises(ValueError, match="budget_tokens"):
+        take_token_budget(df, 0)
+
+
+def test_take_token_budget_single_key_exchange_python_free(spark):
+    from auto_data_tokenize_spark.operators.corpus import take_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "en", 5, "a b")], "doc_id long, lang string, n_chars long, text string"
+    )
+    plan = (
+        take_token_budget(df, 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan
+
+
+# ------------------------------------------------- contamination report
+def test_contamination_report_fracs_by_hand(spark):
+    from auto_data_tokenize_spark.operators.corpus import (
+        contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            # fully contained span -> every shingle hits
+            (100, "quick brown fox jumps over the lazy"),
+            # disjoint text -> zero hits
+            (101, "entirely different words about nothing in particular"),
+            # shorter than k words -> ONE whole-text shingle (the
+            # shared word_shingles contract), which misses here
+            (102, "too short"),
+            # NULL text -> no shingles at all -> 0/0 -> frac 0.0
+            (103, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["contaminated_frac"])
+        for r in contamination_report(corpus, ev, k=5).collect()
+    }
+    assert got[100] == (3, 3, 1.0)
+    assert got[101][1] == 0 and got[101][2] == 0.0
+    assert got[102] == (1, 0, 0.0)
+    assert got[103] == (0, 0, 0.0)

@@ -195,3 +195,28 @@ def test_empty_blocklist_twin_is_noop(spark):
     assert len(got) == 2  # the malformed ''-domain row survives too
     sql = duckdb_url_pipeline_sql("SELECT 1", ("o'brien.com",), 1, "n")
     assert "o''brien.com" in sql
+
+
+def test_domain_curation_report_by_hand(spark):
+    from auto_data_tokenize_spark.operators.urls import (
+        domain_curation_report,
+    )
+
+    q_text = "the cat and the dog were there, honestly quite often."
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/1", q_text),       # quality
+            (2, "https://WWW.A.com/2", "tiny"),   # not quality, same domain
+            (3, "https://b.com/1", q_text),       # quality
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {
+        r["domain"]: (
+            r["n_pages"], r["n_quality"], r["quality_rate"], r["n_tokens"]
+        )
+        for r in domain_curation_report(pages).collect()
+    }
+    n_tok = len(q_text.split())
+    assert got["a.com"] == (2, 1, 0.5, n_tok + 1)
+    assert got["b.com"] == (3 - 2, 1, 1.0, n_tok)
