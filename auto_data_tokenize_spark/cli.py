@@ -265,7 +265,12 @@ def cmd_encrypt(args) -> int:
                 "keyset-global, matching the reference's wire format)"
             )
         src = args.tinkEncryptionKeySetJson
-        ks = src if src.lstrip().startswith("{") else open(src).read()
+        if src.lstrip().startswith("{"):
+            ks = src
+        else:
+            from pathlib import Path
+
+            ks = Path(src).read_text()
         cols = [_strip_column_id(c) for c in (args.tokenizeColumns or [])]
         out = tokenize_columns_tink(df, cols, ks)
         return _write_encrypt_output(args, out)

@@ -234,6 +234,24 @@ def pack_sequences_stream(
     )
 
 
+def _duck_shingles_sql(src: str, k: int) -> str:
+    """The ONE DuckDB twin of ``dedup.word_shingles`` used by every
+    decontamination/contamination oracle in this module (it was
+    triplicated; the word_shingles NULL-contract fix is exactly the
+    class of drift a shared fragment prevents). NULL text: the NULL
+    split makes ``g`` an empty list, so unnest emits zero rows — the
+    same no-participation contract as the Spark side."""
+    return f"""
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(w) - {k}, 0) + 1),
+                     i -> array_to_string(list_slice(w, i + 1, i + {k}), ' ')
+                 )) AS g
+          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM ({src}) src)
+        """
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -290,22 +308,11 @@ def duckdb_decontaminate_sql(
     yielding (doc_id, text); the shingle construction mirrors
     ``word_shingles`` exactly (slice of lowercased whitespace split)."""
 
-    def shingles(src: str) -> str:
-        return f"""
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                     range(0, greatest(len(w) - {k}, 0) + 1),
-                     i -> array_to_string(list_slice(w, i + 1, i + {k}), ' ')
-                 )) AS g
-          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-                FROM ({src}) src)
-        """
-
     return f"""
         WITH ev AS (
-          SELECT DISTINCT unnest(g) AS s FROM ({shingles(eval_sql)}) e
+          SELECT DISTINCT unnest(g) AS s FROM ({_duck_shingles_sql(eval_sql, k)}) e
         ),
-        cg AS (SELECT doc_id, unnest(g) AS s FROM ({shingles(corpus_sql)}) c),
+        cg AS (SELECT doc_id, unnest(g) AS s FROM ({_duck_shingles_sql(corpus_sql, k)}) c),
         h AS (
           SELECT cg.doc_id, count(*) AS n FROM cg JOIN ev USING (s) GROUP BY 1
         )
@@ -394,23 +401,12 @@ def duckdb_decontaminate_hits_sql(
     (doc_id, shingle) hit pairs (shared shingle construction with
     :func:`duckdb_decontaminate_sql`)."""
 
-    def shingles(src: str) -> str:
-        return f"""
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                     range(0, greatest(len(w) - {k}, 0) + 1),
-                     i -> array_to_string(list_slice(w, i + 1, i + {k}), ' ')
-                 )) AS g
-          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-                FROM ({src}) src)
-        """
-
     return f"""
         WITH ev AS (
-          SELECT DISTINCT unnest(g) AS shingle FROM ({shingles(eval_sql)}) e
+          SELECT DISTINCT unnest(g) AS shingle FROM ({_duck_shingles_sql(eval_sql, k)}) e
         ),
         cg AS (
-          SELECT doc_id, unnest(g) AS shingle FROM ({shingles(corpus_sql)}) c
+          SELECT doc_id, unnest(g) AS shingle FROM ({_duck_shingles_sql(corpus_sql, k)}) c
         )
         SELECT cg.doc_id, cg.shingle FROM cg JOIN ev USING (shingle)
     """
@@ -793,11 +789,17 @@ def take_token_budget(
         .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL text counts as 0 tokens, explicitly on BOTH engines: a NULL
+    # n_tokens would be skipped by the window SUM (admitting the doc
+    # "for free" with an undefined count) — 0 keeps the admit
+    # semantics identical and the output total exact.
     toks = df.select(
         id_col,
         key_col,
         order_col,
-        ws_tokens_expr(text_col).cast("long").alias("n_tokens"),
+        F.coalesce(
+            ws_tokens_expr(text_col).cast("long"), F.lit(0).cast("long")
+        ).alias("n_tokens"),
     )
     return (
         toks.withColumn(
@@ -815,11 +817,17 @@ def duckdb_token_budget_sql(
     order_col: str = "n_chars",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB twin of :func:`take_token_budget`."""
+    """DuckDB twin of :func:`take_token_budget` (token rule =
+    ``textstats.duckdb_ws_tokens_sql``, NULL text coalesced to 0 like
+    the Spark side)."""
+    from auto_data_tokenize_spark.operators.textstats import (
+        duckdb_ws_tokens_sql,
+    )
+
     return f"""
         WITH _t AS (
           SELECT {id_col}, {key_col}, {order_col},
-                 CAST(length(string_split_regex(trim(text), '\\s+'))
+                 CAST(coalesce({duckdb_ws_tokens_sql("text")}, 0)
                       AS BIGINT) AS n_tokens
           FROM ({src_sql}) src
         ),
@@ -895,20 +903,9 @@ def duckdb_contamination_report_sql(
     """DuckDB twin of :func:`contamination_report` (shared shingle
     construction with :func:`duckdb_decontaminate_sql`)."""
 
-    def shingles(src: str) -> str:
-        return f"""
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                     range(0, greatest(len(w) - {k}, 0) + 1),
-                     i -> array_to_string(list_slice(w, i + 1, i + {k}), ' ')
-                 )) AS g
-          FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-                FROM ({src}) src)
-        """
-
     return f"""
-        WITH ev AS (SELECT doc_id, unnest(g) AS s FROM ({shingles(eval_sql)}) e),
-        cs AS (SELECT DISTINCT unnest(g) AS s FROM ({shingles(corpus_sql)}) c),
+        WITH ev AS (SELECT doc_id, unnest(g) AS s FROM ({_duck_shingles_sql(eval_sql, k)}) e),
+        cs AS (SELECT DISTINCT unnest(g) AS s FROM ({_duck_shingles_sql(corpus_sql, k)}) c),
         present AS (SELECT s FROM (SELECT DISTINCT s FROM ev) es
                     WHERE s IN (SELECT s FROM cs)),
         j AS (

@@ -168,9 +168,15 @@ def minhash_signatures(
     all 64 aggregates, so CollapseProject keeps its projection
     separate (it never duplicates a non-cheap expression referenced
     more than once) — md5 runs exactly once per shingle."""
+    # NULL-text contract: explode_outer keeps a NULL-shingle row for
+    # NULL-text docs (empty array per word_shingles); dropping it here
+    # means such docs emit NO signature row — exactly the DuckDB
+    # twins' unnest-of-empty behavior. The filter sits ABOVE the
+    # Generate (it cannot push below it), so the
+    # InferFiltersFromGenerate house rule is not violated.
     sh = word_shingles(df, text_col, k).select(
         F.col(id_col), F.explode_outer("shingles").alias("_s")
-    )
+    ).where(F.col("_s").isNotNull())
     if hash_mode == "affine32":
         hashed = sh.select(id_col, F.expr(_spark_base_hash("_s")).alias("_h"))
         aggs = [
@@ -232,6 +238,7 @@ def minhash_signatures_rowwise(
     hs = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
+        F.col(text_col).isNull().alias("_tnull"),
         F.expr(
             f"transform({shingles}, s -> {_spark_base_hash('s')})"
         ).alias("_hs"),
@@ -240,10 +247,16 @@ def minhash_signatures_rowwise(
         F.expr(f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MINHASH_P}))")
         for a, b in _affine_coeffs(n_hashes)
     ]
+    # NULL-text contract (matches the batch path, where such docs emit
+    # no signature row): a projection cannot drop rows, so the sig is
+    # NULL wholesale — banded_keys filters NULL sigs out, and the doc
+    # participates in nothing. Without this, greatest(NULL, 0) = 0
+    # fabricates one '' shingle and the doc gets a REAL signature on
+    # the streaming path only.
     return hs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.array(*mins).alias("sig"),
+        F.when(~F.col("_tnull"), F.array(*mins)).alias("sig"),
     )
 
 
@@ -363,7 +376,13 @@ def banded_keys(
     explode_outer, deliberately: plain explode triggers Catalyst's
     InferFiltersFromGenerate, which re-evaluates the banding in a
     synthesized filter below the exchange; the band array is a
-    constant-length construction, never empty."""
+    constant-length construction, never empty.
+
+    NULL signatures (the rowwise path's NULL-text contract) are
+    dropped up front: concat_ws over a NULL slice renders '', so a
+    NULL sig would otherwise give EVERY null-text doc the identical
+    md5('') band key and they would all pairwise LSH-collide."""
+    sig_df = sig_df.where(F.col("sig").isNotNull())
     if not sig_df.isStreaming:
         parallelism = sig_df.sparkSession.sparkContext.defaultParallelism
         sig_df = sig_df.repartition(parallelism, F.col(id_col))
@@ -537,7 +556,10 @@ def setsim_join(
 
     # explode_outer, deliberately (house rule): plain explode lets
     # InferFiltersFromGenerate re-evaluate the shingle transform below
-    # the exchange; shingle arrays are never empty so it's identical.
+    # the exchange. NULL-text docs now yield EMPTY shingle arrays
+    # (word_shingles contract) → one NULL _s row here, which the inner
+    # join on _s below drops before _sz is counted — do NOT compute
+    # _sz before that join or change its type without filtering NULLs.
     grams = word_shingles(df, text_col, k, out_col="_g").select(
         F.col(id_col).alias("_id"),
         F.explode_outer(F.array_distinct("_g")).alias("_s"),

@@ -49,8 +49,16 @@ def ws_tokens_expr(text_col: str) -> "F.Column":
     """Whitespace token COUNT — the one cross-engine tokenization
     contract (twin: ``duckdb_ws_tokens_sql``). Shared by token_counts,
     pack_sequences, and the quantile fragments so a rule change lands
-    everywhere at once."""
-    return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    everywhere at once.
+
+    NULL text → NULL, explicitly: the twin's length(NULL) is NULL, and
+    Spark's size(NULL) is NULL only under ANSI mode (-1 under legacy
+    sizeOfNull) — the explicit guard makes the contract independent of
+    the deployment's spark.sql.ansi.enabled setting."""
+    return F.when(
+        F.col(text_col).isNotNull(),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+    )
 
 
 def duckdb_ws_tokens_sql(text_col: str) -> str:
@@ -420,9 +428,14 @@ def repetition_stats(
             6,
         ).alias("dup_word_frac"),
     )
+    # NULL-text docs: empty shingle array → one NULL gram row from
+    # explode_outer; dropping it means such docs vanish from the
+    # output exactly like the twin's inner join over zero unnested
+    # grams (otherwise Spark fabricates a (id, NULL) gram group with
+    # top_ngram_frac = 1.0 that the oracle never sees).
     grams = word_shingles(df, text_col, n, out_col="_g").select(
         id_col, F.explode_outer("_g").alias("_g")
-    )
+    ).where(F.col("_g").isNotNull())
     counts = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
     top = (
         counts.groupBy(id_col)

@@ -49,15 +49,28 @@ def get_spark(
     env_cores = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and env_cores:
         cores = int(env_cores)
-    master = f"local[{cores}]" if cores else "local[*]"
-    if shuffle_partitions is None:
+    # Under spark-submit the driver python process is launched by
+    # PythonRunner with a live gateway (PYSPARK_GATEWAY_PORT set) and
+    # the master comes from --master; calling .master(local[...]) there
+    # would OVERRIDE it and silently run the whole job single-node on
+    # the driver. Only pin a local master when this process owns the
+    # session (builder confs win over spark-submit system properties).
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    builder = SparkSession.builder.appName(app_name)
+    if not submitted:
+        builder = builder.master(f"local[{cores}]" if cores else "local[*]")
+    if shuffle_partitions is None and not submitted:
+        # the local default; under spark-submit leave the cluster's
+        # --conf (or AQE coalescing) in charge unless explicitly passed
         shuffle_partitions = cores or (os.cpu_count() or 8)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
 
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -66,6 +66,8 @@ def run_batch_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_stream(spark, sf_dir: str) -> dict[str, float]:
+    """Min-of-2 end-to-end streaming runs (fresh sink/checkpoint each)
+    — same steady-state rationale as the batch queries' min-of-2."""
     from auto_data_tokenize_spark import datagen
     from auto_data_tokenize_spark.streaming import pipeline, source
     from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
@@ -80,29 +82,39 @@ def bench_stream(spark, sf_dir: str) -> dict[str, float]:
         import pyarrow.parquet as pq
 
         n_rows = pq.read_metadata(f"{d}/transcripts.parquet").num_rows
-        sink = ExactlyOnceSink(f"{base}/out")
-        st = source.transcripts_stream(spark, staged, max_files_per_trigger=CPUS)
-        t = _timed(
-            lambda: pipeline.run_to_sink(
-                pipeline.tokenize_stream(st), sink, f"{base}/ckpt"
+        best_t, best_batches = None, 1
+        for attempt in range(2):
+            sink = ExactlyOnceSink(f"{base}/out{attempt}")
+            st = source.transcripts_stream(
+                spark, staged, max_files_per_trigger=CPUS
             )
-        )
-        n_batches = max(1, len(sink.committed_batches()))
+            t = _timed(
+                lambda sink=sink, st=st, attempt=attempt: pipeline.run_to_sink(
+                    pipeline.tokenize_stream(st), sink, f"{base}/ckpt{attempt}"
+                )
+            )
+            if best_t is None or t < best_t:
+                best_t = t
+                best_batches = max(1, len(sink.committed_batches()))
         return {
-            "stream_tokenize_sec": t,
-            "stream_turns_per_sec": round(n_rows / t, 1),
-            "stream_sink_latency_sec": round(t / n_batches, 3),
+            "stream_tokenize_sec": best_t,
+            "stream_turns_per_sec": round(n_rows / best_t, 1),
+            "stream_sink_latency_sec": round(best_t / best_batches, 3),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
 def tokenize_throughput(spark, sf_dir: str) -> tuple[float, float]:
+    """Flagship tokenize throughput — min-of-3 for the same reason the
+    queries report min-of-2: this runs LAST in a long bench session,
+    where a single shot has been observed to swing 2.7x on GC/JIT
+    state (69.7k vs ~147k turns/s in isolation on the same code)."""
     import __spark_entry__ as em
 
     df = em.q01_tokenize_turns(spark, sf_dir)
-    n = df.count()  # cheap: parquet footer count on the source + udf? no — see below
-    t = _timed(lambda: _force(df))
+    n = df.count()
+    t = min(_timed(lambda: _force(df)) for _ in range(3))
     return round(t, 3), round(n / t, 1)
 
 

@@ -356,12 +356,14 @@ def test_dup_clusters_storage_is_bounded_across_runs(spark, docs):
     per_run = settle_new(before, 2, 15)
     for _ in range(2):
         dedup.dup_clusters(docs).count()
-    # 40 x 1 s deadline: JVM System.gc() is advisory and under
-    # external box load the ContextCleaner has been observed to need
-    # >15 s to reclaim. The invariant: three runs retain no more than
-    # one run's settled residue (+2 slack) — superseded rounds must
-    # not accumulate run-over-run.
-    assert settle_new(before, per_run + 2, 40) <= per_run + 2
+    # 60 x 1 s deadline and +4 slack: JVM System.gc() is advisory, and
+    # under heavy box load reclamation of the last couple of blocks
+    # has been observed to lag arbitrarily (3 remained after 40 s in a
+    # bench-concurrent run). The invariant still catches the original
+    # leak class — unbounded accumulation pinned 5-10 superseded
+    # checkpoint blocks PER RUN; three runs must stay within one run's
+    # residue plus transient slack.
+    assert settle_new(before, per_run + 4, 60) <= per_run + 4
 
 
 def test_connected_components_long_chain_converges_fast(spark):
@@ -437,3 +439,25 @@ def test_setsim_join_exact_on_wider_corpus(spark):
 def test_setsim_join_plan_is_jvm_only(spark, docs):
     plan = dedup.setsim_join(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_null_text_participates_in_nothing(spark):
+    """The NULL-text contract, uniform across batch and streaming
+    paths: no signature row from the batch aggregate, a NULL sig from
+    the rowwise projection, and banded_keys drops NULL sigs — so two
+    NULL-text docs can never LSH-collide (regression: the rowwise
+    path fabricated a real '' shingle signature, and NULL sigs banded
+    to the shared md5('') key, colliding all NULL-text docs)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some real text to keep around")],
+        "doc_id long, text string",
+    )
+    batch = dedup.minhash_signatures(df)
+    assert {r["doc_id"] for r in batch.collect()} == {3}
+    rowwise = dedup.minhash_signatures_rowwise(df)
+    sigs = {r["doc_id"]: r["sig"] for r in rowwise.collect()}
+    assert sigs[1] is None and sigs[2] is None and sigs[3] is not None
+    keys = dedup.banded_keys(rowwise)
+    assert {r["id"] for r in keys.collect()} == {3}
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(df)).collect()
+    assert pairs == []

@@ -212,3 +212,21 @@ def test_repetition_tiebreak_is_deterministic(spark):
     # bigrams: "p q" x2, "q p" x1, "q z" x1, "z z" x2 -> tie; frac same
     row = repetition_stats(df, n=2).collect()[0]
     assert row["top_ngram_frac"] == round(2 / 6, 6)
+
+
+def test_null_text_contract_repetition_and_ws_tokens(spark):
+    """NULL-text docs vanish from repetition_stats exactly like the
+    DuckDB twin's inner join over zero unnested grams (regression:
+    Spark fabricated a NULL-gram group with top_ngram_frac=1.0), and
+    ws_tokens_expr yields NULL for NULL text regardless of ANSI mode
+    (the twin's length(NULL) contract)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a a b")], "doc_id long, text string"
+    )
+    reps = textstats.repetition_stats(df)
+    assert {r["doc_id"] for r in reps.collect()} == {2}
+    toks = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in textstats.token_counts(df).collect()
+    }
+    assert toks[1] is None and toks[2] == 3
