@@ -2852,6 +2852,65 @@ def q106_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_curation_report(pages)
 
 
+HH_DEN = 200  # heavy-hitter threshold: tokens above 1/200 of the stream
+
+
+def q107_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens above a 1/200 stream-frequency threshold
+    via per-partition Misra-Gries candidates + exact rescore of
+    candidates only (operators/sketches.py heavy_hitters) — the
+    vocabulary/stopword-mining primitive, shaped so the only full
+    shuffle carries candidate tokens (<= 200 per partition), never the
+    token universe. Oracle: the brute-force exact count at the
+    identical integer threshold (the guarantee says the answer sets
+    are equal; the gate checks it)."""
+    from auto_data_tokenize_spark.operators.sketches import heavy_hitters
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("token")
+    ).filter("token <> ''")
+    return heavy_hitters(toks, "token", num=1, den=HH_DEN)
+
+
+def q108_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-epoch, 8-shard training-order assignment
+    (operators/corpus.py epoch_shuffle): per-epoch pseudorandom global
+    shuffle with NO global sort — one window shuffle on (epoch,
+    shard), placement recomputable from (seed, epoch, id) alone.
+    Oracle recomputes the identical md5-prefix placement."""
+    from auto_data_tokenize_spark.operators.corpus import epoch_shuffle
+
+    return epoch_shuffle(
+        _documents(spark, sf_dir).select("doc_id"),
+        n_epochs=3,
+        n_shards=8,
+        seed="r5",
+    )
+
+
+def q109_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (operators/
+    versioning.py corpus_delta): v1 drops the doc_id%10==0 slice
+    (those become 'added' in v2), prefixes the %10==1 slice's text
+    ('changed'), and v2 drops the %10==3 slice ('removed'). One
+    co-partitioned full-outer join on fixed-width content hashes —
+    the incremental-processing work list, bounded by churn."""
+    from auto_data_tokenize_spark.operators.versioning import corpus_delta
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    b = F.col("doc_id") % 10
+    v1 = docs.filter(b != 0).withColumn(
+        "text",
+        F.when(
+            b == 1,
+            F.concat(F.lit("old:"), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    v2 = docs.filter(b != 3)
+    return corpus_delta(v1, v2, ["text", "lang"])
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -3003,6 +3062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_token_budget": _with_prep(q104_token_budget),
         "q105_contamination_report": _with_prep(q105_contamination_report),
         "q106_domain_curation": _with_prep(q106_domain_curation),
+        "q107_heavy_hitter_tokens": _with_prep(q107_heavy_hitter_tokens),
+        "q108_epoch_shuffle": _with_prep(q108_epoch_shuffle),
+        "q109_corpus_delta": _with_prep(q109_corpus_delta),
     }
 
 
@@ -3604,6 +3666,45 @@ def _duck_contamination_report() -> str:
         f"SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0",
         k=5,
     )
+
+
+def _duck_heavy_hitter_tokens() -> str:
+    from auto_data_tokenize_spark.operators.sketches import (
+        duckdb_heavy_hitters_sql,
+    )
+
+    tok = (
+        "SELECT token FROM ("
+        "SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) "
+        "AS token FROM documents) WHERE token <> ''"
+    )
+    return duckdb_heavy_hitters_sql(tok, "token", num=1, den=HH_DEN)
+
+
+def _duck_epoch_shuffle() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_epoch_shuffle_sql,
+    )
+
+    return duckdb_epoch_shuffle_sql(
+        "SELECT doc_id FROM documents", n_epochs=3, n_shards=8, seed="r5"
+    )
+
+
+def _duck_corpus_delta() -> str:
+    from auto_data_tokenize_spark.operators.versioning import (
+        duckdb_corpus_delta_sql,
+    )
+
+    old_sql = (
+        "SELECT doc_id, CASE WHEN doc_id % 10 = 1 "
+        "THEN 'old:' || coalesce(text, '') ELSE text END AS text, lang "
+        "FROM documents WHERE doc_id % 10 != 0"
+    )
+    new_sql = (
+        "SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 != 3"
+    )
+    return duckdb_corpus_delta_sql(old_sql, new_sql, ["text", "lang"])
 
 
 def _duck_domain_curation() -> str:
@@ -4599,4 +4700,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q104_token_budget": _duck_token_budget(),
         "q105_contamination_report": _duck_contamination_report(),
         "q106_domain_curation": _duck_domain_curation(),
+        "q107_heavy_hitter_tokens": _duck_heavy_hitter_tokens(),
+        "q108_epoch_shuffle": _duck_epoch_shuffle(),
+        "q109_corpus_delta": _duck_corpus_delta(),
     }

@@ -926,3 +926,92 @@ def duckdb_contamination_report_sql(
         LEFT JOIN j USING (doc_id)
         GROUP BY d.doc_id
     """
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_epochs: int,
+    n_shards: int,
+    seed: str = "epoch",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic multi-epoch training-order assignment: for each
+    epoch e, every document gets a pseudorandom 64-bit position hash
+    keyed by (seed, e, id); its shard is ``pos_hash % n_shards`` and
+    its position is the rank within (epoch, shard) ordered by
+    (pos_hash, id) — a fully reproducible global shuffle per epoch,
+    with a DIFFERENT order each epoch, and no coordination: any worker
+    can recompute any document's placement from (seed, epoch, id).
+
+    Output: (epoch, shard, position, id_col), one row per document per
+    epoch; position is 1-based within its shard.
+
+    100 TB shape: there is NO global sort — the only exchange is one
+    window shuffle on (epoch, shard), and shard count is chosen to
+    bound per-task sort size (the training reader consumes shards
+    independently, so a total order across shards is never needed).
+    The position hash reuses the portable md5-prefix family, so the
+    DuckDB twin recomputes placement bit-identically.
+    """
+    from auto_data_tokenize_spark.functions.xengine import spark_md5_prefix
+
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = spark_md5_prefix(
+        f"concat('{seed}', ':', cast(epoch as string), ':', "
+        f"cast({id_col} as string))"
+    )
+    e = df.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    ).select(id_col, "epoch", F.expr(h).alias("pos_hash"))
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("pos_hash").asc(), F.col(id_col).asc()
+    )
+    return (
+        e.withColumn(
+            "shard", (F.col("pos_hash") % F.lit(int(n_shards))).cast("long")
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "shard",
+            F.row_number().over(w).cast("long").alias("position"),
+            id_col,
+        )
+    )
+
+
+def duckdb_epoch_shuffle_sql(
+    source_sql: str,
+    n_epochs: int,
+    n_shards: int,
+    seed: str = "epoch",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle` (identical md5-prefix
+    placement hash, identical (pos_hash, id) rank tie-break)."""
+    from auto_data_tokenize_spark.functions.xengine import duckdb_md5_prefix
+
+    h = duckdb_md5_prefix(
+        f"'{seed}' || ':' || epoch::VARCHAR || ':' || {id_col}::VARCHAR"
+    )
+    return f"""
+WITH e AS (
+  SELECT {id_col}, unnest(range(0, {int(n_epochs)})) AS epoch
+  FROM ({source_sql})
+), h AS (
+  SELECT {id_col}, epoch::BIGINT AS epoch, {h} AS pos_hash FROM e
+)
+SELECT epoch,
+       (pos_hash % {int(n_shards)})::BIGINT AS shard,
+       row_number() OVER (
+         PARTITION BY epoch, pos_hash % {int(n_shards)}
+         ORDER BY pos_hash ASC, {id_col} ASC
+       )::BIGINT AS position,
+       {id_col}
+FROM h
+""".strip()

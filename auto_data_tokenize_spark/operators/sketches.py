@@ -314,3 +314,104 @@ def bloom_maybe_expr(
         cond = word.bitwiseAND(mask) != 0
         maybe = cond if maybe is None else maybe & cond
     return F.coalesce(maybe, F.lit(False))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    num: int,
+    den: int,
+    max_capacity: int = 2_000_000,
+) -> DataFrame:
+    """Exact frequent items above a RATIONAL frequency threshold
+    num/den via per-partition Misra-Gries candidate generation plus an
+    exact rescore of candidates only — the sketch→verify pattern the
+    LSH/Bloom ops use, applied to frequency counting.
+
+    Output: (value_col, cnt, n_total) for every non-null value whose
+    exact count satisfies ``cnt * den >= num * n_total`` — integer
+    arithmetic on both engines, so the cut is exact, never a float
+    band. NULL values are not elements (they are filtered before
+    counting and excluded from n_total).
+
+    Guarantee (why the output is EXACT even though Misra-Gries is
+    lossy): each partition keeps ``capacity = ceil(den/num)`` counters;
+    merging a batch's exact counts into the summary and reducing back
+    to ``capacity`` survivors subtracts at most N_p/(capacity+1) from
+    any value's true local count over the partition's lifetime
+    (mergeable-summaries bound, Agarwal/Cormode et al. 2012). A value
+    missing from EVERY partition's survivor set therefore has total
+    count <= N/(capacity+1) < N*num/den, i.e. it is not a heavy
+    hitter. Candidates are a superset of the answer; the exact
+    candidates-only count then applies the precise threshold. The
+    candidate SET varies with partitioning and arrival order; the
+    final output does not.
+
+    100 TB shape: the Misra-Gries pass is Arrow-batched mapInPandas
+    with a hard ``capacity``-bounded dict per partition (never the
+    token universe); candidates are <= capacity per partition and
+    BROADCAST back as a left-semi filter, so the only full shuffle is
+    the candidates-only groupBy count — the token-universe-wide
+    aggregation a naive groupBy(token) would shuffle never happens.
+    """
+    import pandas as pd
+
+    if den <= 0 or num <= 0 or num > den:
+        raise ValueError(
+            f"threshold must be a rational in (0, 1]: got {num}/{den}"
+        )
+    capacity = -(-den // num)  # ceil(den/num)
+    if capacity > max_capacity:
+        raise ValueError(
+            f"threshold {num}/{den} needs {capacity} counters per "
+            f"partition (> max_capacity={max_capacity}); raise the "
+            "threshold or max_capacity"
+        )
+
+    vals = df.select(value_col).filter(F.col(value_col).isNotNull())
+    out_schema = vals.schema
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                # reduce-to-capacity: subtract the (capacity+1)-th
+                # largest count from everyone, drop the non-positive
+                kth = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    v: c - kth for v, c in counters.items() if c > kth
+                }
+        yield pd.DataFrame(
+            {value_col: pd.Series(list(counters.keys()), dtype="object")}
+        )
+
+    candidates = vals.mapInPandas(mg_partition, schema=out_schema).distinct()
+    n_total = vals.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    exact = (
+        vals.join(F.broadcast(candidates), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return exact.join(n_total, how="cross").filter(
+        F.col("cnt") * F.lit(int(den)) >= F.lit(int(num)) * F.col("n_total")
+    )
+
+
+def duckdb_heavy_hitters_sql(
+    source_sql: str, value_col: str, num: int, den: int
+) -> str:
+    """DuckDB twin of :func:`heavy_hitters`: the brute-force exact
+    count with the identical integer threshold (the sketch exists only
+    to avoid the universe-wide shuffle; the answer set is the same)."""
+    return f"""
+WITH t AS (SELECT {value_col} FROM ({source_sql}) WHERE {value_col} IS NOT NULL),
+n AS (SELECT count(*)::BIGINT AS n_total FROM t)
+SELECT {value_col}, count(*)::BIGINT AS cnt, n.n_total AS n_total
+FROM t, n
+GROUP BY {value_col}, n.n_total
+HAVING count(*) * {den} >= {num} * n.n_total
+""".strip()

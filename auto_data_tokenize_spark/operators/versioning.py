@@ -1,0 +1,110 @@
+"""Corpus snapshot versioning: the delta between two corpus versions.
+
+No reference counterpart (auto-data-tokenize processes one input per
+run); this is the incremental-processing primitive a continuously
+refreshed 100 TB corpus needs — given snapshot v1 and snapshot v2,
+compute exactly which documents were added, removed, or changed, so
+every downstream stage (dedup index maintenance, tokenize, pack)
+re-processes the DELTA instead of the corpus.
+
+Scale notes: the diff is ONE co-partitioned full-outer join on the id
+— with both snapshots bucketed by id (sources/bucketing.py) it is
+shuffle-free; content comparison happens on fixed-width md5 hashes
+computed as narrow codegen projections, so the join never carries
+document payloads. Output size is bounded by the churn, not the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Unit separator between content columns, and a NULL sentinel: concat_ws
+# SKIPS nulls (on both engines), which would hash (NULL, 'x') and
+# ('x', NULL) identically — the sentinel keeps every column positional.
+_SEP = "\x1f"
+_NULL = "\x1f<NULL>\x1f"
+
+
+def snapshot_hash_expr(content_cols: list[str]) -> F.Column:
+    """md5 over the unit-separated, NULL-sentineled content columns —
+    the per-row content fingerprint both engines compute identically
+    (twin: :func:`duckdb_snapshot_hash_sql`)."""
+    if not content_cols:
+        raise ValueError("content_cols must be non-empty")
+    return F.md5(
+        F.concat_ws(
+            _SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                for c in content_cols
+            ],
+        )
+    )
+
+
+def duckdb_snapshot_hash_sql(content_cols: list[str]) -> str:
+    parts = ", ".join(
+        f"coalesce({c}::VARCHAR, chr(31) || '<NULL>' || chr(31))"
+        for c in content_cols
+    )
+    return f"md5(concat_ws(chr(31), {parts}))"
+
+
+def corpus_delta(
+    old: DataFrame,
+    new: DataFrame,
+    content_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Diff two corpus snapshots by id + content fingerprint.
+
+    Output: (id_col, status, old_hash, new_hash) with status in
+    {'added', 'removed', 'changed'}; unchanged documents are filtered
+    out (the whole point — the output is the re-processing work list).
+    ``old_hash`` is NULL for added rows, ``new_hash`` for removed ones.
+
+    Requires ``id_col`` to be unique within each snapshot (it is the
+    join key; duplicated ids would fan out the diff).
+    """
+    h = snapshot_hash_expr(content_cols)
+    o = old.select(F.col(id_col), h.alias("old_hash"))
+    n = new.select(F.col(id_col), h.alias("new_hash"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select(id_col, "status", "old_hash", "new_hash")
+    )
+
+
+def duckdb_corpus_delta_sql(
+    old_sql: str,
+    new_sql: str,
+    content_cols: list[str],
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`corpus_delta`."""
+    h = duckdb_snapshot_hash_sql(content_cols)
+    return f"""
+WITH o AS (SELECT {id_col}, {h} AS old_hash FROM ({old_sql})),
+n AS (SELECT {id_col}, {h} AS new_hash FROM ({new_sql})),
+j AS (
+  SELECT coalesce(o.{id_col}, n.{id_col}) AS {id_col},
+         o.old_hash, n.new_hash
+  FROM o FULL OUTER JOIN n ON o.{id_col} = n.{id_col}
+)
+SELECT {id_col},
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       old_hash, new_hash
+FROM j
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+""".strip()

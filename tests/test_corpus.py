@@ -581,3 +581,55 @@ def test_contamination_report_fracs_by_hand(spark):
     assert got[101][1] == 0 and got[101][2] == 0.0
     assert got[102] == (1, 0, 0.0)
     assert got[103] == (0, 0, 0.0)
+
+
+# ---------------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    from auto_data_tokenize_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = epoch_shuffle(df, n_epochs=2, n_shards=4, seed="s").collect()
+    assert len(out) == 400
+    for e in (0, 1):
+        rows = [r for r in out if r["epoch"] == e]
+        # every doc placed exactly once per epoch
+        assert sorted(r["doc_id"] for r in rows) == list(range(200))
+        # positions are 1..n contiguous within each shard
+        for s in range(4):
+            pos = sorted(r["position"] for r in rows if r["shard"] == s)
+            assert pos == list(range(1, len(pos) + 1))
+
+
+def test_epoch_shuffle_differs_across_epochs_and_reproduces(spark):
+    from auto_data_tokenize_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    a = {
+        (r["epoch"], r["doc_id"]): (r["shard"], r["position"])
+        for r in epoch_shuffle(df, 2, 8, seed="x").collect()
+    }
+    b = {
+        (r["epoch"], r["doc_id"]): (r["shard"], r["position"])
+        for r in epoch_shuffle(df.repartition(13), 2, 8, seed="x").collect()
+    }
+    assert a == b  # placement depends only on (seed, epoch, id)
+    e0 = [a[(0, i)] for i in range(300)]
+    e1 = [a[(1, i)] for i in range(300)]
+    assert e0 != e1  # different order each epoch
+    c = epoch_shuffle(df, 1, 8, seed="y").collect()
+    assert {(r["doc_id"],): None for r in c} and any(
+        (r["shard"], r["position"]) != a[(0, r["doc_id"])] for r in c
+    )  # different seed, different placement
+
+
+def test_epoch_shuffle_guards(spark):
+    import pytest
+    from auto_data_tokenize_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="n_epochs"):
+        epoch_shuffle(df, 0, 4)
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, 1, 0)

@@ -231,3 +231,46 @@ def test_semantic_dedup_rescore_python_free(spark):
     plan = _executed(similarity.semantic_dedup(corpus, nlist=4, nprobe=2))
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
     assert "MapInPandas" not in plan, plan
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """q107: the exact rescore joins the corpus against BROADCAST
+    candidates (left-semi) — the token-universe-wide shuffle a naive
+    groupBy(token) would pay never appears; the only hash exchange is
+    the candidates-only count."""
+    from auto_data_tokenize_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"t{i % 20}",) for i in range(400)], "token string"
+    )
+    plan = _executed(heavy_hitters(df, "token", num=1, den=10))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # MG pass is Arrow-batched
+
+
+def test_epoch_shuffle_plan_shape(spark):
+    """q108: one hash exchange on (epoch, shard) — no global sort, no
+    join, no Python anywhere (placement is pure codegen md5)."""
+    from auto_data_tokenize_spark.operators.corpus import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = _executed(epoch_shuffle(df, 2, 4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Join"):
+        assert bad not in plan, plan
+
+
+def test_corpus_delta_plan_shape(spark):
+    """q109: the diff carries only (id, fixed-width hash) into the
+    full-outer join — document payloads are pruned before the
+    exchange, and no Python appears."""
+    from auto_data_tokenize_spark.operators.versioning import corpus_delta
+
+    rows = [(i, f"text {i}", "en") for i in range(100)]
+    old = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    new = spark.createDataFrame(rows[5:], "doc_id long, text string, lang string")
+    df = corpus_delta(old, new, ["text", "lang"])
+    plan = _executed(df)
+    assert "FullOuter" in plan, plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan, plan

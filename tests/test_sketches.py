@@ -202,3 +202,82 @@ def test_bloom_maybe_expr_agrees_with_gate_and_is_pure_codegen(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------- heavy hitters
+
+
+def _exact_hh(stream, num, den):
+    from collections import Counter
+
+    c = Counter(stream)
+    n = len(stream)
+    return {v: k for v, k in c.items() if k * den >= num * n}
+
+
+def test_heavy_hitters_equals_brute_force(spark):
+    from auto_data_tokenize_spark.operators.sketches import heavy_hitters
+
+    # zipf-ish stream: token i appears 1000//(i+1) times
+    stream = [f"t{i}" for i in range(60) for _ in range(1000 // (i + 1))]
+    df = spark.createDataFrame([(v,) for v in stream], "token string")
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters(df, "token", num=1, den=50).collect()
+    }
+    assert got == _exact_hh(stream, 1, 50)
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """The candidate set varies with partitioning; the OUTPUT must
+    not — the superset guarantee is what the oracle gate leans on."""
+    from auto_data_tokenize_spark.operators.sketches import heavy_hitters
+
+    stream = [f"w{i % 37}" for i in range(2000)] + ["hot"] * 300
+    rows = [(v,) for v in stream]
+    df1 = spark.createDataFrame(rows, "token string").coalesce(1)
+    df2 = spark.createDataFrame(rows, "token string").repartition(16)
+    r1 = sorted(
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(df1, "token", 1, 10).collect()
+    )
+    r2 = sorted(
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(df2, "token", 1, 10).collect()
+    )
+    assert r1 == r2 and r1, r1
+
+
+def test_heavy_hitters_nulls_excluded_and_guards(spark):
+    from auto_data_tokenize_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "token string"
+    )
+    rows = heavy_hitters(df, "token", num=1, den=2).collect()
+    # n_total = 3 (nulls out); only 'a' (2/3) clears 1/2
+    assert [(r["token"], r["cnt"], r["n_total"]) for r in rows] == [
+        ("a", 2, 3)
+    ]
+    with pytest.raises(ValueError, match="rational"):
+        heavy_hitters(df, "token", num=0, den=10)
+    with pytest.raises(ValueError, match="rational"):
+        heavy_hitters(df, "token", num=3, den=2)
+    with pytest.raises(ValueError, match="max_capacity"):
+        heavy_hitters(df, "token", num=1, den=10_000_000)
+
+
+def test_heavy_hitters_adversarial_mg_reduction(spark):
+    """More distinct values than capacity per partition, with the true
+    heavy hitter arriving LAST so it survives only via the
+    mergeable-summaries bound, not by luck of arrival order."""
+    from auto_data_tokenize_spark.operators.sketches import heavy_hitters
+
+    noise = [f"n{i}" for i in range(500)]  # 500 singletons
+    stream = noise + ["hh"] * 250  # hh = 250/750 = 1/3 of the stream
+    df = spark.createDataFrame([(v,) for v in stream], "token string").coalesce(1)
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters(df, "token", num=1, den=4).collect()
+    }
+    assert got == {"hh": 250}

@@ -1,0 +1,92 @@
+"""Corpus snapshot delta: status assignment, NULL-content hashing,
+column-positional fingerprints, and the churn-bounded output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_data_tokenize_spark.operators.versioning import (
+    corpus_delta,
+    snapshot_hash_expr,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_corpus_delta_statuses(spark):
+    old = _mk(spark, [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")])
+    new = _mk(spark, [(2, "b", "en"), (3, "CHANGED", "de"), (4, "d", "fr")])
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_delta(old, new, ["text", "lang"]).collect()
+    }
+    # doc 2 unchanged -> absent; 1 removed, 3 changed, 4 added
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_corpus_delta_null_vs_empty_and_positional(spark):
+    # NULL text != '' text; (NULL,'x') != ('x',NULL) — the sentinel +
+    # separator keep the fingerprint positional
+    old = _mk(spark, [(1, None, "en"), (2, None, "x"), (3, "s", "en")])
+    new = _mk(spark, [(1, "", "en"), (2, "x", None), (3, "s", "en")])
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_delta(old, new, ["text", "lang"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_corpus_delta_hash_columns_nullability(spark):
+    old = _mk(spark, [(1, "a", "en")])
+    new = _mk(spark, [(2, "b", "en")])
+    rows = {r["doc_id"]: r for r in corpus_delta(old, new, ["text"]).collect()}
+    assert rows[1]["new_hash"] is None and rows[1]["old_hash"]
+    assert rows[2]["old_hash"] is None and rows[2]["new_hash"]
+
+
+def test_snapshot_hash_guard():
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_hash_expr([])
+
+
+def test_corpus_delta_matches_duckdb_twin(spark):
+    """The in-test cross-engine check: same synthetic snapshots through
+    Spark and the DuckDB twin SQL."""
+    import duckdb
+
+    from auto_data_tokenize_spark.operators.versioning import (
+        duckdb_corpus_delta_sql,
+    )
+
+    rows = [
+        (i, None if i % 7 == 0 else f"text {i % 13}", ["en", "de"][i % 2])
+        for i in range(60)
+    ]
+    old = _mk(spark, [r for r in rows if r[0] % 5 != 0])
+    new = _mk(
+        spark,
+        [
+            (i, (t + "!" if t is not None and i % 3 == 0 else t), g)
+            for (i, t, g) in rows
+            if i % 4 != 1
+        ],
+    )
+    got = sorted(
+        (r["doc_id"], r["status"], r["old_hash"], r["new_hash"])
+        for r in corpus_delta(old, new, ["text", "lang"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE snap (doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO snap VALUES (?, ?, ?)", rows)
+    sql = duckdb_corpus_delta_sql(
+        "SELECT * FROM snap WHERE doc_id % 5 != 0",
+        "SELECT doc_id, CASE WHEN text IS NOT NULL AND doc_id % 3 = 0 "
+        "THEN text || '!' ELSE text END AS text, lang "
+        "FROM snap WHERE doc_id % 4 != 1",
+        ["text", "lang"],
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want and got
