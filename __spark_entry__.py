@@ -2911,6 +2911,67 @@ def q109_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_delta(v1, v2, ["text", "lang"])
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 32, 24
+
+
+def q110_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (operators/corpus.py
+    chunk_documents): 32-token windows advancing 24 — the
+    embedding/RAG prep primitive. Pure codegen projection + one
+    generator, zero shuffles; the oracle recomputes the identical
+    window/containment rule in SQL."""
+    from auto_data_tokenize_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    )
+
+
+def q111_stream_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q109 snapshot diff as an ingest-time gate (operators/
+    versioning.py SnapshotDeltaGate): the v2 snapshot arrives as a
+    file stream and each micro-batch's fingerprints left-join the
+    persisted v1 fingerprints, emitting only added/changed work rows
+    through the exactly-once sink ('removed' is unobservable from an
+    arriving-doc gate — that side stays batch/tombstone). Oracle: the
+    q109 SQL minus its 'removed' rows."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.versioning import (
+        SnapshotDeltaGate,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    b = F.col("doc_id") % 10
+    v1 = docs.filter(b != 0).withColumn(
+        "text",
+        F.when(
+            b == 1,
+            F.concat(F.lit("old:"), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    base = tempfile.mkdtemp(prefix="adt_q111_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet")).loc[
+            :, ["doc_id", "text", "lang"]
+        ]
+        pdf = pdf[pdf["doc_id"] % 10 != 3]
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, text string, lang string"
+        )
+        with SnapshotDeltaGate(v1, ["text", "lang"]) as gate:
+            result = _run_stream_to_sink(spark, gate.apply(st), base)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select("doc_id", "status", "old_hash", "new_hash")
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -3065,6 +3126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_heavy_hitter_tokens": _with_prep(q107_heavy_hitter_tokens),
         "q108_epoch_shuffle": _with_prep(q108_epoch_shuffle),
         "q109_corpus_delta": _with_prep(q109_corpus_delta),
+        "q110_chunk_documents": _with_prep(q110_chunk_documents),
+        "q111_stream_delta_gate": _with_prep(q111_stream_delta_gate),
     }
 
 
@@ -3705,6 +3768,22 @@ def _duck_corpus_delta() -> str:
         "SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 != 3"
     )
     return duckdb_corpus_delta_sql(old_sql, new_sql, ["text", "lang"])
+
+
+def _duck_chunk_documents() -> str:
+    from auto_data_tokenize_spark.operators.corpus import duckdb_chunk_sql
+
+    return duckdb_chunk_sql(
+        "SELECT doc_id, text FROM documents",
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    )
+
+
+def _duck_stream_delta_gate() -> str:
+    return (
+        f"SELECT * FROM ({_duck_corpus_delta()}) WHERE status != 'removed'"
+    )
 
 
 def _duck_domain_curation() -> str:
@@ -4703,4 +4782,6 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q107_heavy_hitter_tokens": _duck_heavy_hitter_tokens(),
         "q108_epoch_shuffle": _duck_epoch_shuffle(),
         "q109_corpus_delta": _duck_corpus_delta(),
+        "q110_chunk_documents": _duck_chunk_documents(),
+        "q111_stream_delta_gate": _duck_stream_delta_gate(),
     }

@@ -1015,3 +1015,113 @@ SELECT epoch,
        {id_col}
 FROM h
 """.strip()
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking — the embedding/RAG prep
+    primitive: split each document into overlapping windows of
+    ``chunk_tokens`` whitespace tokens, advancing ``stride`` tokens per
+    window (stride < chunk_tokens ⇒ overlap; stride == chunk_tokens ⇒
+    disjoint; stride > chunk_tokens would silently DROP tokens and
+    raises). Trailing windows whose content is fully contained in the
+    previous window are not emitted (a window starts at s > 0 only
+    while ``s < n - chunk_tokens + stride``), so every token appears in
+    at least one and at most ceil(chunk_tokens/stride) windows.
+
+    Output: (id_col, chunk_idx, chunk_start, chunk_text,
+    n_chunk_tokens); chunk_start is the 0-based token offset,
+    chunk_idx = chunk_start / stride. NULL and blank text yield ZERO
+    chunks, explicitly (the uniform NULL-text contract).
+
+    100 TB shape: a pure codegen projection + one generator — zero
+    shuffles, zero Python; the token array is a single column
+    referenced by both the slice and the size, so it is materialized
+    once per row (not re-split per window). Twin:
+    :func:`duckdb_chunk_sql`.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens]: got stride={stride}, "
+            f"chunk_tokens={chunk_tokens} (a larger stride drops tokens)"
+        )
+    toks = (
+        df.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        )
+        .select(
+            id_col,
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+    )
+    starts = toks.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("_n") - F.lit(1), F.lit(int(stride))
+            )
+        ).alias("chunk_start"),
+    ).filter(
+        (F.col("chunk_start") == 0)
+        | (
+            F.col("chunk_start")
+            < F.col("_n") - F.lit(int(chunk_tokens) - int(stride))
+        )
+    )
+    return starts.select(
+        id_col,
+        F.expr(f"chunk_start div {int(stride)}")
+        .cast("long")
+        .alias("chunk_idx"),
+        F.col("chunk_start").cast("long"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens),
+            " ",
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(int(chunk_tokens)), F.col("_n") - F.col("chunk_start")
+        )
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+
+
+def duckdb_chunk_sql(
+    source_sql: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    c, s = int(chunk_tokens), int(stride)
+    return f"""
+WITH d AS (
+  SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS toks
+  FROM ({source_sql})
+  WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''
+), st AS (
+  SELECT {id_col}, toks, length(toks) AS n,
+         unnest(generate_series(0, length(toks) - 1, {s})) AS chunk_start
+  FROM d
+)
+SELECT {id_col},
+       (chunk_start // {s})::BIGINT AS chunk_idx,
+       chunk_start::BIGINT AS chunk_start,
+       array_to_string(
+         list_slice(toks, chunk_start + 1, least(chunk_start + {c}, n)),
+         ' ') AS chunk_text,
+       least({c}, n - chunk_start)::BIGINT AS n_chunk_tokens
+FROM st
+WHERE chunk_start = 0 OR chunk_start < n - {c - s}
+""".strip()

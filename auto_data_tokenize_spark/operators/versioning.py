@@ -108,3 +108,66 @@ SELECT {id_col},
 FROM j
 WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
 """.strip()
+
+
+class SnapshotDeltaGate:
+    """Streaming ingest-time snapshot diff: as documents of the NEW
+    snapshot arrive, each is fingerprinted and left-joined against the
+    persisted OLD snapshot's fingerprints, emitting only 'added' and
+    'changed' rows — the continuous twin of :func:`corpus_delta`'s
+    forward direction, so downstream stages re-process churn as it
+    lands instead of waiting for a batch diff.
+
+        with SnapshotDeltaGate(old_df, ["text", "lang"]) as gate:
+            work = gate.apply(incoming_stream)
+            ... run the stream ...
+
+    'removed' is unobservable from an arriving-doc gate (nothing
+    arrives for a deletion) — removals come from the batch
+    :func:`corpus_delta` or as tombstones through the upsert sink.
+
+    100 TB shape: the old side is (id, fixed-width hash) only —
+    payloads never join; it is persisted once and reused every
+    micro-batch. At bench scale AQE broadcasts it; at corpus scale
+    bucket both snapshots by id (sources/bucketing.py) so the
+    per-trigger exchange is stream-side only.
+    """
+
+    def __init__(
+        self,
+        old: DataFrame,
+        content_cols: list[str],
+        id_col: str = "doc_id",
+        persist_old: bool = True,
+    ):
+        self.content_cols = list(content_cols)
+        self.id_col = id_col
+        o = old.select(
+            F.col(id_col),
+            snapshot_hash_expr(self.content_cols).alias("old_hash"),
+        )
+        self._persisted = bool(persist_old and not old.isStreaming)
+        if self._persisted:
+            o = o.persist()
+        self.old_hashes = o
+
+    def apply(self, incoming: DataFrame) -> DataFrame:
+        s = incoming.withColumn(
+            "new_hash", snapshot_hash_expr(self.content_cols)
+        )
+        j = s.join(self.old_hashes, self.id_col, "left_outer")
+        status = F.when(
+            F.col("old_hash").isNull(), F.lit("added")
+        ).when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        return (
+            j.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select(self.id_col, "status", "old_hash", "new_hash")
+        )
+
+    def __enter__(self) -> "SnapshotDeltaGate":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._persisted:
+            self.old_hashes.unpersist()

@@ -633,3 +633,73 @@ def test_epoch_shuffle_guards(spark):
         epoch_shuffle(df, 0, 4)
     with pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(df, 1, 0)
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_windows_and_coverage(spark):
+    from auto_data_tokenize_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=8, stride=4).collect(),
+        key=lambda r: r["chunk_start"],
+    )
+    # starts 0 and 4 only: a window at 8 would be contained in window@4
+    assert [(r["chunk_start"], r["n_chunk_tokens"]) for r in rows] == [
+        (0, 8),
+        (4, 6),
+    ]
+    assert rows[0]["chunk_text"] == " ".join(f"w{i}" for i in range(8))
+    assert rows[1]["chunk_text"] == " ".join(f"w{i}" for i in range(4, 10))
+    # every token covered
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_chunk_documents_short_null_and_blank(spark):
+    from auto_data_tokenize_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "   "), (4, "only")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=8, stride=4).collect()
+    got = {r["doc_id"]: (r["chunk_idx"], r["n_chunk_tokens"]) for r in rows}
+    # null/blank -> zero chunks; short docs -> exactly one window
+    assert got == {1: (0, 2), 4: (0, 1)}
+
+
+def test_chunk_documents_guards(spark):
+    import pytest
+    from auto_data_tokenize_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0, stride=1)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+def test_chunk_documents_disjoint_stride_equals_chunk(spark):
+    from auto_data_tokenize_spark.operators.corpus import chunk_documents
+
+    text = " ".join(str(i) for i in range(9))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=4).collect(),
+        key=lambda r: r["chunk_start"],
+    )
+    # disjoint cover: 4 + 4 + 1
+    assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in rows] == [
+        (0, 4),
+        (1, 4),
+        (2, 1),
+    ]
+    assert " ".join(r["chunk_text"] for r in rows) == text

@@ -274,3 +274,18 @@ def test_corpus_delta_plan_shape(spark):
     assert "FullOuter" in plan, plan
     for bad in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_chunk_documents_plan_shape(spark):
+    """q110: projection + generator only — zero exchanges, zero
+    Python; the token array is split once per row, not per window."""
+    from auto_data_tokenize_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _executed(chunk_documents(df, chunk_tokens=4, stride=2))
+    for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"):
+        assert bad not in plan, plan
+    assert plan.count("split(") <= 2, plan  # generator + project, not per-window

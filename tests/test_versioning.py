@@ -90,3 +90,24 @@ def test_corpus_delta_matches_duckdb_twin(spark):
     )
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want and got
+
+
+def test_snapshot_delta_gate_matches_batch_forward_direction(spark):
+    """Batch-applied gate (same plan the stream runs per micro-batch)
+    equals corpus_delta minus 'removed'."""
+    from auto_data_tokenize_spark.operators.versioning import (
+        SnapshotDeltaGate,
+    )
+
+    old = _mk(spark, [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")])
+    new = _mk(spark, [(2, "b", "en"), (3, "X", "de"), (4, "d", "fr")])
+    with SnapshotDeltaGate(old, ["text", "lang"]) as gate:
+        got = {
+            r["doc_id"]: r["status"] for r in gate.apply(new).collect()
+        }
+    want = {
+        r["doc_id"]: r["status"]
+        for r in corpus_delta(old, new, ["text", "lang"]).collect()
+        if r["status"] != "removed"
+    }
+    assert got == want == {3: "changed", 4: "added"}
