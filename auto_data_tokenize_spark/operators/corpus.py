@@ -1103,8 +1103,16 @@ def duckdb_chunk_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`chunk_documents`."""
+    """DuckDB twin of :func:`chunk_documents` (same parameter guards:
+    a stride above chunk_tokens would render token-DROPPING SQL)."""
     c, s = int(chunk_tokens), int(stride)
+    if c < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {c}")
+    if not 1 <= s <= c:
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens]: got stride={s}, "
+            f"chunk_tokens={c} (a larger stride drops tokens)"
+        )
     return f"""
 WITH d AS (
   SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS toks

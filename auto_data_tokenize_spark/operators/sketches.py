@@ -322,6 +322,7 @@ def heavy_hitters(
     num: int,
     den: int,
     max_capacity: int = 2_000_000,
+    broadcast_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact frequent items above a RATIONAL frequency threshold
     num/den via per-partition Misra-Gries candidate generation plus an
@@ -347,14 +348,23 @@ def heavy_hitters(
     candidate SET varies with partitioning and arrival order; the
     final output does not.
 
-    100 TB shape: the Misra-Gries pass is Arrow-batched mapInPandas
-    with a hard ``capacity``-bounded dict per partition (never the
-    token universe); candidates are <= capacity per partition and
-    BROADCAST back as a left-semi filter, so the only full shuffle is
-    the candidates-only groupBy count — the token-universe-wide
-    aggregation a naive groupBy(token) would shuffle never happens.
+    100 TB shape: TWO scans of the input total. Scan 1 is the Arrow-
+    batched Misra-Gries mapInPandas pass with a hard ``capacity``-
+    bounded dict per partition (never the token universe); it also
+    emits one marker row per partition carrying the partition's row
+    count, so n_total needs no separate scan. Its output — at most
+    capacity+1 rows per partition — is persisted (a bounded summary,
+    the bloom-words/IVF-centroids discipline) and reused for both the
+    total and the candidate set. Scan 2 is the candidates-only
+    rescore; candidates join BROADCAST when ``capacity * n_partitions
+    <= broadcast_max_rows``, else as a plain shuffle join (on a
+    100k-partition corpus the candidate set can reach millions of
+    rows — force-broadcasting it would be the OOM, so the guard picks
+    the exchange). The token-universe-wide aggregation a naive
+    groupBy(token) would shuffle never happens on either path.
     """
     import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
 
     if den <= 0 or num <= 0 or num > den:
         raise ValueError(
@@ -369,11 +379,24 @@ def heavy_hitters(
         )
 
     vals = df.select(value_col).filter(F.col(value_col).isNotNull())
-    out_schema = vals.schema
+    # the marker rows are NULL-valued, so the output field MUST be
+    # declared nullable even when the input field is not (e.g. an
+    # exploded split() column is non-nullable; emitting None under a
+    # non-nullable declared schema NPEs in JVM codegen)
+    mg_schema = StructType(
+        [
+            StructField(
+                value_col, vals.schema[value_col].dataType, True
+            ),
+            StructField("part_rows", LongType()),
+        ]
+    )
 
     def mg_partition(batches):
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for v, c in pdf[value_col].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > capacity:
@@ -383,21 +406,38 @@ def heavy_hitters(
                 counters = {
                     v: c - kth for v, c in counters.items() if c > kth
                 }
+        # survivors carry part_rows=0; ONE marker row (value NULL)
+        # carries the partition row count — summing part_rows over the
+        # whole output is n_total, with no second scan of the input
         yield pd.DataFrame(
-            {value_col: pd.Series(list(counters.keys()), dtype="object")}
+            {
+                value_col: pd.Series(
+                    list(counters.keys()) + [None], dtype="object"
+                ),
+                "part_rows": [0] * len(counters) + [n_rows],
+            }
         )
 
-    candidates = vals.mapInPandas(mg_partition, schema=out_schema).distinct()
-    n_total = vals.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
+    summary = vals.mapInPandas(mg_partition, schema=mg_schema).persist()
+    n_total = int(
+        summary.agg(F.sum("part_rows")).collect()[0][0] or 0
     )
-    exact = (
-        vals.join(F.broadcast(candidates), value_col, "left_semi")
+    candidates = (
+        summary.filter(F.col(value_col).isNotNull())
+        .select(value_col)
+        .distinct()
+    )
+    n_parts = vals.rdd.getNumPartitions()
+    if capacity * max(n_parts, 1) <= broadcast_max_rows:
+        candidates = F.broadcast(candidates)
+    return (
+        vals.join(candidates, value_col, "left_semi")
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    return exact.join(n_total, how="cross").filter(
-        F.col("cnt") * F.lit(int(den)) >= F.lit(int(num)) * F.col("n_total")
+        .filter(
+            F.col("cnt") * F.lit(int(den)) >= F.lit(int(num) * n_total)
+        )
+        .withColumn("n_total", F.lit(n_total).cast("long"))
     )
 
 

@@ -19,16 +19,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Unit separator between content columns, and a NULL sentinel: concat_ws
-# SKIPS nulls (on both engines), which would hash (NULL, 'x') and
-# ('x', NULL) identically — the sentinel keeps every column positional.
+# Per-column token: md5 of the value, or a non-hex NULL sentinel. Each
+# token is separator-free ([0-9a-f] or '<null>'), so joining tokens
+# with the unit separator is UNAMBIGUOUS regardless of content — a
+# value containing \x1f (or literally equal to the sentinel) cannot
+# forge another column's token, and concat_ws's NULL-skipping never
+# fires (the CASE always yields a string). (NULL, 'x') ≠ ('x', NULL)
+# and ('a\x1f', 'b') ≠ ('a', '\x1fb') by construction.
 _SEP = "\x1f"
-_NULL = "\x1f<NULL>\x1f"
+_NULL_TOKEN = "<null>"
 
 
 def snapshot_hash_expr(content_cols: list[str]) -> F.Column:
-    """md5 over the unit-separated, NULL-sentineled content columns —
-    the per-row content fingerprint both engines compute identically
+    """md5 over per-column md5 tokens (NULL → a non-hex sentinel),
+    unit-separator-joined — the per-row content fingerprint both
+    engines compute identically and that no column VALUE can forge
     (twin: :func:`duckdb_snapshot_hash_sql`)."""
     if not content_cols:
         raise ValueError("content_cols must be non-empty")
@@ -36,7 +41,9 @@ def snapshot_hash_expr(content_cols: list[str]) -> F.Column:
         F.concat_ws(
             _SEP,
             *[
-                F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                F.coalesce(
+                    F.md5(F.col(c).cast("string")), F.lit(_NULL_TOKEN)
+                )
                 for c in content_cols
             ],
         )
@@ -45,7 +52,7 @@ def snapshot_hash_expr(content_cols: list[str]) -> F.Column:
 
 def duckdb_snapshot_hash_sql(content_cols: list[str]) -> str:
     parts = ", ".join(
-        f"coalesce({c}::VARCHAR, chr(31) || '<NULL>' || chr(31))"
+        f"coalesce(md5({c}::VARCHAR), '{_NULL_TOKEN}')"
         for c in content_cols
     )
     return f"md5(concat_ws(chr(31), {parts}))"
@@ -140,13 +147,22 @@ class SnapshotDeltaGate:
         id_col: str = "doc_id",
         persist_old: bool = True,
     ):
+        if old.isStreaming:
+            # fail fast with the real contract: apply() would build a
+            # stream-stream outer join Spark rejects at start() with a
+            # misleading watermark/range-condition AnalysisException
+            raise ValueError(
+                "SnapshotDeltaGate requires a BATCH old snapshot (got a "
+                "streaming DataFrame); diff two live streams via the "
+                "upsert sink instead"
+            )
         self.content_cols = list(content_cols)
         self.id_col = id_col
         o = old.select(
             F.col(id_col),
             snapshot_hash_expr(self.content_cols).alias("old_hash"),
         )
-        self._persisted = bool(persist_old and not old.isStreaming)
+        self._persisted = bool(persist_old)
         if self._persisted:
             o = o.persist()
         self.old_hashes = o

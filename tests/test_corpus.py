@@ -703,3 +703,13 @@ def test_chunk_documents_disjoint_stride_equals_chunk(spark):
         (2, 1),
     ]
     assert " ".join(r["chunk_text"] for r in rows) == text
+
+
+def test_duckdb_chunk_sql_guards():
+    import pytest
+    from auto_data_tokenize_spark.operators.corpus import duckdb_chunk_sql
+
+    with pytest.raises(ValueError, match="stride"):
+        duckdb_chunk_sql("SELECT 1", chunk_tokens=4, stride=6)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        duckdb_chunk_sql("SELECT 1", chunk_tokens=0, stride=1)

@@ -281,3 +281,23 @@ def test_heavy_hitters_adversarial_mg_reduction(spark):
         for r in heavy_hitters(df, "token", num=1, den=4).collect()
     }
     assert got == {"hh": 250}
+
+
+def test_heavy_hitters_shuffle_join_path_same_answer(spark):
+    """broadcast_max_rows=0 forces the plain-join scale path; the
+    answer must not change."""
+    from auto_data_tokenize_spark.operators.sketches import heavy_hitters
+
+    stream = [f"t{i % 9}" for i in range(900)] + ["big"] * 300
+    df = spark.createDataFrame([(v,) for v in stream], "token string")
+    a = sorted(
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(df, "token", 1, 8).collect()
+    )
+    b = sorted(
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(
+            df, "token", 1, 8, broadcast_max_rows=0
+        ).collect()
+    )
+    assert a == b and a

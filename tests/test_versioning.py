@@ -111,3 +111,25 @@ def test_snapshot_delta_gate_matches_batch_forward_direction(spark):
         if r["status"] != "removed"
     }
     assert got == want == {3: "changed", 4: "added"}
+
+
+def test_corpus_delta_separator_injection_cannot_forge(spark):
+    """A value containing the \\x1f separator (or the literal NULL
+    sentinel) cannot make two different rows hash equal."""
+    old = _mk(spark, [(1, "a\x1f", "b"), (2, "<null>", "en")])
+    new = _mk(spark, [(1, "a", "\x1fb"), (2, None, "en")])
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_delta(old, new, ["text", "lang"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_delta_gate_rejects_streaming_old(spark):
+    from auto_data_tokenize_spark.operators.versioning import (
+        SnapshotDeltaGate,
+    )
+
+    st = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="BATCH old snapshot"):
+        SnapshotDeltaGate(st, ["value"])
