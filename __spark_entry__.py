@@ -2972,6 +2972,89 @@ def q111_stream_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("doc_id", "status", "old_hash", "new_hash")
 
 
+TREND_MIN_COUNT = 25  # trending threshold: occurrences per 1-min window
+
+
+def q112_stream_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live trending-token monitor (streaming/pipeline.py
+    trending_tokens_stream): documents arrive as an ingest stream
+    (deterministic arrival time = epoch + doc_id seconds) and a
+    watermarked 1-minute tumbling window counts whitespace tokens in
+    the state store, emitting only (window, token) pairs that clear
+    25 occurrences — the live twin of q107's vocabulary mining and the
+    spike detector (spam bursts, template floods) a crawl ingest runs
+    continuously. Append mode emits only watermark-closed windows;
+    the oracle reproduces the identical tokenization, threshold, and
+    final-watermark predicate in SQL."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        trending_tokens_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="adt_q112_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ]
+        pdf["ts"] = pd.Timestamp(
+            "2026-01-01"
+        ).to_datetime64() + pd.to_timedelta(pdf["doc_id"], unit="s")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, text string, ts timestamp"
+        )
+        agg = trending_tokens_stream(
+            st,
+            duration="1 minute",
+            watermark="30 seconds",
+            min_count=TREND_MIN_COUNT,
+        )
+        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+def q113_incremental_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-driven LSH index maintenance (operators/versioning.py
+    incremental_band_index): given the q109 snapshot diff, evict the
+    bands of removed/changed docs and re-band added/changed docs ONLY
+    — keeping the near-dup index current costs O(churn) instead of the
+    full-corpus signature pass (q78 is the streaming upsert twin of
+    this; the batch delta path is what handles REMOVALS). Oracle: the
+    full from-scratch band recompute over snapshot v2 — equality
+    proves the incremental maintenance is exact. Scale: churn id lists
+    broadcast into the anti-/semi-joins, so the corpus-sized index
+    never shuffles and only churned docs pay the signature aggregate."""
+    from auto_data_tokenize_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+    from auto_data_tokenize_spark.operators.versioning import (
+        corpus_delta,
+        incremental_band_index,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    b = F.col("doc_id") % 10
+    v1 = docs.filter(b != 0).withColumn(
+        "text",
+        F.when(
+            b == 1,
+            F.concat(F.lit("old:"), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    v2 = docs.filter(b != 3)
+    old_index = banded_keys(minhash_signatures(v1))
+    delta = corpus_delta(v1, v2, ["text"])
+    return incremental_band_index(old_index, delta, v2)
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -3128,6 +3211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_corpus_delta": _with_prep(q109_corpus_delta),
         "q110_chunk_documents": _with_prep(q110_chunk_documents),
         "q111_stream_delta_gate": _with_prep(q111_stream_delta_gate),
+        "q112_stream_trending_tokens": _with_prep(q112_stream_trending_tokens),
+        "q113_incremental_band_index": _with_prep(q113_incremental_band_index),
     }
 
 
@@ -3783,6 +3868,39 @@ def _duck_chunk_documents() -> str:
 def _duck_stream_delta_gate() -> str:
     return (
         f"SELECT * FROM ({_duck_corpus_delta()}) WHERE status != 'removed'"
+    )
+
+
+def _duck_trending_tokens() -> str:
+    """q112 twin: identical tokenization + 1-minute tumbling count +
+    threshold, with the append-mode final-watermark predicate
+    (window_end <= max(ts) - 30s) applied over the full arrival set."""
+    return f"""
+        WITH d AS (
+          SELECT TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS token
+          FROM documents
+        )
+        SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+                 AS window_start,
+               token, COUNT(*) AS n
+        FROM d
+        WHERE token <> ''
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TREND_MIN_COUNT}
+           AND window_start + INTERVAL 1 MINUTE <=
+               (SELECT max(TIMESTAMP '2026-01-01' + to_seconds(doc_id))
+                       - INTERVAL 30 SECOND
+                FROM documents)
+    """
+
+
+def _duck_incremental_band_index() -> str:
+    """q113 twin: the full from-scratch band recompute over snapshot
+    v2 — the incremental maintenance must be row-identical to it."""
+    return _duck_banded_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3"
     )
 
 
@@ -4784,4 +4902,6 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q109_corpus_delta": _duck_corpus_delta(),
         "q110_chunk_documents": _duck_chunk_documents(),
         "q111_stream_delta_gate": _duck_stream_delta_gate(),
+        "q112_stream_trending_tokens": _duck_trending_tokens(),
+        "q113_incremental_band_index": _duck_incremental_band_index(),
     }

@@ -187,3 +187,68 @@ class SnapshotDeltaGate:
     def __exit__(self, *exc) -> None:
         if self._persisted:
             self.old_hashes.unpersist()
+
+
+def incremental_band_index(
+    old_index: DataFrame,
+    delta: DataFrame,
+    new_snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Maintain a persisted MinHash/LSH band index under a snapshot
+    delta: drop the bands of removed/changed documents, compute bands
+    for added/changed documents ONLY, and union with the untouched
+    remainder — so keeping the near-dup index current costs O(churn),
+    not O(corpus). The result is row-identical to recomputing
+    ``banded_keys(minhash_signatures(new_snapshot))`` from scratch
+    (banding is a pure function of the text), which is exactly what
+    the oracle checks.
+
+    ``old_index`` must be a band index over the OLD snapshot in
+    :func:`~auto_data_tokenize_spark.operators.dedup.banded_keys`
+    shape ``(id, band_idx, band_key)`` with the SAME (bands,
+    rows_per_band) geometry; ``delta`` is :func:`corpus_delta` output
+    whose content columns cover ``text_col`` (a delta that ignores the
+    text would miss re-banding work).
+
+    Scale shape: the delta id lists are churn-bounded, so both the
+    anti-join (evict stale bands) and the semi-join (select churned
+    docs to re-band) broadcast them — the corpus-sized index and
+    snapshot never shuffle; only churned documents pay the signature
+    aggregate. For churn too large to broadcast, drop the hint and
+    bucket index + snapshot by id (sources/bucketing.py) so both joins
+    stay co-located. ``delta`` is referenced twice (the stale and
+    churned splits) — persist it when it is not trivially cheap to
+    recompute (e.g. a raw :func:`corpus_delta` over unbucketed
+    snapshots, whose full-outer hash join would otherwise run twice).
+    """
+    from auto_data_tokenize_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+
+    missing = {"id", "band_idx", "band_key"} - set(old_index.columns)
+    if missing:
+        raise ValueError(
+            f"old_index is not banded_keys output (missing {sorted(missing)})"
+        )
+    stale = delta.filter(
+        F.col("status").isin("removed", "changed")
+    ).select(F.col(id_col).alias("id"))
+    churned = delta.filter(
+        F.col("status").isin("added", "changed")
+    ).select(id_col)
+    kept = old_index.join(F.broadcast(stale), "id", "left_anti")
+    fresh_docs = new_snapshot.select(id_col, text_col).join(
+        F.broadcast(churned), id_col, "left_semi"
+    )
+    fresh = banded_keys(
+        minhash_signatures(fresh_docs, id_col, text_col),
+        id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    return kept.unionByName(fresh)

@@ -166,3 +166,47 @@ def dedup_stream(
             "n_copies",
         )
     )
+
+
+def trending_tokens_stream(
+    docs: DataFrame,
+    duration: str = "1 minute",
+    watermark: str = "30 seconds",
+    min_count: int = 25,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Windowed exact trending tokens on a live ingest stream: per
+    (event-time tumbling window, whitespace token) occurrence counts in
+    the state store, emitting only tokens that clear ``min_count`` in
+    a watermark-closed window — the live twin of the q107 vocabulary/
+    stopword-mining pass, the shape a crawl pipeline uses to watch for
+    token-frequency spikes (spam bursts, template floods) as they land.
+
+    Tokenization matches the batch heavy-hitter pass exactly:
+    ``split(trim(lower(text)), '\\s+')``, empty tokens dropped; a NULL
+    text yields NO token rows (split(NULL) is NULL and plain explode
+    emits nothing — the uniform NULL-text contract).
+
+    Scale: one windowed shuffle with map-side partial aggregation;
+    state is one counter per open (window, token) and drops when the
+    watermark closes the window. The ``min_count`` filter is stateless,
+    applied to the append-mode output — windows above the final
+    watermark never emit, which the SQL oracle reproduces with the
+    identical final-watermark predicate.
+    """
+    if int(min_count) < 1:
+        raise ValueError(f"min_count must be >= 1 (got {min_count})")
+    d = docs.withWatermark(ts_col, watermark)
+    toks = d.select(
+        ts_col,
+        F.explode(
+            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy(F.window(ts_col, duration).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count))
+        .select(F.col("w.start").alias("window_start"), "token", "n")
+    )

@@ -1174,3 +1174,84 @@ def test_metrics_listener_records_termination_exception(tmp_path):
     ]
     assert recs[0]["exception"] == "boom: executor lost"
     assert "exception" not in recs[1]
+
+
+def test_trending_tokens_stream_matches_batch_twin(spark, tmp_path):
+    """Windowed trending-token counts must accumulate across micro-
+    batches (the threshold is reachable only by summing two triggers'
+    contributions within one window), honor the NULL/empty-text
+    contract, and emit only watermark-closed windows."""
+    import os
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        trending_tokens_stream,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from auto_data_tokenize_spark.streaming import pipeline
+    from pyspark.sql import functions as F
+
+    t0 = pd.Timestamp("2026-01-01")
+    rows = []
+    # window [0,1min): 'spam' 2x in file A + 2x in file B -> only the
+    # cross-batch sum clears min_count=4; 'rare' stays below
+    rows += [(1, "spam spam rare", t0), (2, None, t0 + pd.Timedelta(seconds=10))]
+    rows += [(3, "spam  spam", t0 + pd.Timedelta(seconds=20)), (4, "", t0 + pd.Timedelta(seconds=30))]
+    # window [1,2min): closes the first window past the watermark
+    rows += [(5, "quiet words only", t0 + pd.Timedelta(seconds=70))]
+    # window [2,3min): above the final watermark -> never emits even
+    # though 'hot' clears the threshold
+    rows += [(6, "hot hot hot hot hot", t0 + pd.Timedelta(seconds=130))]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    for k, (lo, hi) in enumerate([(0, 2), (2, 4), (4, 6)]):
+        p = f"{staged}/part-{k}.parquet"
+        pdf.iloc[lo:hi].to_parquet(p, index=False)
+        os.utime(p, (1000 + k, 1000 + k))
+
+    st = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    pipeline.run_to_sink(
+        trending_tokens_stream(st, min_count=4, watermark="30 seconds"),
+        sink,
+        str(tmp_path / "ckpt"),
+        shuffle_partitions=4,
+    )
+    got = {
+        (r["window_start"], r["token"], r["n"])
+        for r in sink.read_committed(spark).collect()
+    }
+    assert got == {(t0.to_pydatetime(), "spam", 4)}
+
+    # batch twin: same op on the batch frame + final-watermark filter
+    batch = spark.read.schema("doc_id long, text string, ts timestamp").parquet(staged)
+    final_wm = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 SECONDS")).alias("wm")
+    ).first()["wm"]
+    want = {
+        (r["window_start"], r["token"], r["n"])
+        for r in trending_tokens_stream(batch, min_count=4)
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 MINUTE") <= F.lit(final_wm))
+        .collect()
+    }
+    assert got == want
+
+
+def test_trending_tokens_validates_min_count(spark):
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        trending_tokens_stream,
+    )
+
+    st = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="min_count"):
+        trending_tokens_stream(st, min_count=0)

@@ -133,3 +133,84 @@ def test_snapshot_delta_gate_rejects_streaming_old(spark):
     st = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="BATCH old snapshot"):
         SnapshotDeltaGate(st, ["value"])
+
+
+def test_incremental_band_index_equals_full_recompute(spark):
+    """Evict-and-reband under a delta must be row-identical to the
+    from-scratch band recompute over the new snapshot — added, changed,
+    removed, NULL-text (no sig row), and unchanged docs all covered."""
+    from auto_data_tokenize_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+    )
+    from auto_data_tokenize_spark.operators.versioning import (
+        incremental_band_index,
+    )
+
+    words = "the quick brown fox jumps over a lazy dog near the old mill"
+    old = _mk(
+        spark,
+        [
+            (1, words, "en"),                  # unchanged
+            (2, words + " twice told", "en"),  # changed in v2
+            (3, "short doc " + words, "en"),   # removed in v2
+            (5, None, "en"),                   # NULL text, unchanged
+        ],
+    ).select("doc_id", "text")
+    new = _mk(
+        spark,
+        [
+            (1, words, "en"),
+            (2, words + " thrice told", "en"),
+            (4, words + " a brand new arrival", "en"),  # added
+            (5, None, "en"),
+            (6, None, "en"),                   # added with NULL text
+        ],
+    ).select("doc_id", "text")
+
+    old_index = banded_keys(minhash_signatures(old))
+    delta = corpus_delta(old, new, ["text"])
+    got = sorted(
+        map(tuple, incremental_band_index(old_index, delta, new).collect())
+    )
+    want = sorted(
+        map(tuple, banded_keys(minhash_signatures(new)).collect())
+    )
+    assert got == want and len(want) == 3 * 16  # docs 1,2,4 band; NULLs don't
+
+
+def test_incremental_band_index_rejects_wrong_index_shape(spark):
+    from auto_data_tokenize_spark.operators.versioning import (
+        incremental_band_index,
+    )
+
+    docs = _mk(spark, [(1, "a", "en")]).select("doc_id", "text")
+    bad = docs.selectExpr("doc_id AS id", "text AS band_key")
+    delta = corpus_delta(docs, docs.limit(0), ["text"])
+    with pytest.raises(ValueError, match="banded_keys output"):
+        incremental_band_index(bad, delta, docs)
+
+
+def test_incremental_band_index_rebands_only_churn(spark):
+    """The signature aggregate must see ONLY churned documents — the
+    O(churn) claim: with an empty delta nothing is recomputed and the
+    old index passes through byte-identical (even if it disagrees with
+    what a recompute would produce, proving no hidden full pass)."""
+    from auto_data_tokenize_spark.operators.versioning import (
+        incremental_band_index,
+    )
+
+    docs = _mk(spark, [(1, "x y z w v u t s r q p o", "en")]).select(
+        "doc_id", "text"
+    )
+    # a deliberately WRONG old index: if any re-banding of unchanged
+    # docs happened, the output would differ from this input
+    fake = spark.createDataFrame(
+        [(1, i, f"fake{i}") for i in range(16)],
+        "id long, band_idx int, band_key string",
+    )
+    empty_delta = corpus_delta(docs, docs, ["text"])
+    got = sorted(
+        map(tuple, incremental_band_index(fake, empty_delta, docs).collect())
+    )
+    assert got == sorted(map(tuple, fake.collect()))
