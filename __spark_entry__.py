@@ -3055,6 +3055,60 @@ def q113_incremental_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_band_index(old_index, delta, v2)
 
 
+def q114_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source content-overlap matrix (operators/corpus.py
+    source_overlap): shared distinct 5-word shingles, per-source
+    shingle counts, and exact Jaccard for every source pair — the
+    mixing diagnostic that catches two crawl feeds being substantially
+    the same corpus before they are weighted as independent. Scale:
+    one distinct shuffle + a shingle-keyed join whose fan-out is
+    bounded by C(n_sources, 2) per shingle."""
+    from auto_data_tokenize_spark.operators.corpus import source_overlap
+
+    return source_overlap(_documents(spark, sf_dir))
+
+
+QUOTA_PER_WINDOW = 2  # admitted docs per (1-min window, source)
+
+
+def q115_stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(window, source) streaming admission quota (streaming/
+    ingest.py source_quota_stream): the first 2 documents of each
+    source in each 1-minute event-time window are admitted with their
+    admission rank; later arrivals drop — flood control for bursting
+    crawl feeds. Admission is decided immediately (no watermark
+    holdback), state is one counter per open (window, source), and
+    decisions are micro-batch-slicing invariant under ordered arrival.
+    Oracle: the row_number() twin at the same quota."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.ingest import (
+        source_quota_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="adt_q115_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "source"]
+        ]
+        pdf["ts"] = pd.Timestamp(
+            "2026-01-01"
+        ).to_datetime64() + pd.to_timedelta(pdf["doc_id"], unit="s")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, source string, ts timestamp"
+        )
+        gated = source_quota_stream(st, quota=QUOTA_PER_WINDOW)
+        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -3213,6 +3267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_stream_delta_gate": _with_prep(q111_stream_delta_gate),
         "q112_stream_trending_tokens": _with_prep(q112_stream_trending_tokens),
         "q113_incremental_band_index": _with_prep(q113_incremental_band_index),
+        "q114_source_overlap": _with_prep(q114_source_overlap),
+        "q115_stream_source_quota": _with_prep(q115_stream_source_quota),
     }
 
 
@@ -3902,6 +3958,39 @@ def _duck_incremental_band_index() -> str:
     return _duck_banded_sql(
         "SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3"
     )
+
+
+def _duck_source_overlap() -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_source_overlap_sql,
+    )
+
+    return duckdb_source_overlap_sql("SELECT source, text FROM documents")
+
+
+def _duck_source_quota() -> str:
+    """q115 twin: row_number over event order at the same quota; no
+    final-watermark predicate (admission is decided on arrival, not at
+    window close)."""
+    return f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts
+          FROM documents
+        ),
+        r AS (
+          SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+                   AS window_start,
+                 source, doc_id, ts,
+                 row_number() OVER (
+                   PARTITION BY epoch_us(ts) // 60000000, source
+                   ORDER BY ts, doc_id
+                 ) AS rank
+          FROM d
+        )
+        SELECT window_start, source, doc_id, ts, rank
+        FROM r WHERE rank <= {QUOTA_PER_WINDOW}
+    """
 
 
 def _duck_domain_curation() -> str:
@@ -4904,4 +4993,6 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q111_stream_delta_gate": _duck_stream_delta_gate(),
         "q112_stream_trending_tokens": _duck_trending_tokens(),
         "q113_incremental_band_index": _duck_incremental_band_index(),
+        "q114_source_overlap": _duck_source_overlap(),
+        "q115_stream_source_quota": _duck_source_quota(),
     }

@@ -1133,3 +1133,102 @@ SELECT {id_col},
 FROM st
 WHERE chunk_start = 0 OR chunk_start < n - {c - s}
 """.strip()
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Pairwise content-overlap matrix between corpus sources: for
+    every source pair (a < b), the number of distinct k-word shingles
+    they share, each side's distinct-shingle count, and the exact
+    Jaccard — the corpus-mixing diagnostic that tells you two crawl
+    feeds are substantially the same corpus BEFORE you weight them as
+    independent (the source-level complement of per-document near-dup
+    dedup).
+
+    NULL text contributes no shingles; empty-string shingles (the
+    blank-text artifact both engines produce) are dropped on both
+    sides, so blank documents cannot manufacture overlap.
+
+    Scale: distinct (source, shingle) is one shuffle with map-side
+    combine; the shingle-keyed self-join fans out at most
+    C(n_sources, 2) pairs per shingle, so cost is bounded by
+    #distinct shingles x sources², fine for the tens-to-hundreds of
+    sources a curation pipeline mixes. For web-scale source counts
+    (per-domain granularity), replace the exact join with per-group
+    KMV/MinHash sketches (operators/sketches.py) and estimate.
+    """
+    from auto_data_tokenize_spark.operators.dedup import word_shingles
+
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    sh = (
+        word_shingles(df, text_col, int(k))
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode_outer("shingles").alias("_s"),
+        )
+        .where(F.col("_s").isNotNull() & (F.col("_s") != ""))
+        .distinct()
+    )
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.select(F.col("g").alias("source_a"), "_s")
+        .join(sh.select(F.col("g").alias("source_b"), "_s"), "_s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("g").alias("source_a"), F.col("n").alias("n_a")), "source_a")
+        .join(sizes.select(F.col("g").alias("source_b"), F.col("n").alias("n_b")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def duckdb_source_overlap_sql(
+    source_sql: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`source_overlap`."""
+    kk = int(k)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT {group_col} AS g,
+         unnest(list_transform(
+           range(0, greatest(len(w) - {kk}, 0) + 1),
+           i -> array_to_string(list_slice(w, i + 1, i + {kk}), ' '))) AS s
+  FROM (SELECT {group_col},
+               string_split_regex(trim(lower({text_col})), '\\s+') AS w
+        FROM ({source_sql}) z
+        WHERE {text_col} IS NOT NULL) zz
+),
+shx AS (SELECT * FROM sh WHERE s <> ''),
+sizes AS (SELECT g, COUNT(*) AS n FROM shx GROUP BY g),
+pairs AS (
+  SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_common
+  FROM shx a JOIN shx b ON a.s = b.s AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       round(p.n_common / (sa.n + sb.n - p.n_common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.g = p.source_a
+JOIN sizes sb ON sb.g = p.source_b
+""".strip()

@@ -636,3 +636,88 @@ class NbQualityGate:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def source_quota_stream(
+    stream_df: DataFrame,
+    quota: int,
+    duration: str = "1 minute",
+    key_col: str = "source",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+):
+    """Per-(event-time window, source) admission quota on a live
+    ingest stream: the first ``quota`` documents of each source in
+    each tumbling window are admitted (with their admission rank);
+    everything after is dropped — flood control, so one crawl feed
+    bursting cannot flush the rest of the mix out of a processing
+    window's budget.
+
+    Ordering contract: admission is order-dependent, so the stream
+    must deliver each (window, source) group's documents in event
+    order (the append-log shape; within a micro-batch the operator
+    sorts by (ts, id)). Under that contract decisions are invariant to
+    micro-batch slicing — state carries the admitted count, so a group
+    split across triggers admits exactly the same documents as one big
+    trigger (pinned by test).
+
+    Unlike a windowed aggregation there is NO watermark holdback:
+    every arriving document is decided immediately (admit-or-drop is a
+    function of state, not of window closure), so the committed output
+    equals the batch row_number() twin with no final-watermark
+    predicate. State is ONE integer per open (window, source);
+    NoTimeout keeps the bench deterministic — at production retention,
+    wire EventTimeTimeout so closed windows' counters expire instead
+    of accumulating (the documented applyInPandasWithState timeout
+    cost amortizes at production trigger sizes).
+
+    Scale: window assignment is a pure projection; one shuffle on
+    (window, source) per micro-batch with state bounded by key
+    cardinality, never data volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    q = int(quota)
+    if q < 1:
+        raise ValueError(f"quota must be >= 1 (got {quota})")
+
+    out_schema = (
+        f"window_start timestamp, {key_col} string, {id_col} long, "
+        f"{ts_col} timestamp, rank long"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        taken = state.get[0] if state.exists else 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((int(taken),))
+            return
+        rows = pd.concat(frames).sort_values([ts_col, id_col])
+        admit = max(0, min(q - taken, len(rows)))
+        state.update((int(taken + admit),))
+        if not admit:
+            return
+        out = rows.iloc[:admit]
+        yield pd.DataFrame(
+            {
+                "window_start": out["window_start"].to_numpy(),
+                key_col: key[1],
+                id_col: out[id_col].to_numpy(),
+                ts_col: out[ts_col].to_numpy(),
+                "rank": (taken + 1 + pd.RangeIndex(admit)).astype("int64"),
+            }
+        )
+
+    keyed = stream_df.select(
+        F.window(ts_col, duration)["start"].alias("window_start"),
+        key_col,
+        id_col,
+        ts_col,
+    )
+    return keyed.groupBy("window_start", key_col).applyInPandasWithState(
+        fn, out_schema, "taken long", "append", GroupStateTimeout.NoTimeout
+    )

@@ -713,3 +713,65 @@ def test_duckdb_chunk_sql_guards():
         duckdb_chunk_sql("SELECT 1", chunk_tokens=4, stride=6)
     with pytest.raises(ValueError, match="chunk_tokens"):
         duckdb_chunk_sql("SELECT 1", chunk_tokens=0, stride=1)
+
+
+def test_source_overlap_exact_jaccard(spark):
+    """Hand-computable pair: sources A and B share exactly one distinct
+    3-shingle; NULL and blank docs contribute nothing."""
+    from auto_data_tokenize_spark.operators.corpus import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),      # shingles: "a b c", "b c d"
+            (2, "b c d e", "B"),      # shingles: "b c d", "c d e"
+            (3, None, "A"),           # no shingles
+            (4, "   ", "B"),          # blank -> '' shingle, dropped
+            (5, "x y z", "C"),        # one shingle, no overlap
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(df, k=3).collect()
+    }
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_source_overlap_matches_duckdb_twin(spark):
+    import duckdb
+
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_source_overlap_sql,
+        source_overlap,
+    )
+
+    pdf = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("source", "text")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                duckdb_source_overlap_sql("SELECT source, text FROM docs")
+            ).fetchall(),
+        )
+    )
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, source_overlap(df).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_source_overlap_validates_k():
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.operators.corpus import source_overlap
+
+    with _pytest.raises(ValueError, match="k must be"):
+        source_overlap(None, k=0)

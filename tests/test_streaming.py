@@ -1255,3 +1255,91 @@ def test_trending_tokens_validates_min_count(spark):
     st = spark.readStream.format("rate").load()
     with _pytest.raises(ValueError, match="min_count"):
         trending_tokens_stream(st, min_count=0)
+
+
+def _quota_run(spark, staged, tmp_base, max_files):
+    from auto_data_tokenize_spark.streaming.ingest import source_quota_stream
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from auto_data_tokenize_spark.streaming import pipeline
+
+    st = (
+        spark.readStream.schema("doc_id long, source string, ts timestamp")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(staged)
+    )
+    sink = ExactlyOnceSink(f"{tmp_base}/out{max_files}")
+    pipeline.run_to_sink(
+        source_quota_stream(st, quota=2),
+        sink,
+        f"{tmp_base}/ckpt{max_files}",
+        shuffle_partitions=4,
+    )
+    return {
+        (r["window_start"], r["source"], r["doc_id"], r["rank"])
+        for r in sink.read_committed(spark).collect()
+    }
+
+
+def test_source_quota_gate_invariant_to_slicing_and_matches_twin(spark, tmp_path):
+    """Cross-batch quota state: a (window, source) group split across
+    triggers admits exactly the same docs as one big trigger, and both
+    equal the batch row_number() twin."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    t0 = pd.Timestamp("2026-01-01")
+    # 5 docs of source A and 3 of B inside one window, arriving in id
+    # order across 4 files; quota=2 admits A:{0,1} B:{2,4} only
+    rows = [
+        (0, "A"), (1, "A"), (2, "B"), (3, "A"),
+        (4, "B"), (5, "A"), (6, "B"), (7, "A"),
+        # second window: A gets a fresh budget
+        (70, "A"), (71, "A"), (72, "A"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source"])
+    pdf["ts"] = (t0.to_datetime64() + pd.to_timedelta(pdf["doc_id"], unit="s")).astype(
+        "datetime64[us]"
+    )
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    for k in range(4):
+        p = f"{staged}/part-{k}.parquet"
+        pdf.iloc[k * 3 : (k + 1) * 3].to_parquet(p, index=False)
+        os.utime(p, (1000 + k, 1000 + k))
+
+    sliced = _quota_run(spark, staged, str(tmp_path), 1)
+    one_shot = _quota_run(spark, staged, str(tmp_path), 4)
+    assert sliced == one_shot
+
+    batch = spark.read.schema("doc_id long, source string, ts timestamp").parquet(staged)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        F.window("ts", "1 minute")["start"], "source"
+    ).orderBy("ts", "doc_id")
+    want = {
+        (r["window_start"], r["source"], r["doc_id"], r["rank"])
+        for r in batch.select(
+            F.window("ts", "1 minute")["start"].alias("window_start"),
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 2)
+        .collect()
+    }
+    assert sliced == want
+    admitted_ids = {d for (_, _, d, _) in sliced}
+    assert admitted_ids == {0, 1, 2, 4, 70, 71}
+
+
+def test_source_quota_validates_quota(spark):
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.streaming.ingest import source_quota_stream
+
+    st = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="quota"):
+        source_quota_stream(st, quota=0)
