@@ -3109,6 +3109,91 @@ def q115_stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+RESERVOIR_N = 10  # maintained sample slots per stratum
+
+
+def q116_stream_stratified_reservoir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Live deterministic stratified sample (streaming/ingest.py
+    stratified_reservoir_stream): per-lang bottom-10 by md5(seed:id)
+    maintained in state as the stream arrives, CDC slot changes
+    emitted through the exactly-once sink's keyed UPSERT mode
+    (key = (lang, slot), merge-on-read) — the continuously-current
+    audit/eval sample of a live corpus. Bottom-k of a set is
+    arrival-order-invariant, so the final resolved sample EQUALS the
+    batch stratified_sample at the same seed, which is the oracle."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.ingest import (
+        stratified_reservoir_stream,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    base = tempfile.mkdtemp(prefix="adt_q116_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "lang"]
+        ]
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, lang string")
+        sampled = stratified_reservoir_stream(
+            st, ["lang"], n_per_stratum=RESERVOIR_N
+        )
+        sink = ExactlyOnceSink(
+            f"{base}/out", key_cols=("lang", "slot"), version_col="version"
+        )
+        result = _run_stream_to_sink(
+            spark, sampled, base, shuffle_partitions=8, sink=sink
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select("lang", "slot", "doc_id")
+
+
+def q117_stream_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window exact distinct-token count + type-token ratio on the
+    ingest stream (streaming/pipeline.py distinct_tokens_stream) — two
+    CHAINED stateful aggregations (streaming COUNT(DISTINCT) is
+    unsupported directly): (window, token) presence first, then the
+    per-window count, the q40 rollup machinery at one granularity.
+    A collapsing TTR is the live signature of a template flood.
+    Oracle: COUNT(DISTINCT)/COUNT(*) per window at the identical
+    final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        distinct_tokens_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="adt_q117_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ]
+        pdf["ts"] = pd.Timestamp(
+            "2026-01-01"
+        ).to_datetime64() + pd.to_timedelta(pdf["doc_id"], unit="s")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, text string, ts timestamp"
+        )
+        agg = distinct_tokens_stream(
+            st, duration="1 minute", watermark="30 seconds"
+        )
+        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -3269,6 +3354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_incremental_band_index": _with_prep(q113_incremental_band_index),
         "q114_source_overlap": _with_prep(q114_source_overlap),
         "q115_stream_source_quota": _with_prep(q115_stream_source_quota),
+        "q116_stream_stratified_reservoir": _with_prep(
+            q116_stream_stratified_reservoir
+        ),
+        "q117_stream_distinct_tokens": _with_prep(q117_stream_distinct_tokens),
     }
 
 
@@ -3990,6 +4079,47 @@ def _duck_source_quota() -> str:
         )
         SELECT window_start, source, doc_id, ts, rank
         FROM r WHERE rank <= {QUOTA_PER_WINDOW}
+    """
+
+
+def _duck_stream_reservoir() -> str:
+    """q116 twin: the batch stratified sample at the same seed, with
+    the maintained slot = the md5-order rank."""
+    return f"""
+        SELECT lang, _rk AS slot, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('adt-strat-v1' || ':' || doc_id::VARCHAR),
+                            doc_id
+                 ) AS _rk
+          FROM documents
+        ) WHERE _rk <= {RESERVOIR_N}
+    """
+
+
+def _duck_stream_distinct_tokens() -> str:
+    """q117 twin: exact per-window COUNT(DISTINCT token) + TTR with
+    the final-watermark predicate."""
+    return """
+        WITH d AS (
+          SELECT TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS token
+          FROM documents
+        )
+        SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000)
+                 AS window_start,
+               COUNT(DISTINCT token) AS n_distinct_tokens,
+               COUNT(*) AS n_tokens,
+               round(COUNT(DISTINCT token) / COUNT(*), 6) AS ttr
+        FROM d
+        WHERE token <> ''
+        GROUP BY 1
+        HAVING window_start + INTERVAL 1 MINUTE <=
+               (SELECT max(TIMESTAMP '2026-01-01' + to_seconds(doc_id))
+                       - INTERVAL 30 SECOND
+                FROM documents)
     """
 
 
@@ -4995,4 +5125,6 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q113_incremental_band_index": _duck_incremental_band_index(),
         "q114_source_overlap": _duck_source_overlap(),
         "q115_stream_source_quota": _duck_source_quota(),
+        "q116_stream_stratified_reservoir": _duck_stream_reservoir(),
+        "q117_stream_distinct_tokens": _duck_stream_distinct_tokens(),
     }

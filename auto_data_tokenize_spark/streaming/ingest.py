@@ -721,3 +721,97 @@ def source_quota_stream(
     return keyed.groupBy("window_start", key_col).applyInPandasWithState(
         fn, out_schema, "taken long", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stratified_reservoir_stream(
+    stream_df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "adt-strat-v1",
+):
+    """Live deterministic stratified sample: maintain, per stratum, the
+    ``n_per_stratum`` documents that sort FIRST by ``md5(seed:id)`` as
+    the stream arrives — the continuously-current form of the batch
+    ``operators.corpus.stratified_sample`` (same seed ⇒ the final
+    maintained sample EQUALS the batch sample over the same corpus,
+    which is the oracle).
+
+    Unlike the order-contract gates (pack, quota), bottom-k of a set is
+    ARRIVAL-ORDER-INVARIANT: any arrival order and any micro-batch
+    slicing converge to the same final sample. Emission is CDC-style:
+    each micro-batch emits only the sample SLOTS whose occupant changed
+    (slot = rank in the maintained order), versioned by a per-stratum
+    update counter, intended for the exactly-once sink's keyed upsert
+    mode (key = strata + slot) whose merge-on-read resolution yields
+    the current sample.
+
+    The hash rank ``md5(seed:id)`` is computed JVM-side BEFORE the
+    stateful step (the shared-expression house rule); the Python side
+    only merges sorted lists. State = at most n (hash, id) pairs + one
+    counter per stratum — bounded by strata × n, never data volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    n = int(n_per_stratum)
+    if n < 1:
+        raise ValueError(f"n_per_stratum must be >= 1 (got {n_per_stratum})")
+    if not strata:
+        raise ValueError("strata must be non-empty")
+
+    strata_schema = ", ".join(f"{c} string" for c in strata)
+    out_schema = (
+        f"{strata_schema}, slot long, {id_col} long, version long"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            hashes, ids, ver = state.get
+            hashes, ids = list(hashes), list(ids)
+        else:
+            hashes, ids, ver = [], [], 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((hashes, ids, int(ver)))
+            return
+        rows = pd.concat(frames)
+        old = list(zip(hashes, ids))
+        merged = sorted(
+            set(old) | set(zip(rows["_h"], rows[id_col].astype(int)))
+        )[:n]
+        changed = [
+            (slot, h, i)
+            for slot, (h, i) in enumerate(merged, start=1)
+            if slot > len(old) or old[slot - 1] != (h, i)
+        ]
+        if not changed:
+            state.update((hashes, ids, int(ver)))
+            return
+        ver = int(ver) + 1
+        state.update(
+            ([h for h, _ in merged], [i for _, i in merged], ver)
+        )
+        out = {c: [key[k]] * len(changed) for k, c in enumerate(strata)}
+        out["slot"] = [s for s, _, _ in changed]
+        out[id_col] = [i for _, _, i in changed]
+        out["version"] = [ver] * len(changed)
+        yield pd.DataFrame(out)
+
+    keyed = stream_df.select(
+        *strata,
+        F.col(id_col),
+        F.md5(
+            F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+        ).alias("_h"),
+    )
+    return keyed.groupBy(*strata).applyInPandasWithState(
+        fn,
+        out_schema,
+        "hashes array<string>, ids array<long>, ver long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

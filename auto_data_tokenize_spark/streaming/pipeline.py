@@ -210,3 +210,57 @@ def trending_tokens_stream(
         .filter(F.col("n") >= int(min_count))
         .select(F.col("w.start").alias("window_start"), "token", "n")
     )
+
+
+def distinct_tokens_stream(
+    docs: DataFrame,
+    duration: str = "1 minute",
+    watermark: str = "30 seconds",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-window EXACT distinct-token count + type-token ratio on a
+    live ingest stream — the vocabulary-diversity monitor (a collapsing
+    TTR is the live signature of a template flood / machine-generated
+    spam burst, complementing trending_tokens_stream's per-token view).
+
+    Streaming ``COUNT(DISTINCT ...)`` is not supported directly, so
+    this is two CHAINED stateful aggregations (Spark >= 3.4, the same
+    machinery as the q40 hierarchical rollup): the first collapses the
+    stream to (window, token) presence rows — shrinking state to
+    vocabulary cardinality with map-side partial aggregation — and the
+    second counts those rows per window, chained via ``window_time``
+    on the SAME window granularity. Tokenization is the shared
+    contract: split(trim(lower(text)), '\\s+'), empty dropped, NULL
+    text contributes nothing.
+
+    Append mode emits watermark-closed windows, which the SQL oracle
+    reproduces with the identical final-watermark predicate.
+    """
+    d = docs.withWatermark(ts_col, watermark)
+    toks = d.select(
+        ts_col,
+        F.explode(
+            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    per_token = toks.groupBy(
+        F.window(ts_col, duration).alias("w"), "token"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_token.groupBy(
+            F.window(F.window_time("w"), duration).alias("cw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            "n_distinct_tokens",
+            "n_tokens",
+            F.round(
+                F.col("n_distinct_tokens") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+        )
+    )

@@ -1343,3 +1343,160 @@ def test_source_quota_validates_quota(spark):
     st = spark.readStream.format("rate").load()
     with _pytest.raises(ValueError, match="quota"):
         source_quota_stream(st, quota=0)
+
+
+def test_stratified_reservoir_order_invariant_and_matches_batch(spark, tmp_path):
+    """The maintained bottom-k sample must equal the batch
+    stratified_sample regardless of arrival order or slicing, with
+    CDC slot changes resolved by the upsert sink's merge-on-read."""
+    import os
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.corpus import stratified_sample
+    from auto_data_tokenize_spark.streaming.ingest import (
+        stratified_reservoir_stream,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from auto_data_tokenize_spark.streaming import pipeline
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(40), "lang": ["en", "de"] * 20}
+    )
+
+    def run(order, tag):
+        staged = str(tmp_path / f"in{tag}")
+        os.makedirs(staged)
+        arranged = pdf.iloc[order].reset_index(drop=True)
+        for k in range(4):
+            p = f"{staged}/part-{k}.parquet"
+            arranged.iloc[k * 10 : (k + 1) * 10].to_parquet(p, index=False)
+            os.utime(p, (1000 + k, 1000 + k))
+        st = (
+            spark.readStream.schema("doc_id long, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        sink = ExactlyOnceSink(
+            str(tmp_path / f"out{tag}"),
+            key_cols=("lang", "slot"),
+            version_col="version",
+        )
+        pipeline.run_to_sink(
+            stratified_reservoir_stream(st, ["lang"], n_per_stratum=3),
+            sink,
+            str(tmp_path / f"ckpt{tag}"),
+            shuffle_partitions=4,
+        )
+        return {
+            (r["lang"], r["slot"], r["doc_id"])
+            for r in sink.read_committed(spark).collect()
+        }
+
+    forward = run(list(range(40)), "f")
+    backward = run(list(range(39, -1, -1)), "b")
+    assert forward == backward
+
+    docs = spark.createDataFrame(pdf, "doc_id long, lang string")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order_key = F.md5(F.concat(F.lit("adt-strat-v1:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order_key, "doc_id")
+    want = {
+        (r["lang"], r["slot"], r["doc_id"])
+        for r in stratified_sample(docs, ["lang"], n_per_stratum=3)
+        .withColumn("slot", F.row_number().over(w).cast("long"))
+        .select("lang", "slot", "doc_id")
+        .collect()
+    }
+    assert forward == want and len(want) == 6
+
+
+def test_stratified_reservoir_validates_args(spark):
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.streaming.ingest import (
+        stratified_reservoir_stream,
+    )
+
+    st = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_reservoir_stream(st, ["lang"], n_per_stratum=0)
+    with _pytest.raises(ValueError, match="strata"):
+        stratified_reservoir_stream(st, [], n_per_stratum=3)
+
+
+def test_distinct_tokens_stream_matches_batch_twin(spark, tmp_path):
+    """Chained stateful aggs: per-window distinct-token counts must
+    accumulate vocabulary across micro-batches and emit only
+    watermark-closed windows."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        distinct_tokens_stream,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from auto_data_tokenize_spark.streaming import pipeline
+
+    t0 = pd.Timestamp("2026-01-01")
+    rows = [
+        (1, "alpha beta", t0),                                # batch 1
+        (2, "beta gamma", t0 + pd.Timedelta(seconds=20)),     # batch 2, same window
+        (3, None, t0 + pd.Timedelta(seconds=25)),
+        (4, "closer words here", t0 + pd.Timedelta(seconds=70)),
+        # advances the final watermark to 160s: closes [60,120) but
+        # leaves its own window [180,240) open
+        (5, "open window stays", t0 + pd.Timedelta(seconds=190)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    for k, (lo, hi) in enumerate([(0, 1), (1, 3), (3, 5)]):
+        p = f"{staged}/part-{k}.parquet"
+        pdf.iloc[lo:hi].to_parquet(p, index=False)
+        os.utime(p, (1000 + k, 1000 + k))
+
+    st = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    pipeline.run_to_sink(
+        distinct_tokens_stream(st, watermark="30 seconds"),
+        sink,
+        str(tmp_path / "ckpt"),
+        shuffle_partitions=4,
+    )
+    got = {
+        (r["window_start"], r["n_distinct_tokens"], r["n_tokens"], r["ttr"])
+        for r in sink.read_committed(spark).collect()
+    }
+    # window 0: alpha beta beta gamma -> 3 distinct / 4 tokens (vocab
+    # merged across two micro-batches); window at 190s never closes
+    assert got == {
+        (t0.to_pydatetime(), 3, 4, 0.75),
+        (
+            (t0 + pd.Timedelta(seconds=60)).to_pydatetime(),
+            3,
+            3,
+            1.0,
+        ),
+    }
+
+    batch = spark.read.schema("doc_id long, text string, ts timestamp").parquet(staged)
+    final_wm = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 SECONDS")).alias("wm")
+    ).first()["wm"]
+    want = {
+        (r["window_start"], r["n_distinct_tokens"], r["n_tokens"], r["ttr"])
+        for r in distinct_tokens_stream(batch)
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 MINUTE") <= F.lit(final_wm))
+        .collect()
+    }
+    assert got == want
