@@ -3194,6 +3194,107 @@ def q117_stream_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q118_stream_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained dataset card (streaming/pipeline.py
+    dataset_card_stream): running per-(lang, source) doc counts and
+    token totals updated per micro-batch, CDC-emitted through the
+    upsert sink (key = (lang, source), merge-on-read) — materialized-
+    view maintenance, the all-time complement of the q79 windowed
+    monitor. Running sums are arrival-order-invariant, so the resolved
+    card equals the batch aggregate (the oracle), under any slicing."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        dataset_card_stream,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    base = tempfile.mkdtemp(prefix="adt_q118_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "lang", "source", "text"]
+        ]
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, lang string, source string, text string"
+        )
+        card = dataset_card_stream(st)
+        sink = ExactlyOnceSink(
+            f"{base}/out", key_cols=("lang", "source"), version_col="version"
+        )
+        result = _run_stream_to_sink(
+            spark, card, base, shuffle_partitions=8, sink=sink
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select(
+        "lang", "source", "n_docs", "total_tokens", "max_tokens"
+    )
+
+
+def q119_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension enrichment (streaming/ingest.py
+    AsofEnrichGate): arriving events pick up the LATEST version of a
+    deterministic per-user dimension at-or-before their event time
+    (4 versions per user at 7-day boundaries offset by user_id % 24
+    hours; tier = (user_id + k) % 5), left-as-of per micro-batch
+    against the persisted dim through the exactly-once sink — events
+    before their user's first version keep NULL attributes. Oracle:
+    DuckDB's native ASOF LEFT JOIN over the identically-constructed
+    dimension."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.ingest import AsofEnrichGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "ts"
+    )
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"))
+        .select(
+            "user_id",
+            F.expr(
+                "timestampadd(HOUR, CAST(user_id % 24 AS INT), "
+                "timestampadd(DAY, k * 7, TIMESTAMP '2024-01-01'))"
+            ).alias("vts"),
+            ((F.col("user_id") + F.col("k")) % 5).alias("tier"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="adt_q119_")
+    try:
+        pdf = ev.toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in", order_col="event_id")
+        st = _stream_files(
+            spark, staged, "event_id long, user_id long, ts timestamp"
+        )
+        sink = ExactlyOnceSink(f"{base}/out")
+        with AsofEnrichGate(
+            dim, sink, on="user_id", right_cols=["tier"]
+        ) as gate:
+            gate.run(st, f"{base}/ckpt")
+        out = sink.read_committed(spark)
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("vts_asof").alias("version_ts"),
+        F.col("tier_asof").alias("tier"),
+    )
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -3358,6 +3459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q116_stream_stratified_reservoir
         ),
         "q117_stream_distinct_tokens": _with_prep(q117_stream_distinct_tokens),
+        "q118_stream_dataset_card": _with_prep(q118_stream_dataset_card),
+        "q119_stream_asof_enrich": _with_prep(q119_stream_asof_enrich),
     }
 
 
@@ -4120,6 +4223,41 @@ def _duck_stream_distinct_tokens() -> str:
                (SELECT max(TIMESTAMP '2026-01-01' + to_seconds(doc_id))
                        - INTERVAL 30 SECOND
                 FROM documents)
+    """
+
+
+def _duck_stream_dataset_card() -> str:
+    """q118 twin: the batch per-(lang, source) aggregate the resolved
+    running card must equal."""
+    return f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(MAX(nt) AS BIGINT) AS max_tokens
+        FROM (SELECT lang, source,
+                     {_duck_ws_tokens("text")} AS nt
+              FROM documents) d
+        GROUP BY 1, 2
+    """
+
+
+def _duck_stream_asof_enrich() -> str:
+    """q119 twin: native ASOF LEFT JOIN over the identically-
+    constructed deterministic dimension."""
+    return """
+        WITH dim AS (
+          SELECT u.user_id,
+                 TIMESTAMP '2024-01-01'
+                   + to_days((ks.k * 7)::INT)
+                   + to_hours((u.user_id % 24)::INT) AS vts,
+                 (u.user_id + ks.k) % 5 AS tier
+          FROM (SELECT DISTINCT user_id FROM events) u,
+               (SELECT unnest(range(0, 4)) AS k) ks
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               d.vts AS version_ts, d.tier
+        FROM events e
+        ASOF LEFT JOIN dim d
+          ON e.user_id = d.user_id AND e.ts >= d.vts
     """
 
 
@@ -5127,4 +5265,6 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q115_stream_source_quota": _duck_source_quota(),
         "q116_stream_stratified_reservoir": _duck_stream_reservoir(),
         "q117_stream_distinct_tokens": _duck_stream_distinct_tokens(),
+        "q118_stream_dataset_card": _duck_stream_dataset_card(),
+        "q119_stream_asof_enrich": _duck_stream_asof_enrich(),
     }

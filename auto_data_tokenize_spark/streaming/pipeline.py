@@ -264,3 +264,77 @@ def distinct_tokens_stream(
             ).alias("ttr"),
         )
     )
+
+
+def dataset_card_stream(
+    docs: DataFrame,
+    strata: tuple[str, str] = ("lang", "source"),
+    text_col: str = "text",
+):
+    """Continuously-maintained dataset card: running per-stratum doc
+    counts and token totals updated as the stream arrives, emitted
+    CDC-style (one row per stratum per micro-batch that touched it,
+    versioned by an update counter) for the exactly-once sink's keyed
+    UPSERT mode — materialized-view maintenance, the all-time
+    complement of the q79 windowed monitor (which forgets closed
+    windows). Running sums/maxes are arrival-order-invariant, so the
+    resolved card EQUALS the batch dataset-card aggregate (the
+    oracle), under any micro-batch slicing.
+
+    Token counts come from the shared JVM contract
+    (``ws_tokens_expr``) BEFORE the stateful step; NULL text counts a
+    document but contributes no tokens (SUM/MAX skip NULLs on both
+    engines, mirrored by the ``seen`` counter). State = four integers
+    per stratum — bounded by stratum cardinality, never data volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from auto_data_tokenize_spark.operators.textstats import ws_tokens_expr
+
+    a, b = strata
+    out_schema = (
+        f"{a} string, {b} string, n_docs long, total_tokens long, "
+        "max_tokens long, version long"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            nd, tot, mx, seen, ver = state.get
+        else:
+            nd, tot, mx, seen, ver = 0, 0, 0, 0, 0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((int(nd), int(tot), int(mx), int(seen), int(ver)))
+            return
+        rows = pd.concat(frames)
+        nt = rows["_nt"].dropna()
+        nd += len(rows)
+        if len(nt):
+            tot += int(nt.sum())
+            mx = max(int(mx), int(nt.max()))
+            seen += len(nt)
+        ver += 1
+        state.update((int(nd), int(tot), int(mx), int(seen), int(ver)))
+        yield pd.DataFrame(
+            {
+                a: [key[0]],
+                b: [key[1]],
+                "n_docs": [int(nd)],
+                "total_tokens": [int(tot) if seen else None],
+                "max_tokens": [int(mx) if seen else None],
+                "version": [int(ver)],
+            }
+        )
+
+    keyed = docs.select(a, b, ws_tokens_expr(text_col).alias("_nt"))
+    return keyed.groupBy(a, b).applyInPandasWithState(
+        fn,
+        out_schema,
+        "nd long, tot long, mx long, seen long, ver long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1500,3 +1500,134 @@ def test_distinct_tokens_stream_matches_batch_twin(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dataset_card_stream_resolves_to_batch_aggregate(spark, tmp_path):
+    """Running totals across micro-batches, resolved by the upsert
+    sink, must equal the batch per-stratum aggregate; NULL text counts
+    the doc but contributes no tokens; an all-NULL stratum keeps NULL
+    totals."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from auto_data_tokenize_spark.streaming.pipeline import dataset_card_stream
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from auto_data_tokenize_spark.streaming import pipeline
+
+    rows = [
+        (1, "en", "s1", "one two three"),
+        (2, "en", "s1", None),
+        (3, "en", "s2", "four"),
+        (4, "de", "s1", "funf sechs"),
+        (5, "en", "s1", "seven eight nine ten"),
+        (6, "xx", "s9", None),   # all-NULL stratum
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    for k in range(3):
+        p = f"{staged}/part-{k}.parquet"
+        pdf.iloc[k * 2 : (k + 1) * 2].to_parquet(p, index=False)
+        os.utime(p, (1000 + k, 1000 + k))
+
+    st = (
+        spark.readStream.schema("doc_id long, lang string, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    sink = ExactlyOnceSink(
+        str(tmp_path / "out"), key_cols=("lang", "source"), version_col="version"
+    )
+    pipeline.run_to_sink(
+        dataset_card_stream(st),
+        sink,
+        str(tmp_path / "ckpt"),
+        shuffle_partitions=4,
+    )
+    got = {
+        (r["lang"], r["source"], r["n_docs"], r["total_tokens"], r["max_tokens"])
+        for r in sink.read_committed(spark).collect()
+    }
+    assert got == {
+        ("en", "s1", 3, 7, 4),
+        ("en", "s2", 1, 1, 1),
+        ("de", "s1", 1, 2, 2),
+        ("xx", "s9", 1, None, None),
+    }
+
+
+def test_asof_enrich_gate_matches_batch_and_rejects_streaming_dim(spark, tmp_path):
+    """Per-micro-batch as-of enrichment must equal the batch as-of
+    join over the same events."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from auto_data_tokenize_spark.operators.asof import asof_join
+    from auto_data_tokenize_spark.streaming.ingest import AsofEnrichGate
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    t0 = pd.Timestamp("2026-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 1, 2, 2, 1, 2, 3, 1],
+            "ts": [
+                (t0 + pd.Timedelta(hours=h)).to_datetime64()
+                for h in [0, 5, 2, 9, 12, 26, 1, 30]
+            ],
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    for k in range(4):
+        p = f"{staged}/part-{k}.parquet"
+        ev.iloc[k * 2 : (k + 1) * 2].to_parquet(p, index=False)
+        os.utime(p, (1000 + k, 1000 + k))
+
+    # dim: users 1 and 2 have versions at hours 1 and 24; user 3 none
+    dim = spark.createDataFrame(
+        [
+            (1, (t0 + pd.Timedelta(hours=1)).to_pydatetime(), 10),
+            (1, (t0 + pd.Timedelta(hours=24)).to_pydatetime(), 11),
+            (2, (t0 + pd.Timedelta(hours=1)).to_pydatetime(), 20),
+            (2, (t0 + pd.Timedelta(hours=24)).to_pydatetime(), 21),
+        ],
+        "user_id long, vts timestamp, tier long",
+    )
+
+    st = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    with AsofEnrichGate(dim, sink, on="user_id", right_cols=["tier"]) as gate:
+        gate.run(st, str(tmp_path / "ckpt"))
+    got = {
+        (r["event_id"], r["vts_asof"], r["tier_asof"])
+        for r in sink.read_committed(spark).collect()
+    }
+
+    batch = spark.read.schema("event_id long, user_id long, ts timestamp").parquet(staged)
+    want = {
+        (r["event_id"], r["vts_asof"], r["tier_asof"])
+        for r in asof_join(
+            batch, dim, on="user_id", right_ts="vts", right_cols=["tier"], how="left"
+        ).collect()
+    }
+    assert got == want and len(got) == 8
+    # event 0 (hour 0) precedes user 1's first version; user 3 has no dim
+    by_event = {e: (v, t) for e, v, t in got}
+    assert by_event[0] == (None, None) and by_event[6] == (None, None)
+    assert by_event[7][1] == 11  # hour 30 -> the hour-24 version
+
+    import pytest as _pytest
+
+    rate = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="BATCH dimension"):
+        AsofEnrichGate(rate, sink, on="user_id")
