@@ -3295,6 +3295,48 @@ def q119_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_stream_assemble_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversation assembly (streaming/pipeline.py
+    assemble_sessions_stream): gap-sessionized turns collected in the
+    state store and emitted as ONE ordered assembled document per
+    watermark-closed session — the SFT/chat-corpus compaction step run
+    on the live turn stream. Emission order is pinned by struct sort,
+    so arrival order never matters; all-NULL sessions assemble NULL
+    (the SQL string_agg contract). Oracle: the q23 gap-islands SQL +
+    ordered string_agg at the identical final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.streaming import pipeline, source
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        assemble_sessions_stream,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    d = datagen.ensure_sf(_sf_name(sf_dir))
+    base = tempfile.mkdtemp(prefix="adt_q120_")
+    try:
+        staged = source.stage_stream_input(
+            os.path.join(d, "transcripts.parquet"), f"{base}/in", n_files=8
+        )
+        st = source.transcripts_stream(spark, staged)
+        stream_df = assemble_sessions_stream(
+            st, gap="30 minutes", watermark="10 minutes"
+        )
+        sink = ExactlyOnceSink(f"{base}/out")
+        pipeline.run_to_sink(
+            stream_df, sink, f"{base}/ckpt", shuffle_partitions=8
+        )
+        out = sink.read_committed(spark)
+        result = spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select(
+        "conv_id", "session_start", "session_end", "n_turns", "text"
+    )
+
+
 def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q100 classifier as a continuous admission gate: documents
     arrive as a file stream and each micro-batch is scored against the
@@ -3461,6 +3503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_stream_distinct_tokens": _with_prep(q117_stream_distinct_tokens),
         "q118_stream_dataset_card": _with_prep(q118_stream_dataset_card),
         "q119_stream_asof_enrich": _with_prep(q119_stream_asof_enrich),
+        "q120_stream_assemble_sessions": _with_prep(
+            q120_stream_assemble_sessions
+        ),
     }
 
 
@@ -5267,4 +5312,28 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q117_stream_distinct_tokens": _duck_stream_distinct_tokens(),
         "q118_stream_dataset_card": _duck_stream_dataset_card(),
         "q119_stream_asof_enrich": _duck_stream_asof_enrich(),
+        "q120_stream_assemble_sessions": f"""
+            WITH o AS (
+              SELECT conv_id, ts, turn_idx, text,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM {tr}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ), s AS (
+              SELECT *, SUM(brk) OVER (
+                PARTITION BY conv_id ORDER BY ts, turn_idx
+              ) AS sess
+              FROM o
+            ), sessions AS (
+              SELECT conv_id,
+                     MIN(ts) AS session_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_turns,
+                     string_agg(text, ' ' ORDER BY ts, turn_idx) AS text
+              FROM s GROUP BY conv_id, sess
+            )
+            SELECT * FROM sessions
+            WHERE session_end <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM {tr})
+        """,
     }

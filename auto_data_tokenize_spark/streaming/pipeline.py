@@ -338,3 +338,61 @@ def dataset_card_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def assemble_sessions_stream(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming conversation assembly: gap-sessionized turns of each
+    conversation collected in the state store and emitted as ONE
+    ordered assembled document when the watermark closes the session —
+    the SFT/chat-corpus compaction step run directly on the live turn
+    stream instead of a batch pass over landed turns.
+
+    Output: (conv_id, session_start, session_end, n_turns, text) with
+    ``text`` = session turns joined by a single space in (ts,
+    turn_idx) order. Ordering is pinned by sorting the collected
+    (ts, turn_idx, text) structs at emission — arrival order never
+    matters. NULL-text turns count in ``n_turns`` but contribute
+    nothing to ``text``; a session whose every turn is NULL assembles
+    NULL (both engines' aggregate-skips-NULL contract, made explicit
+    so the Spark side cannot emit '' where SQL string_agg yields
+    NULL).
+
+    Scale: one session-window shuffle on conv_id; state per open
+    session is the collected turn structs — bounded by session length
+    (the same boundedness argument as any sessionizer; pathological
+    never-idle conversations are capped by the gap+watermark horizon).
+    The emission sort/concat is per-session work on bounded arrays;
+    the interpreted HOF cost is dwarfed by the state-store commit.
+    """
+    d = transcripts
+    if watermark is not None:
+        d = d.withWatermark(ts_col, watermark)
+    return (
+        d.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"), "conv_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.collect_list(
+                F.struct(ts_col, "turn_idx", "text")
+            ).alias("_turns"),
+        )
+        .select(
+            "conv_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_turns",
+            F.when(
+                F.size(F.expr("filter(_turns, t -> t.text IS NOT NULL)"))
+                > 0,
+                F.concat_ws(
+                    " ", F.expr("transform(array_sort(_turns), t -> t.text)")
+                ),
+            ).alias("text"),
+        )
+    )

@@ -1631,3 +1631,66 @@ def test_asof_enrich_gate_matches_batch_and_rejects_streaming_dim(spark, tmp_pat
     rate = spark.readStream.format("rate").load()
     with _pytest.raises(ValueError, match="BATCH dimension"):
         AsofEnrichGate(rate, sink, on="user_id")
+
+
+def test_assemble_sessions_stream_order_and_null_contract(spark, tmp_path):
+    """Sessions spanning micro-batches must assemble in (ts, turn_idx)
+    order regardless of within-batch arrival order; an all-NULL-text
+    session assembles NULL, and open sessions never emit."""
+    import os
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.streaming.pipeline import (
+        assemble_sessions_stream,
+    )
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+    from auto_data_tokenize_spark.streaming import pipeline
+
+    t0 = pd.Timestamp("2026-01-01")
+    mk = lambda m: (t0 + pd.Timedelta(minutes=m)).to_datetime64()
+    rows = [
+        # conv A session 1: turns at 0, 5, 10 min (batch order scrambled
+        # within each file); session closes via the 90-min turn
+        ("A", 1, "hello", mk(5)),
+        ("A", 0, "well", mk(0)),
+        ("A", 2, "there", mk(10)),
+        # conv B: all-NULL-text session at 0-2 min
+        ("B", 0, None, mk(0)),
+        ("B", 1, None, mk(2)),
+        # late activity closes the early sessions, stays open itself
+        ("A", 3, "new session", mk(90)),
+        ("B", 2, "fresh", mk(95)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # an all-None slice would otherwise infer INT32 for text
+    pdf["text"] = pdf["text"].astype("string")
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    for k, (lo, hi) in enumerate([(0, 3), (3, 5), (5, 7)]):
+        p = f"{staged}/part-{k}.parquet"
+        pdf.iloc[lo:hi].to_parquet(p, index=False)
+        os.utime(p, (1000 + k, 1000 + k))
+
+    st = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"))
+    pipeline.run_to_sink(
+        assemble_sessions_stream(st, gap="30 minutes", watermark="10 minutes"),
+        sink,
+        str(tmp_path / "ckpt"),
+        shuffle_partitions=4,
+    )
+    got = {
+        (r["conv_id"], r["n_turns"], r["text"])
+        for r in sink.read_committed(spark).collect()
+    }
+    # final watermark = 95min - 10 = 85min: both early sessions closed
+    # (ends 40min / 32min), both 90+ sessions open
+    assert got == {("A", 3, "well hello there"), ("B", 2, None)}
