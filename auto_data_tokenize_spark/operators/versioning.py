@@ -197,6 +197,9 @@ def incremental_band_index(
     text_col: str = "text",
     bands: int = 16,
     rows_per_band: int = 4,
+    k: int = 5,
+    n_hashes: int = 64,
+    hash_mode: str = "affine32",
 ) -> DataFrame:
     """Maintain a persisted MinHash/LSH band index under a snapshot
     delta: drop the bands of removed/changed documents, compute bands
@@ -209,21 +212,34 @@ def incremental_band_index(
 
     ``old_index`` must be a band index over the OLD snapshot in
     :func:`~auto_data_tokenize_spark.operators.dedup.banded_keys`
-    shape ``(id, band_idx, band_key)`` with the SAME (bands,
-    rows_per_band) geometry; ``delta`` is :func:`corpus_delta` output
-    whose content columns cover ``text_col`` (a delta that ignores the
-    text would miss re-banding work).
+    shape ``(id, band_idx, band_key)`` built with the SAME signature
+    geometry as passed here — (bands, rows_per_band) AND the
+    ``minhash_signatures`` parameters (k, n_hashes, hash_mode); the
+    geometry cannot be recovered from the index rows, so a mismatch
+    (e.g. an n_hashes=128 index maintained at the default 64) would
+    silently produce bands that never match the kept remainder.
+    ``n_hashes`` must cover ``bands * rows_per_band`` (a short
+    signature would give every doc identical md5('') keys in the
+    uncovered bands). ``delta`` is :func:`corpus_delta` output over
+    (the old snapshot, ``new_snapshot``) whose content columns cover
+    ``text_col`` (a delta that ignores the text would miss re-banding
+    work).
 
-    Scale shape: the delta id lists are churn-bounded, so both the
+    Both joins use the SAME undifferentiated delta id projection — no
+    status split needed, because 'added' ids are absent from the old
+    index (the anti-join ignores them) and 'removed' ids are absent
+    from the new snapshot (the semi-join ignores them). The identical
+    broadcast subtree means Spark builds the delta ONCE and
+    ReusedExchange feeds both joins, so the delta's full-outer
+    fingerprint join is never paid twice.
+
+    Scale shape: the delta id list is churn-bounded, so both the
     anti-join (evict stale bands) and the semi-join (select churned
-    docs to re-band) broadcast them — the corpus-sized index and
+    docs to re-band) broadcast it — the corpus-sized index and
     snapshot never shuffle; only churned documents pay the signature
     aggregate. For churn too large to broadcast, drop the hint and
     bucket index + snapshot by id (sources/bucketing.py) so both joins
-    stay co-located. ``delta`` is referenced twice (the stale and
-    churned splits) — persist it when it is not trivially cheap to
-    recompute (e.g. a raw :func:`corpus_delta` over unbucketed
-    snapshots, whose full-outer hash join would otherwise run twice).
+    stay co-located.
     """
     from auto_data_tokenize_spark.operators.dedup import (
         banded_keys,
@@ -235,18 +251,31 @@ def incremental_band_index(
         raise ValueError(
             f"old_index is not banded_keys output (missing {sorted(missing)})"
         )
-    stale = delta.filter(
-        F.col("status").isin("removed", "changed")
-    ).select(F.col(id_col).alias("id"))
-    churned = delta.filter(
-        F.col("status").isin("added", "changed")
-    ).select(id_col)
-    kept = old_index.join(F.broadcast(stale), "id", "left_anti")
-    fresh_docs = new_snapshot.select(id_col, text_col).join(
-        F.broadcast(churned), id_col, "left_semi"
+    if int(n_hashes) < int(bands) * int(rows_per_band):
+        raise ValueError(
+            f"n_hashes={n_hashes} does not cover bands*rows_per_band="
+            f"{int(bands) * int(rows_per_band)}"
+        )
+    # ONE shared projection (no per-join rename): identical broadcast
+    # subtrees are what lets ReusedExchange feed both joins from a
+    # single delta evaluation
+    churn_ids = F.broadcast(delta.select(F.col(id_col).alias("_churn_id")))
+    kept = old_index.join(
+        churn_ids, old_index["id"] == churn_ids["_churn_id"], "left_anti"
+    )
+    docs = new_snapshot.select(id_col, text_col)
+    fresh_docs = docs.join(
+        churn_ids, docs[id_col] == churn_ids["_churn_id"], "left_semi"
     )
     fresh = banded_keys(
-        minhash_signatures(fresh_docs, id_col, text_col),
+        minhash_signatures(
+            fresh_docs,
+            id_col,
+            text_col,
+            k=k,
+            n_hashes=n_hashes,
+            hash_mode=hash_mode,
+        ),
         id_col,
         bands=bands,
         rows_per_band=rows_per_band,

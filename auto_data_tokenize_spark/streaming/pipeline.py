@@ -168,6 +168,24 @@ def dedup_stream(
     )
 
 
+def _token_rows(
+    docs: DataFrame, text_col: str, ts_col: str, watermark: str
+) -> DataFrame:
+    """Shared (ts, token) explosion for the windowed token monitors —
+    ONE spelling of the stream-side whitespace tokenization so a
+    contract change lands in every monitor at once (the same rationale
+    as ``ws_tokens_expr``): split(trim(lower(text)), '\\s+'), empty
+    tokens dropped, NULL text contributes nothing (split(NULL) is NULL
+    and plain explode emits no rows)."""
+    d = docs.withWatermark(ts_col, watermark)
+    return d.select(
+        ts_col,
+        F.explode(
+            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+
+
 def trending_tokens_stream(
     docs: DataFrame,
     duration: str = "1 minute",
@@ -197,13 +215,7 @@ def trending_tokens_stream(
     """
     if int(min_count) < 1:
         raise ValueError(f"min_count must be >= 1 (got {min_count})")
-    d = docs.withWatermark(ts_col, watermark)
-    toks = d.select(
-        ts_col,
-        F.explode(
-            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
-        ).alias("token"),
-    ).filter(F.col("token") != "")
+    toks = _token_rows(docs, text_col, ts_col, watermark)
     return (
         toks.groupBy(F.window(ts_col, duration).alias("w"), "token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -237,13 +249,7 @@ def distinct_tokens_stream(
     Append mode emits watermark-closed windows, which the SQL oracle
     reproduces with the identical final-watermark predicate.
     """
-    d = docs.withWatermark(ts_col, watermark)
-    toks = d.select(
-        ts_col,
-        F.explode(
-            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
-        ).alias("token"),
-    ).filter(F.col("token") != "")
+    toks = _token_rows(docs, text_col, ts_col, watermark)
     per_token = toks.groupBy(
         F.window(ts_col, duration).alias("w"), "token"
     ).agg(F.count(F.lit(1)).alias("n"))
