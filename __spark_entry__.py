@@ -3388,6 +3388,117 @@ def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+SKEW_TOP_N, SKEW_PARTS = 20, 32
+
+
+def q121_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over the transcript stream's partitioning
+    key (operators/skew.py skew_stats): the top-20 heaviest conv_ids
+    with their table share and the salt factor that re-uniforms them
+    under a 32-way shuffle — the measurement that DRIVES the module's
+    salted_repartition/salted_agg at 10^12 turns (north_rule: 'skew
+    handled explicitly' starts with finding the hot keys). Scale: one
+    partial-agg groupBy to |keys| rows, broadcast total, TakeOrdered
+    top-n — never a full sort shuffle."""
+    from auto_data_tokenize_spark.operators.skew import skew_stats
+
+    return skew_stats(
+        _transcripts(spark, sf_dir),
+        "conv_id",
+        top_n=SKEW_TOP_N,
+        partitions=SKEW_PARTS,
+    )
+
+
+def q122_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming language-mix drift monitor (operators/textstats.py
+    distribution_drift_monitor): documents arrive as an ingest stream
+    and each watermark-closed 1-minute window reports its observed-L1
+    distance from the corpus baseline language distribution — the
+    alarm that catches a scraper/router change in the window it
+    happens. Two CHAINED stateful aggregations with a stream-static
+    broadcast baseline join between them, append mode through the
+    exactly-once sink. Oracle: the identical windowed L1 in SQL at the
+    same final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.textstats import (
+        baseline_shares,
+        distribution_drift_monitor,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    base_df = baseline_shares(docs, "lang")
+
+    base = tempfile.mkdtemp(prefix="adt_q122_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "lang"]
+        ]
+        pdf["ts"] = pd.Timestamp("2026-01-01").to_datetime64() + pd.to_timedelta(
+            pdf["doc_id"], unit="s"
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(spark, staged, "doc_id long, lang string, ts timestamp")
+        mon = distribution_drift_monitor(
+            st,
+            "lang",
+            base_df,
+            window="1 minute",
+            watermark="30 seconds",
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+def q123_residual_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-tokenization leak audit (operators/tokenize.py
+    residual_leak_audit): recover every detected span's RAW text from
+    the original turn via its (start, end) offsets and report, per
+    infoType, how many survive verbatim in the de-identified output of
+    their own turn — the compliance re-scan an auditor runs over data
+    the pipeline wrote (the reference's inspection pipeline pointed at
+    its own tokenization output). A healthy deployment reports
+    n_leaked = 0 on every row; the oracle recomputes the identical
+    substring-extraction + containment join over the golden transcript
+    /detection/tokenized tables."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        residual_leak_audit,
+        tokenize_turns,
+    )
+
+    tok = tokenize_turns(
+        _transcripts(spark, sf_dir), keep_original=True
+    ).select("conv_id", "turn_idx", "text", "text_tok")
+    return residual_leak_audit(tok, _detections(spark, sf_dir))
+
+
+PACK_UTIL_TOKENS = 512
+
+
+def q124_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (operators/corpus.py
+    pack_utilization): per language, how many 512-token sequences the
+    q46 concat-and-chop layout fills, the fraction of sequence slots
+    carrying real tokens (the rest is tail padding), and how many
+    documents straddle a sequence boundary — the measurement that
+    picks target_tokens for a corpus (padding waste vs split-doc
+    truncation is a real GPU-hour trade at 100 TB). Scale: reuses the
+    pack window's single shuffle; the report is a partial-agg groupBy
+    on the same key."""
+    from auto_data_tokenize_spark.operators.corpus import pack_utilization
+
+    return pack_utilization(
+        _documents(spark, sf_dir), target_tokens=PACK_UTIL_TOKENS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -3514,6 +3625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_stream_assemble_sessions": _with_prep(
             q120_stream_assemble_sessions
         ),
+        "q121_key_skew_stats": _with_prep(q121_key_skew_stats),
+        "q122_stream_drift_monitor": _with_prep(q122_stream_drift_monitor),
+        "q123_residual_leak_audit": _with_prep(q123_residual_leak_audit),
+        "q124_pack_utilization": _with_prep(q124_pack_utilization),
     }
 
 
@@ -4381,6 +4496,28 @@ def _duck_lm_score(docs_sql: str, train_sql: str) -> str:
     from auto_data_tokenize_spark.operators.lm import duckdb_lm_score_sql
 
     return duckdb_lm_score_sql(docs_sql, train_sql)
+
+
+def _duck_skew_sql(table: str, key: str, top_n: int, partitions: int) -> str:
+    from auto_data_tokenize_spark.operators.skew import duckdb_skew_sql
+
+    return duckdb_skew_sql(table, key, top_n=top_n, partitions=partitions)
+
+
+def _duck_drift_sql(
+    table: str, cat_col: str, window_us: int, ts_expr: str
+) -> str:
+    from auto_data_tokenize_spark.operators.textstats import duckdb_drift_sql
+
+    return duckdb_drift_sql(table, cat_col, window_us=window_us, ts_expr=ts_expr)
+
+
+def _duck_pack_utilization_sql(table: str, target_tokens: int) -> str:
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_pack_utilization_sql,
+    )
+
+    return duckdb_pack_utilization_sql(table, target_tokens=target_tokens)
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -5344,4 +5481,34 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT * FROM sessions
             WHERE session_end <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM {tr})
         """,
+        "q121_key_skew_stats": _duck_skew_sql(
+            tr, "conv_id", SKEW_TOP_N, SKEW_PARTS
+        ),
+        "q122_stream_drift_monitor": f"""
+            SELECT * FROM ({_duck_drift_sql(
+                "documents",
+                "lang",
+                60_000_000,
+                "TIMESTAMP '2026-01-01' + to_seconds(doc_id)",
+            )}) m
+            WHERE m.window_start + INTERVAL 1 MINUTE <=
+                  (SELECT TIMESTAMP '2026-01-01' + to_seconds(max(doc_id))
+                          - INTERVAL 30 SECOND
+                   FROM documents)
+        """,
+        "q123_residual_leak_audit": f"""
+            SELECT d.info_type,
+                   COUNT(*) AS n_detections,
+                   CAST(SUM(CASE WHEN strpos(t.text_tok,
+                                 substring(r.text, d.start + 1,
+                                           d."end" - d.start)) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+            FROM {det} d
+            JOIN {tok} t USING (conv_id, turn_idx)
+            JOIN {tr} r USING (conv_id, turn_idx)
+            GROUP BY 1
+        """,
+        "q124_pack_utilization": _duck_pack_utilization_sql(
+            "documents", target_tokens=PACK_UTIL_TOKENS
+        ),
     }

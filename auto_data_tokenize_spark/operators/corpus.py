@@ -1232,3 +1232,112 @@ FROM pairs p
 JOIN sizes sa ON sa.g = p.source_a
 JOIN sizes sb ON sb.g = p.source_b
 """.strip()
+
+
+def pack_utilization(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """Training-efficiency report over the ``pack_sequences`` layout:
+    per packing partition, how many fixed-size sequences the corpus
+    fills, what fraction of their token slots carry real tokens
+    (``utilization``; the rest is tail padding), and how many
+    documents straddle a sequence boundary (``n_docs_split`` — the
+    docs whose attention span a concat-and-chop loader truncates).
+    This is the number that decides ``target_tokens`` for a corpus:
+    packing at 512 vs 2048 trades padding waste against split docs,
+    and at 100 TB the wrong choice wastes real GPU-hours.
+
+    Scale: the pack window's single shuffle on ``part_cols`` followed
+    by a partial-agg groupBy on the same key — no second shuffle (the
+    partitioning is reused)."""
+    packed = pack_sequences(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        target_tokens=target_tokens,
+        part_cols=part_cols,
+    )
+    part_cols = part_cols or ["lang"]
+    t = F.lit(target_tokens)
+    split = (
+        F.when(
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("offset") + F.col("n_tokens") - 1) / t)
+                != F.col("pack_id")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    agg = packed.groupBy(*part_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(split).cast("long").alias("n_docs_split"),
+    )
+    n_seqs = F.when(
+        F.col("total_tokens") > 0,
+        F.floor((F.col("total_tokens") - 1) / t) + 1,
+    ).otherwise(F.lit(0))
+    return agg.withColumn("n_seqs", n_seqs.cast("long")).select(
+        *part_cols,
+        "n_docs",
+        "total_tokens",
+        "n_seqs",
+        F.when(
+            F.col("n_seqs") > 0,
+            F.round(F.col("total_tokens") / (F.col("n_seqs") * t), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("utilization"),
+        "n_docs_split",
+        F.round(F.col("n_docs_split") / F.col("n_docs"), 6).alias("split_frac"),
+    )
+
+
+def duckdb_pack_utilization_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    part_cols: list[str] | None = None,
+) -> str:
+    """DuckDB twin of ``pack_utilization`` (same layout via
+    ``duckdb_pack_sql``, same split rule, same rounding)."""
+    part_cols = part_cols or ["lang"]
+    part = ", ".join(part_cols)
+    pack = duckdb_pack_sql(
+        table,
+        id_col=id_col,
+        text_col=text_col,
+        target_tokens=target_tokens,
+        part_cols=part_cols,
+    )
+    t = target_tokens
+    return f"""
+        WITH p AS ({pack}),
+        a AS (
+          SELECT {part},
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN n_tokens > 0
+                               AND ("offset" + n_tokens - 1) // {t} != pack_id
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+          FROM p GROUP BY {part}
+        )
+        SELECT {part}, n_docs, total_tokens,
+               CAST(CASE WHEN total_tokens > 0
+                    THEN (total_tokens - 1) // {t} + 1
+                    ELSE 0 END AS BIGINT) AS n_seqs,
+               CASE WHEN total_tokens > 0
+                    THEN ROUND(total_tokens * 1.0 /
+                               (((total_tokens - 1) // {t} + 1) * {t}), 6)
+                    ELSE 0.0 END AS utilization,
+               n_docs_split,
+               ROUND(n_docs_split * 1.0 / n_docs, 6) AS split_frac
+        FROM a
+    """

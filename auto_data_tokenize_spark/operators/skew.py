@@ -65,3 +65,66 @@ def salted_agg(
         final_exprs.append(F.sum(f"_p_{out}").alias(out))
     partial = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def skew_stats(
+    df: DataFrame, key: str, top_n: int = 20, partitions: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Key-skew diagnostics: the measurement that DECIDES the salting
+    the rest of this module applies. For the ``top_n`` heaviest keys,
+    emit row count, share of the table, and the salt factor that would
+    spread the key back to a uniform per-partition load under a
+    ``partitions``-way shuffle (``ceil(share * partitions)``; 1 when
+    the key already fits a single uniform partition's quota).
+
+    At 10^12 turns this is how a pipeline operator finds the support-
+    bot conv_ids before they stall a stage: one partial-agg groupBy
+    shrinks the table to |keys| rows, the global total is a second
+    tiny aggregate broadcast back, and the top-n is TakeOrdered
+    (per-partition heads, never a full sort shuffle). Deterministic
+    tie-break on (count desc, key asc)."""
+    if top_n < 1 or partitions < 1:
+        raise ValueError(
+            f"top_n and partitions must be >= 1, got {top_n}, {partitions}"
+        )
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(F.sum("n_rows").cast("long").alias("_tot"))
+    uniform = F.col("_tot") / F.lit(partitions)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_tot"), 6).alias("share"),
+            F.when(
+                F.col("n_rows") > uniform,
+                F.ceil(F.col("n_rows") * F.lit(partitions) / F.col("_tot")),
+            )
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("rec_salts"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .limit(top_n)
+    )
+
+
+def duckdb_skew_sql(
+    table: str, key: str, top_n: int = 20, partitions: int = DEFAULT_SALTS
+) -> str:
+    """DuckDB twin of ``skew_stats`` (same share rounding, same salt
+    rule, same tie-break)."""
+    return f"""
+        WITH c AS (
+          SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM {table} GROUP BY {key}
+        ), t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM c)
+        SELECT {key}, n_rows,
+               ROUND(n_rows * 1.0 / tot, 6) AS share,
+               CAST(CASE WHEN n_rows * 1.0 > tot * 1.0 / {partitions}
+                    THEN CEIL(n_rows * {partitions} * 1.0 / tot)
+                    ELSE 1 END AS INT) AS rec_salts
+        FROM c, t
+        ORDER BY n_rows DESC, {key}
+        LIMIT {top_n}
+    """

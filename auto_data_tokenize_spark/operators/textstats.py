@@ -529,3 +529,116 @@ def duckdb_dataset_report_sql(
         FROM (SELECT {g}, {nt} AS nt FROM {table}) t
         GROUP BY {g}
     """
+
+
+def baseline_shares(df: DataFrame, cat_col: str) -> DataFrame:
+    """Reference categorical distribution: per-category share of the
+    corpus — the broadcast side of ``distribution_drift_monitor``.
+    One partial-agg groupBy; |categories| rows (KBs even at 100 TB)."""
+    counts = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").cast("double").alias("_tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        cat_col, (F.col("_n") / F.col("_tot")).alias("base_share")
+    )
+
+
+def distribution_drift_monitor(
+    df: DataFrame,
+    cat_col: str,
+    baseline: DataFrame,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window categorical drift vs a reference distribution — the
+    alarm a crawl-ingest pipeline runs so a scraper change that flips
+    the language (or source/domain) mix is caught in the window it
+    happens, not at the next batch audit. Works on batch and streaming
+    inputs alike (the streaming shape is two CHAINED stateful
+    aggregations via ``window_time`` with a stream-static broadcast
+    join between them, append mode).
+
+    Output per window: ``window_start, n_docs, n_cats, l1_drift``
+    where ``l1_drift = Σ_observed |n_cat/n_docs − base_share_cat|``
+    (categories absent from the window contribute nothing — documented
+    so the SQL twin is exact; a category missing from the baseline
+    drifts by its full window share).
+
+    Scale: the first windowed groupBy shrinks the stream with map-side
+    partials to |windows × cats| rows; the baseline is broadcast; the
+    second agg's state is one collected list per window, bounded by
+    |cats|. ``array_sort`` pins the float summation order so reruns
+    hash identically."""
+    d = df.withWatermark(ts_col, watermark) if watermark is not None else df
+    win = d.groupBy(F.window(F.col(ts_col), window).alias("w"), cat_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    j = win.join(F.broadcast(baseline), on=cat_col, how="left").withColumn(
+        "_b", F.coalesce(F.col("base_share"), F.lit(0.0))
+    )
+    agged = j.groupBy(F.window(F.window_time("w"), window).alias("cw")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(cat_col).alias("c"), "_n", "_b"))
+        ).alias("_l")
+    )
+    n_docs = F.aggregate(
+        "_l", F.lit(0).cast("long"), lambda a, x: a + x["_n"]
+    )
+    return (
+        agged.withColumn("n_docs", n_docs)
+        .withColumn("n_cats", F.size("_l"))
+        .withColumn(
+            "l1_drift",
+            F.round(
+                F.aggregate(
+                    "_l",
+                    F.lit(0.0),
+                    lambda a, x: a
+                    + F.abs(x["_n"] / F.col("n_docs") - x["_b"]),
+                ),
+                6,
+            ),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            "n_docs",
+            "n_cats",
+            "l1_drift",
+        )
+    )
+
+
+def duckdb_drift_sql(
+    table: str,
+    cat_col: str,
+    window_us: int = 60_000_000,
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB twin of ``distribution_drift_monitor`` (same observed-
+    categories-only L1, same rounding). ``ts_expr`` lets the caller
+    reconstruct the stream's arrival timestamps; the final-watermark
+    filter (streaming append mode) is the caller's HAVING clause."""
+    return f"""
+        WITH src AS (
+          SELECT {cat_col} AS c, {ts_expr} AS ts FROM {table}
+        ), base AS (
+          SELECT c, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM src) AS b
+          FROM src GROUP BY c
+        ), win AS (
+          SELECT make_timestamp((epoch_us(ts) // {window_us}) * {window_us})
+                   AS window_start,
+                 c, CAST(COUNT(*) AS BIGINT) AS n
+          FROM src GROUP BY 1, 2
+        ), tot AS (
+          SELECT window_start, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS INT) AS n_cats
+          FROM win GROUP BY 1
+        )
+        SELECT w.window_start, t.n_docs, t.n_cats,
+               ROUND(SUM(ABS(w.n * 1.0 / t.n_docs - COALESCE(b.b, 0.0))), 6)
+                 AS l1_drift
+        FROM win w
+        JOIN tot t USING (window_start)
+        LEFT JOIN base b USING (c)
+        GROUP BY 1, 2, 3
+    """

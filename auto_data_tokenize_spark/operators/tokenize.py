@@ -639,3 +639,48 @@ def rekey_columns_tink(
     # types come from the columns' own original_type metadata
     clear = detokenize_columns_tink(df, columns, old_keyset_json, None)
     return tokenize_columns_tink(clear, columns, new_keyset_json)
+
+
+def residual_leak_audit(
+    tokenized: DataFrame,
+    detections: DataFrame,
+    text_col: str = "text_tok",
+    raw_text_col: str = "text",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Post-de-identification leak audit: for every detected span,
+    recover its RAW text from the original turn via the detection's
+    (start, end) offsets — the ``token`` column holds the tokenized
+    REPLACEMENT, which trivially appears in the output — and check
+    whether that raw text still appears verbatim in the de-identified
+    output of the same turn, reporting per-infoType totals. This is
+    the compliance gate a tokenization deployment runs before shipping
+    a corpus (the reference trusts its pipeline; an auditor re-checks
+    the output, cf. DlpInspectionPipeline re-scanning data it did not
+    write).
+
+    ``tokenized`` must carry both ``raw_text_col`` and ``text_col``
+    per turn (``tokenize_turns(..., keep_original=True)`` shape, or a
+    join of input and output tables). ``n_leaked`` counts detections
+    whose raw span substring survives in ``text_col``; a healthy
+    pipeline reports 0 for every infoType. Substring containment (not
+    equality) also catches partial re-assembly, e.g. a tokenizer that
+    replaced only half an overlap.
+
+    Scale: one equi-join on the turn key — both sides derive from the
+    same table so the join keys are co-partitioned after one shuffle —
+    then a partial-agg groupBy on infoType (dozens of rows). Span
+    extraction and the containment test are codegen ``substring`` +
+    ``instr``, never Python."""
+    keys = keys or ["conv_id", "turn_idx"]
+    j = detections.select(*keys, "info_type", "start", "end").join(
+        tokenized.select(*keys, raw_text_col, text_col), on=keys, how="inner"
+    )
+    contains = F.expr(
+        f"instr({text_col}, substring({raw_text_col}, start + 1, end - start))"
+    )
+    leaked = F.when(contains > 0, F.lit(1)).otherwise(F.lit(0))
+    return j.groupBy("info_type").agg(
+        F.count(F.lit(1)).alias("n_detections"),
+        F.sum(leaked).cast("long").alias("n_leaked"),
+    )

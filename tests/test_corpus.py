@@ -775,3 +775,75 @@ def test_source_overlap_validates_k():
 
     with _pytest.raises(ValueError, match="k must be"):
         source_overlap(None, k=0)
+
+
+def test_pack_utilization_exact(spark):
+    """Hand-computed layout at target=4: en stream 3+2+4 = 9 tokens ->
+    3 sequences, utilization 9/12; doc 2 (offset 3, len 2) straddles
+    the 4-boundary, doc 3 (offset 5, len 4) straddles 8 -> 2 split."""
+    from auto_data_tokenize_spark.operators.corpus import pack_utilization
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),
+            (2, "d e", "en"),
+            (3, "f g h i", "en"),
+            (4, None, "de"),  # NULL text: the zero-token branch
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["lang"]: r
+        for r in pack_utilization(df, target_tokens=4).collect()
+    }
+    en = rows["en"]
+    assert (en["n_docs"], en["total_tokens"], en["n_seqs"]) == (3, 9, 3)
+    assert en["utilization"] == round(9 / 12, 6)
+    assert (en["n_docs_split"], en["split_frac"]) == (2, round(2 / 3, 6))
+    # all-NULL-text group: SUM over only NULLs is NULL (the shared
+    # NULL-text contract, same as the SQL twin); the derived measures
+    # fall back to their empty values through the NULL comparisons
+    de = rows["de"]
+    assert (de["total_tokens"], de["n_seqs"], de["utilization"]) == (
+        None, 0, 0.0,
+    )
+    assert de["n_docs_split"] == 0
+
+
+def test_pack_utilization_matches_duckdb_twin(spark):
+    """Cross-engine on a fuller corpus: Spark vs the SQL twin."""
+    import duckdb
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.corpus import (
+        duckdb_pack_utilization_sql,
+        pack_utilization,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                " ".join(f"w{j}" for j in range(1 + (7 * i) % 13))
+                for i in range(40)
+            ],
+            "lang": ["en", "de", "fr", "en"] * 10,
+        }
+    )
+    duck = duckdb.connect()
+    duck.register("pu_docs", pdf)
+    want = (
+        duck.execute(duckdb_pack_utilization_sql("pu_docs", target_tokens=8))
+        .df()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    got = (
+        pack_utilization(spark.createDataFrame(pdf), target_tokens=8)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )

@@ -289,3 +289,96 @@ def test_chunk_documents_plan_shape(spark):
     for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "Join"):
         assert bad not in plan, plan
     assert plan.count("split(") <= 2, plan  # generator + project, not per-window
+
+
+def test_skew_stats_exact_and_tiebreak(spark):
+    """hot=6/10 rows under 5 partitions (uniform quota 2) -> salts
+    ceil(0.6*5)=3; b and c tie at 2 rows -> key-ascending order."""
+    import duckdb
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.skew import (
+        duckdb_skew_sql,
+        skew_stats,
+    )
+
+    pdf = pd.DataFrame({"k": ["hot"] * 6 + ["b"] * 2 + ["c"] * 2})
+    got = skew_stats(
+        spark.createDataFrame(pdf), "k", top_n=2, partitions=5
+    ).collect()
+    assert [(r["k"], r["n_rows"], r["share"], r["rec_salts"]) for r in got] == [
+        ("hot", 6, 0.6, 3),
+        ("b", 2, 0.2, 1),
+    ]
+
+    duck = duckdb.connect()
+    duck.register("skw", pdf)
+    want = duck.execute(duckdb_skew_sql("skw", "k", 2, 5)).df()
+    assert [tuple(r) for r in want.itertuples(index=False)] == [
+        ("hot", 6, 0.6, 3),
+        ("b", 2, 0.2, 1),
+    ]
+
+
+def test_skew_stats_plan_has_no_global_sort_shuffle(spark):
+    """top-n must be TakeOrdered (per-partition heads merged on the
+    driver), and the totals side must broadcast — a rangepartitioned
+    full sort or a shuffled totals join would not survive 10^12 rows."""
+    from auto_data_tokenize_spark.operators.skew import skew_stats
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    plan = (
+        skew_stats(df, "k")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_skew_stats_validates_args(spark):
+    import pytest
+
+    from auto_data_tokenize_spark.operators.skew import skew_stats
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        skew_stats(df, "k", top_n=0)
+    with pytest.raises(ValueError):
+        skew_stats(df, "k", partitions=0)
+
+
+def test_residual_leak_audit_counts_survivors(spark):
+    """The audit recovers each RAW span from (start, end) offsets into
+    the original text — NOT the detections' token column, which holds
+    the tokenized replacement and always appears in the output. One
+    doctored 'tokenized' row keeps its raw span -> that detection
+    leaks; the properly tokenized turn reports clean. The containment
+    test must stay codegen (no Python nodes)."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        residual_leak_audit,
+    )
+
+    tokenized = spark.createDataFrame(
+        [
+            ("c1", 0, "call me at 555-0100 ok", "call me at <tok:abc> ok"),
+            (
+                "c2", 0,
+                "ssn 123-45-6789 left in place",
+                "ssn 123-45-6789 left in place",
+            ),
+        ],
+        "conv_id string, turn_idx int, text string, text_tok string",
+    )
+    detections = spark.createDataFrame(
+        [
+            ("c1", 0, "PHONE_NUMBER", 11, 19),
+            ("c2", 0, "US_SOCIAL_SECURITY_NUMBER", 4, 15),
+        ],
+        "conv_id string, turn_idx int, info_type string, start int, end int",
+    )
+    out = residual_leak_audit(tokenized, detections)
+    rows = {r["info_type"]: (r["n_detections"], r["n_leaked"]) for r in out.collect()}
+    assert rows["PHONE_NUMBER"] == (1, 0)
+    assert rows["US_SOCIAL_SECURITY_NUMBER"] == (1, 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

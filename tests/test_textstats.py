@@ -230,3 +230,70 @@ def test_null_text_contract_repetition_and_ws_tokens(spark):
         for r in textstats.token_counts(df).collect()
     }
     assert toks[1] is None and toks[2] == 3
+
+
+def test_baseline_shares_and_drift_batch(spark):
+    """Known mixture: baseline 50/25/25 over (en,de,fr); a window
+    holding only 'en' docs drifts by |1-0.5| + nothing-for-absent =
+    0.5; a window matching the baseline drifts 0. A category missing
+    from the baseline contributes its full window share."""
+    import datetime as dt
+
+    from auto_data_tokenize_spark.operators.textstats import (
+        baseline_shares,
+        distribution_drift_monitor,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    docs = spark.createDataFrame(
+        [("en",), ("en",), ("de",), ("fr",)], "lang string"
+    )
+    base = baseline_shares(docs, "lang")
+    assert {
+        (r["lang"], r["base_share"]) for r in base.collect()
+    } == {("en", 0.5), ("de", 0.25), ("fr", 0.25)}
+
+    stream_like = spark.createDataFrame(
+        [
+            # minute 0: all-en -> L1 = |1 - 0.5| = 0.5
+            ("en", t0), ("en", t0 + dt.timedelta(seconds=10)),
+            # minute 1: matches baseline exactly -> 0
+            ("en", t0 + dt.timedelta(seconds=60)),
+            ("en", t0 + dt.timedelta(seconds=61)),
+            ("de", t0 + dt.timedelta(seconds=62)),
+            ("fr", t0 + dt.timedelta(seconds=63)),
+            # minute 2: unseen category -> |1 - 0| = 1.0
+            ("xx", t0 + dt.timedelta(seconds=120)),
+        ],
+        "lang string, ts timestamp",
+    )
+    out = {
+        r["window_start"].second + r["window_start"].minute * 60: (
+            r["n_docs"], r["n_cats"], r["l1_drift"]
+        )
+        for r in distribution_drift_monitor(
+            stream_like, "lang", base, window="1 minute"
+        ).collect()
+    }
+    assert out[0] == (2, 1, 0.5)
+    assert out[60] == (4, 3, 0.0)
+    assert out[120] == (1, 1, 1.0)
+
+
+def test_drift_monitor_broadcasts_baseline(spark):
+    """The baseline side must broadcast — a shuffle join on the
+    category key would serialize the monitor behind a tiny dim."""
+    from auto_data_tokenize_spark.operators.textstats import (
+        baseline_shares,
+        distribution_drift_monitor,
+    )
+
+    docs = spark.createDataFrame([("en",), ("de",)], "lang string")
+    df = spark.createDataFrame(
+        [("en", __import__("datetime").datetime(2026, 1, 1))],
+        "lang string, ts timestamp",
+    )
+    plan = distribution_drift_monitor(
+        df, "lang", baseline_shares(docs, "lang")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
