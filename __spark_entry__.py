@@ -5499,7 +5499,8 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q123_residual_leak_audit": f"""
             SELECT d.info_type,
                    COUNT(*) AS n_detections,
-                   CAST(SUM(CASE WHEN strpos(t.text_tok,
+                   CAST(SUM(CASE WHEN d."end" > d.start
+                                 AND strpos(t.text_tok,
                                  substring(r.text, d.start + 1,
                                            d."end" - d.start)) > 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked

@@ -104,7 +104,7 @@ def skew_stats(
             .cast("int")
             .alias("rec_salts"),
         )
-        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .orderBy(F.col("n_rows").desc(), F.col(key).asc_nulls_last())
         .limit(top_n)
     )
 
@@ -125,6 +125,6 @@ def duckdb_skew_sql(
                     THEN CEIL(n_rows * {partitions} * 1.0 / tot)
                     ELSE 1 END AS INT) AS rec_salts
         FROM c, t
-        ORDER BY n_rows DESC, {key}
+        ORDER BY n_rows DESC, {key} NULLS LAST
         LIMIT {top_n}
     """

@@ -573,8 +573,16 @@ def distribution_drift_monitor(
     win = d.groupBy(F.window(F.col(ts_col), window).alias("w"), cat_col).agg(
         F.count(F.lit(1)).alias("_n")
     )
-    j = win.join(F.broadcast(baseline), on=cat_col, how="left").withColumn(
-        "_b", F.coalesce(F.col("base_share"), F.lit(0.0))
+    # null-safe equality: a NULL category (e.g. language-id failed) is
+    # a real stratum on BOTH sides — a NULL-rejecting equi-join would
+    # zero its baseline share and raise a standing false alarm
+    b = baseline.withColumnRenamed(cat_col, "_bc")
+    j = (
+        win.join(
+            F.broadcast(b), win[cat_col].eqNullSafe(b["_bc"]), "left"
+        )
+        .drop("_bc")
+        .withColumn("_b", F.coalesce(F.col("base_share"), F.lit(0.0)))
     )
     agged = j.groupBy(F.window(F.window_time("w"), window).alias("cw")).agg(
         F.array_sort(
@@ -639,6 +647,6 @@ def duckdb_drift_sql(
                  AS l1_drift
         FROM win w
         JOIN tot t USING (window_start)
-        LEFT JOIN base b USING (c)
+        LEFT JOIN base b ON w.c IS NOT DISTINCT FROM b.c
         GROUP BY 1, 2, 3
     """

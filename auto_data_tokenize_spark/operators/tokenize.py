@@ -679,7 +679,13 @@ def residual_leak_audit(
     contains = F.expr(
         f"instr({text_col}, substring({raw_text_col}, start + 1, end - start))"
     )
-    leaked = F.when(contains > 0, F.lit(1)).otherwise(F.lit(0))
+    # end > start guards degenerate spans: a zero-width detection would
+    # search for '' (instr/strpos = 1 -> false leak) and an inverted
+    # span extracts different text per engine
+    leaked = (
+        F.when((F.col("end") > F.col("start")) & (contains > 0), F.lit(1))
+        .otherwise(F.lit(0))
+    )
     return j.groupBy("info_type").agg(
         F.count(F.lit(1)).alias("n_detections"),
         F.sum(leaked).cast("long").alias("n_leaked"),

@@ -382,3 +382,52 @@ def test_residual_leak_audit_counts_survivors(spark):
     assert rows["US_SOCIAL_SECURITY_NUMBER"] == (1, 1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_residual_leak_audit_ignores_degenerate_spans(spark):
+    """Zero-width (end == start) and inverted (end < start) spans must
+    not count as leaks: '' matches everywhere (instr/strpos = 1) and
+    the engines extract DIFFERENT text for negative lengths — the
+    end > start guard keeps both sides honest."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        residual_leak_audit,
+    )
+
+    tokenized = spark.createDataFrame(
+        [("c1", 0, "abcdef", "abcdef")],
+        "conv_id string, turn_idx int, text string, text_tok string",
+    )
+    detections = spark.createDataFrame(
+        [
+            ("c1", 0, "X", 2, 2),   # zero-width
+            ("c1", 0, "X", 4, 2),   # inverted
+        ],
+        "conv_id string, turn_idx int, info_type string, start int, end int",
+    )
+    row = residual_leak_audit(tokenized, detections).collect()[0]
+    assert (row["n_detections"], row["n_leaked"]) == (2, 0)
+
+
+def test_skew_stats_null_key_sorts_last_both_engines(spark):
+    """A NULL key tying at the cutoff must land in the same slot on
+    both engines (Spark default sorts NULL first, DuckDB last — the
+    operator pins NULLS LAST on both)."""
+    import duckdb
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.skew import (
+        duckdb_skew_sql,
+        skew_stats,
+    )
+
+    pdf = pd.DataFrame({"k": [None] * 3 + ["a"] * 3 + ["b"] * 2})
+    got = [
+        r["k"]
+        for r in skew_stats(
+            spark.createDataFrame(pdf, "k string"), "k", top_n=2, partitions=4
+        ).collect()
+    ]
+    duck = duckdb.connect()
+    duck.register("skwn", pdf)
+    want = [r[0] for r in duck.execute(duckdb_skew_sql("skwn", "k", 2, 4)).fetchall()]
+    assert got == want == ["a", None]

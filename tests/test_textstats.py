@@ -297,3 +297,33 @@ def test_drift_monitor_broadcasts_baseline(spark):
         df, "lang", baseline_shares(docs, "lang")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_drift_monitor_null_category_is_a_real_stratum(spark):
+    """A NULL category (language-id failed) carries a baseline share;
+    a window reproducing the baseline mix must drift 0, not by the
+    NULL stratum's share (null-safe join regression)."""
+    import datetime as dt
+
+    from auto_data_tokenize_spark.operators.textstats import (
+        baseline_shares,
+        distribution_drift_monitor,
+    )
+
+    docs = spark.createDataFrame(
+        [("en",), ("en",), (None,), (None,)], "lang string"
+    )
+    base = baseline_shares(docs, "lang")
+    assert {
+        (r["lang"], r["base_share"]) for r in base.collect()
+    } == {("en", 0.5), (None, 0.5)}
+
+    t0 = dt.datetime(2026, 1, 1)
+    window_rows = spark.createDataFrame(
+        [("en", t0), (None, t0)], "lang string, ts timestamp"
+    )
+    out = distribution_drift_monitor(
+        window_rows, "lang", base, window="1 minute"
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["n_docs"], out[0]["n_cats"], out[0]["l1_drift"]) == (2, 2, 0.0)
