@@ -3499,6 +3499,151 @@ def q124_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOT_KEY_MIN = 20
+
+
+def q125_stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hot-key alarm (operators/skew.py hot_keys_monitor):
+    q121's skew diagnostics as a LIVE monitor — per watermark-closed
+    hourly window, every conv_id at >= 20 turns (the planted
+    conv_hot_* flooders plus the occasional organic burst), emitted
+    through the exactly-once sink. The support-bot conv that will
+    stall tomorrow's batch pages the operator in the window it starts
+    flooding. One windowed groupBy, state freed per closed window.
+    Oracle: the same bucket/threshold SQL at the identical
+    final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.skew import hot_keys_monitor
+    from auto_data_tokenize_spark.streaming import source
+
+    d = datagen.ensure_sf(_sf_name(sf_dir))
+    base = tempfile.mkdtemp(prefix="adt_q125_")
+    try:
+        staged = source.stage_stream_input(
+            os.path.join(d, "transcripts.parquet"), f"{base}/in", n_files=8
+        )
+        st = source.transcripts_stream(spark, staged)
+        mon = hot_keys_monitor(
+            st.select("conv_id", "ts"),
+            "conv_id",
+            window="1 hour",
+            watermark="10 minutes",
+            min_count=HOT_KEY_MIN,
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+EMB_DIM = 64
+
+
+def q126_stream_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-centroid drift monitor (operators/
+    similarity.py centroid_drift_monitor): vectors arrive as an ingest
+    stream and each watermark-closed 1-minute window reports the
+    cosine of its mean embedding to the corpus baseline centroid — the
+    alarm that catches an encoder/version change in the embedding feed
+    the window it ships. ONE windowed groupBy carrying 64 running
+    means, then a stateless broadcast join with the 1-row baseline and
+    a pure-codegen cosine. Oracle: identical per-dim averaging /
+    cosine / rounding in SQL at the same final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.similarity import (
+        centroid,
+        centroid_drift_monitor,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base_df = centroid(emb, "embedding", EMB_DIM)
+
+    base = tempfile.mkdtemp(prefix="adt_q126_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))[
+            ["vec_id", "embedding"]
+        ]
+        pdf["ts"] = pd.Timestamp("2026-01-01").to_datetime64() + pd.to_timedelta(
+            pdf["vec_id"], unit="s"
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in", order_col="vec_id")
+        st = _stream_files(
+            spark,
+            staged,
+            "vec_id long, embedding array<float>, ts timestamp",
+        )
+        mon = centroid_drift_monitor(
+            st,
+            "embedding",
+            EMB_DIM,
+            base_df,
+            window="1 minute",
+            watermark="30 seconds",
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+OOV_MIN_DF, OOV_TOP_K = 2, 20
+
+
+def q127_stream_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming out-of-vocabulary-rate monitor (operators/textstats.py
+    oov_rate_monitor): the live token stream is checked per 1-minute
+    window against the top-20 vocabulary observed on the English slice
+    of the corpus (min_df=2, count-desc truncation — the finite-vocab
+    shape real tokenizers ship with) — the drift alarm that catches a
+    new language, spam alphabet, or encoding bug in the ingest feed
+    before any quality score moves. Stateless explode + broadcast
+    vocab join, then ONE windowed groupBy. Oracle: same vocabulary and
+    rate SQL at the identical final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.textstats import (
+        oov_rate_monitor,
+        vocab_from_corpus,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    vocab = vocab_from_corpus(
+        docs.filter(F.col("lang") == "en"), min_df=OOV_MIN_DF, top_k=OOV_TOP_K
+    )
+
+    base = tempfile.mkdtemp(prefix="adt_q127_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ]
+        pdf["ts"] = pd.Timestamp("2026-01-01").to_datetime64() + pd.to_timedelta(
+            pdf["doc_id"], unit="s"
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, text string, ts timestamp"
+        )
+        mon = oov_rate_monitor(
+            st, vocab, window="1 minute", watermark="30 seconds"
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -3629,6 +3774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_stream_drift_monitor": _with_prep(q122_stream_drift_monitor),
         "q123_residual_leak_audit": _with_prep(q123_residual_leak_audit),
         "q124_pack_utilization": _with_prep(q124_pack_utilization),
+        "q125_stream_hot_keys": _with_prep(q125_stream_hot_keys),
+        "q126_stream_centroid_drift": _with_prep(q126_stream_centroid_drift),
+        "q127_stream_oov_rate": _with_prep(q127_stream_oov_rate),
     }
 
 
@@ -4510,6 +4658,36 @@ def _duck_drift_sql(
     from auto_data_tokenize_spark.operators.textstats import duckdb_drift_sql
 
     return duckdb_drift_sql(table, cat_col, window_us=window_us, ts_expr=ts_expr)
+
+
+def _duck_hot_keys_sql(table: str, key: str, min_count: int) -> str:
+    from auto_data_tokenize_spark.operators.skew import duckdb_hot_keys_sql
+
+    return duckdb_hot_keys_sql(table, key, min_count=min_count)
+
+
+def _duck_centroid_drift_sql(
+    table: str, vec_col: str, dim: int, ts_expr: str
+) -> str:
+    from auto_data_tokenize_spark.operators.similarity import (
+        duckdb_centroid_drift_sql,
+    )
+
+    return duckdb_centroid_drift_sql(table, vec_col, dim, ts_expr=ts_expr)
+
+
+def _duck_oov_sql(table: str, min_df: int, top_k: int, ts_expr: str) -> str:
+    from auto_data_tokenize_spark.operators.textstats import (
+        duckdb_oov_sql,
+        duckdb_vocab_sql,
+    )
+
+    vocab = duckdb_vocab_sql(
+        f"(SELECT text FROM {table} WHERE lang = 'en') e",
+        min_df=min_df,
+        top_k=top_k,
+    )
+    return duckdb_oov_sql(table, vocab, ts_expr=ts_expr)
 
 
 def _duck_pack_utilization_sql(table: str, target_tokens: int) -> str:
@@ -5512,4 +5690,33 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q124_pack_utilization": _duck_pack_utilization_sql(
             "documents", target_tokens=PACK_UTIL_TOKENS
         ),
+        "q125_stream_hot_keys": f"""
+            SELECT * FROM ({_duck_hot_keys_sql(tr, "conv_id", HOT_KEY_MIN)}) m
+            WHERE m.window_start + INTERVAL 1 HOUR <=
+                  (SELECT max(ts) - INTERVAL 10 MINUTE FROM {tr})
+        """,
+        "q126_stream_centroid_drift": f"""
+            SELECT * FROM ({_duck_centroid_drift_sql(
+                "embeddings",
+                "embedding",
+                EMB_DIM,
+                "TIMESTAMP '2026-01-01' + to_seconds(vec_id)",
+            )}) m
+            WHERE m.window_start + INTERVAL 1 MINUTE <=
+                  (SELECT TIMESTAMP '2026-01-01' + to_seconds(max(vec_id))
+                          - INTERVAL 30 SECOND
+                   FROM embeddings)
+        """,
+        "q127_stream_oov_rate": f"""
+            SELECT * FROM ({_duck_oov_sql(
+                "documents",
+                OOV_MIN_DF,
+                OOV_TOP_K,
+                "TIMESTAMP '2026-01-01' + to_seconds(doc_id)",
+            )}) m
+            WHERE m.window_start + INTERVAL 1 MINUTE <=
+                  (SELECT TIMESTAMP '2026-01-01' + to_seconds(max(doc_id))
+                          - INTERVAL 30 SECOND
+                   FROM documents)
+        """,
     }

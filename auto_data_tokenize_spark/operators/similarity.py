@@ -513,3 +513,99 @@ def semantic_dedup(
         F.min("a").alias("dup_of")
     )
     return corpus.select(id_col).join(dup_of, id_col, "left")
+
+
+def centroid(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Reference centroid: per-dimension mean of an embedding column —
+    the broadcast side of ``centroid_drift_monitor``. One partial-agg
+    global aggregate; output is a single row of ``dim`` doubles (KBs
+    at any corpus size)."""
+    return df.agg(
+        *[
+            F.avg(F.col(vec_col)[i].cast("double")).alias(f"_c{i}")
+            for i in range(dim)
+        ]
+    )
+
+
+def centroid_drift_monitor(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    baseline: DataFrame,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window embedding-centroid drift vs a reference centroid —
+    the alarm that catches an encoder/version change in the embedding
+    feed the window it ships (a new model's vectors move the mean;
+    cosine to the baseline centroid drops). Works on batch and
+    streaming inputs alike; streaming shape is ONE windowed groupBy
+    (``dim`` avg aggregates, map-side partials) followed by a
+    stateless broadcast join with the 1-row baseline and a pure-
+    codegen cosine projection.
+
+    Output per window: ``window_start, n_vecs,
+    cos_to_baseline`` (round 6; NULL when either centroid has zero
+    norm). State: ``dim`` running means per open window."""
+    d = df.withWatermark(ts_col, watermark) if watermark is not None else df
+    win = d.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.avg(F.col(vec_col)[i].cast("double")).alias(f"_m{i}")
+            for i in range(dim)
+        ],
+    )
+    # constant-key equi-join instead of a cross join: stream-static
+    # cross joins are rejected by the streaming planner
+    j = win.withColumn("_k", F.lit(1)).join(
+        F.broadcast(baseline.withColumn("_k", F.lit(1))), on="_k"
+    )
+    dot = sum(F.col(f"_m{i}") * F.col(f"_c{i}") for i in range(dim))
+    nw = F.sqrt(sum(F.col(f"_m{i}") * F.col(f"_m{i}") for i in range(dim)))
+    nb = F.sqrt(sum(F.col(f"_c{i}") * F.col(f"_c{i}") for i in range(dim)))
+    return j.select(
+        F.col("w.start").alias("window_start"),
+        "n_vecs",
+        F.when(
+            (nw > 0) & (nb > 0), F.round(dot / (nw * nb), 6)
+        ).alias("cos_to_baseline"),
+    )
+
+
+def duckdb_centroid_drift_sql(
+    table: str,
+    vec_col: str,
+    dim: int,
+    window_us: int = 60_000_000,
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB twin of ``centroid_drift_monitor`` with the baseline
+    computed over the same table (1-based list indexing; identical
+    per-dim averaging, cosine, rounding, and zero-norm NULL rule)."""
+    base_cols = ", ".join(
+        f"AVG(CAST({vec_col}[{i + 1}] AS DOUBLE)) AS c{i}" for i in range(dim)
+    )
+    win_cols = ", ".join(
+        f"AVG(CAST({vec_col}[{i + 1}] AS DOUBLE)) AS m{i}" for i in range(dim)
+    )
+    dot = " + ".join(f"w.m{i} * b.c{i}" for i in range(dim))
+    nw = " + ".join(f"w.m{i} * w.m{i}" for i in range(dim))
+    nb = " + ".join(f"b.c{i} * b.c{i}" for i in range(dim))
+    return f"""
+        WITH base AS (SELECT {base_cols} FROM {table}),
+        win AS (
+          SELECT make_timestamp((epoch_us({ts_expr}) // {window_us})
+                   * {window_us}) AS window_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 {win_cols}
+          FROM {table}
+          GROUP BY 1
+        )
+        SELECT w.window_start, w.n_vecs,
+               CASE WHEN sqrt({nw}) > 0 AND sqrt({nb}) > 0
+                    THEN ROUND(({dot}) / (sqrt({nw}) * sqrt({nb})), 6)
+               END AS cos_to_baseline
+        FROM win w, base b
+    """

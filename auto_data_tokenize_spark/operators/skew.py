@@ -128,3 +128,58 @@ def duckdb_skew_sql(
         ORDER BY n_rows DESC, {key} NULLS LAST
         LIMIT {top_n}
     """
+
+
+def hot_keys_monitor(
+    df: DataFrame,
+    key: str,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    min_count: int = 20,
+) -> DataFrame:
+    """Windowed hot-key alarm — ``skew_stats``'s live counterpart: per
+    tumbling window, emit every key whose row count reaches
+    ``min_count`` (the flood threshold an operator pages on). The
+    support-bot conv_id that will stall tomorrow's batch shows up here
+    in the window it starts flooding. Works on batch and streaming
+    inputs alike; streaming shape is ONE windowed groupBy — state is
+    one counter per open (window, key), freed as the watermark closes
+    each window — with the threshold applied to the closed aggregate,
+    emitted once per window in append mode.
+
+    Scale: one shuffle with map-side partial aggregation; the
+    threshold filter is codegen on the aggregate output."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    d = df.withWatermark(ts_col, watermark) if watermark is not None else df
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") >= min_count)
+        .select(
+            F.col("w.start").alias("window_start"),
+            key,
+            "n_rows",
+        )
+    )
+
+
+def duckdb_hot_keys_sql(
+    table: str,
+    key: str,
+    window_us: int = 3_600_000_000,
+    ts_expr: str = "ts",
+    min_count: int = 20,
+) -> str:
+    """DuckDB twin of ``hot_keys_monitor`` (same bucketing and
+    threshold; the streaming final-watermark predicate is the caller's
+    outer filter)."""
+    return f"""
+        SELECT make_timestamp((epoch_us({ts_expr}) // {window_us})
+                 * {window_us}) AS window_start,
+               {key}, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM {table}
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_count}
+    """

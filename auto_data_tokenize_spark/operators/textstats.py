@@ -650,3 +650,141 @@ def duckdb_drift_sql(
         LEFT JOIN base b ON w.c IS NOT DISTINCT FROM b.c
         GROUP BY 1, 2, 3
     """
+
+
+def _token_explode(df: DataFrame, text_col: str) -> DataFrame:
+    """Lowercased whitespace token stream (the q107/q112 explode
+    contract): NULL text explodes to nothing, blank '' tokens drop."""
+    return df.select(
+        "*",
+        F.explode(
+            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+        ).alias("_token"),
+    ).filter(F.col("_token") != "")
+
+
+def vocab_from_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Observed vocabulary: distinct lowercased whitespace tokens with
+    corpus frequency >= ``min_df``, optionally truncated to the
+    ``top_k`` most frequent (count desc, token asc tie-break — the
+    finite-vocab shape real tokenizers ship with) — the broadcast side
+    of ``oov_rate_monitor``. One partial-agg token groupBy; the top-k
+    is TakeOrdered, never a full sort; the output is vocabulary-sized
+    (10^5-10^6 rows), small enough to broadcast."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = (
+        _token_explode(df, text_col)
+        .groupBy(F.col("_token").alias("token"))
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+    )
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("_df").desc(), F.col("token")
+        ).limit(top_k)
+    return counts.select("token")
+
+
+def oov_rate_monitor(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window out-of-vocabulary rate of the live token stream
+    against a fixed vocabulary — the drift alarm that catches a new
+    language, spam alphabet, or encoding bug arriving in the ingest
+    feed (tokens the tokenizer has never seen degrade downstream
+    models before any quality score moves). Works on batch and
+    streaming inputs alike; streaming shape is a stateless explode +
+    broadcast left join (vocab side is bounded), then ONE windowed
+    groupBy with map-side partials.
+
+    Output per window: ``window_start, n_tokens, n_oov, oov_rate``
+    (round 6)."""
+    toks = _token_explode(df, text_col)
+    if watermark is not None:
+        toks = toks.withWatermark(ts_col, watermark)
+    vocab_hit = vocab.select(
+        F.col("token").alias("_vtok"), F.lit(1).alias("_in_vocab")
+    )
+    j = toks.join(
+        F.broadcast(vocab_hit), toks["_token"] == vocab_hit["_vtok"], "left"
+    )
+    return (
+        j.groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def duckdb_oov_sql(
+    table: str,
+    vocab_sql: str,
+    text_col: str = "text",
+    window_us: int = 60_000_000,
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB twin of ``oov_rate_monitor``; ``vocab_sql`` is a query
+    producing a single ``token`` column (pair with
+    ``duckdb_vocab_sql``)."""
+    return f"""
+        WITH toks AS (
+          SELECT make_timestamp((epoch_us({ts_expr}) // {window_us})
+                   * {window_us}) AS window_start,
+                 unnest(string_split_regex(trim(lower({text_col})), '\\s+'))
+                   AS token
+          FROM {table}
+          WHERE {text_col} IS NOT NULL
+        ), v AS ({vocab_sql})
+        SELECT t.window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN v USING (token)
+        WHERE t.token <> ''
+        GROUP BY 1
+    """
+
+
+def duckdb_vocab_sql(
+    table: str,
+    text_col: str = "text",
+    min_df: int = 1,
+    top_k: int | None = None,
+) -> str:
+    """DuckDB twin of ``vocab_from_corpus`` (same tie-break)."""
+    limit = ""
+    if top_k is not None:
+        limit = f"ORDER BY COUNT(*) DESC, token LIMIT {top_k}"
+    return f"""
+        SELECT token FROM (
+          SELECT unnest(string_split_regex(trim(lower({text_col})), '\\s+'))
+                   AS token
+          FROM {table} WHERE {text_col} IS NOT NULL
+        ) WHERE token <> ''
+        GROUP BY token HAVING COUNT(*) >= {min_df}
+        {limit}
+    """

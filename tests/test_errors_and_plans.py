@@ -431,3 +431,30 @@ def test_skew_stats_null_key_sorts_last_both_engines(spark):
     duck.register("skwn", pdf)
     want = [r[0] for r in duck.execute(duckdb_skew_sql("skwn", "k", 2, 4)).fetchall()]
     assert got == want == ["a", None]
+
+
+def test_hot_keys_monitor_threshold_and_buckets(spark):
+    """Batch-mode semantics: keys at/above min_count within their own
+    hour emit; the same key spread across hours doesn't."""
+    import datetime as dt
+
+    from auto_data_tokenize_spark.operators.skew import hot_keys_monitor
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = (
+        [("flood", t0 + dt.timedelta(minutes=i)) for i in range(3)]
+        + [("quiet", t0)]
+        + [("split", t0), ("split", t0 + dt.timedelta(hours=1)),
+           ("split", t0 + dt.timedelta(hours=2))]
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        (r["k"], r["window_start"].hour): r["n_rows"]
+        for r in hot_keys_monitor(df, "k", min_count=3).collect()
+    }
+    assert got == {("flood", 0): 3}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hot_keys_monitor(df, "k", min_count=0)

@@ -358,3 +358,55 @@ def test_stream_semantic_gate_nprobe_one_and_zero(spark, tmp_path):
     ) as gate:
         got = sorted(r["vec_id"] for r in gate.admit(batch).collect())
     assert got == [200]
+
+
+def test_centroid_drift_monitor_exact(spark):
+    """Hand-checked cosines: a window whose mean equals the baseline
+    direction scores 1.0; an orthogonal window scores 0.0; an all-zero
+    window yields NULL (zero-norm rule)."""
+    import datetime as dt
+
+    from auto_data_tokenize_spark.operators.similarity import (
+        centroid,
+        centroid_drift_monitor,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    base_src = spark.createDataFrame(
+        [([1.0, 0.0],), ([1.0, 0.0],)], "embedding array<float>"
+    )
+    base = centroid(base_src, "embedding", 2)
+
+    df = spark.createDataFrame(
+        [
+            ([2.0, 0.0], t0),                                 # parallel
+            ([0.0, 1.0], t0 + dt.timedelta(minutes=1)),       # orthogonal
+            ([0.0, 0.0], t0 + dt.timedelta(minutes=2)),       # zero norm
+        ],
+        "embedding array<float>, ts timestamp",
+    )
+    out = {
+        r["window_start"].minute: (r["n_vecs"], r["cos_to_baseline"])
+        for r in centroid_drift_monitor(df, "embedding", 2, base).collect()
+    }
+    assert out[0] == (1, 1.0)
+    assert out[1] == (1, 0.0)
+    assert out[2] == (1, None)
+
+
+def test_centroid_drift_is_jvm_side(spark):
+    from auto_data_tokenize_spark.operators.similarity import (
+        centroid,
+        centroid_drift_monitor,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], __import__("datetime").datetime(2026, 1, 1))],
+        "embedding array<float>, ts timestamp",
+    )
+    plan = (
+        centroid_drift_monitor(df, "embedding", 2, centroid(df, "embedding", 2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -327,3 +327,72 @@ def test_drift_monitor_null_category_is_a_real_stratum(spark):
     ).collect()
     assert len(out) == 1
     assert (out[0]["n_docs"], out[0]["n_cats"], out[0]["l1_drift"]) == (2, 2, 0.0)
+
+
+def test_oov_rate_monitor_hand_checked(spark):
+    """Vocab = {a, b} (min_df 2 over the corpus slice); a window of
+    'a b xx' reports 1/3 OOV; an all-vocab window reports 0."""
+    import datetime as dt
+
+    from auto_data_tokenize_spark.operators.textstats import (
+        oov_rate_monitor,
+        vocab_from_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a b",), ("a b",), ("c",)], "text string"
+    )
+    vocab = vocab_from_corpus(corpus, min_df=2)
+    assert {r["token"] for r in vocab.collect()} == {"a", "b"}
+
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("A b XX", t0),                     # case-folds; xx is OOV
+            ("a a b", t0 + dt.timedelta(minutes=1)),
+            (None, t0 + dt.timedelta(minutes=1)),  # NULL text: no tokens
+        ],
+        "text string, ts timestamp",
+    )
+    out = {
+        r["window_start"].minute: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate_monitor(df, vocab).collect()
+    }
+    assert out[0] == (3, 1, round(1 / 3, 6))
+    assert out[1] == (3, 0, 0.0)
+
+
+def test_vocab_min_df_validated(spark):
+    import pytest
+
+    from auto_data_tokenize_spark.operators.textstats import vocab_from_corpus
+
+    with pytest.raises(ValueError):
+        vocab_from_corpus(
+            spark.createDataFrame([("x",)], "text string"), min_df=0
+        )
+
+
+def test_vocab_top_k_truncation_matches_twin(spark):
+    """top_k keeps the count-desc, token-asc head on BOTH engines —
+    the finite-vocab truncation real tokenizers ship with."""
+    import duckdb
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.textstats import (
+        duckdb_vocab_sql,
+        vocab_from_corpus,
+    )
+
+    pdf = pd.DataFrame({"text": ["a a a b b c", "b c d", "a d"]})
+    # counts: a=4, b=3, c=2, d=2 -> top3 = a, b, c (c beats d on tie)
+    got = {
+        r["token"]
+        for r in vocab_from_corpus(
+            spark.createDataFrame(pdf), top_k=3
+        ).collect()
+    }
+    duck = duckdb.connect()
+    duck.register("vt", pdf)
+    want = {r[0] for r in duck.execute(duckdb_vocab_sql("vt", top_k=3)).fetchall()}
+    assert got == want == {"a", "b", "c"}
