@@ -3431,7 +3431,11 @@ def q122_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir).select("doc_id", "lang")
-    base_df = baseline_shares(docs, "lang")
+    # materialize the tiny baseline once: an unpersisted static side of
+    # a stream-static join re-executes its full plan (a corpus scan +
+    # groupBy here) on EVERY micro-batch
+    base_raw = baseline_shares(docs, "lang")
+    base_df = spark.createDataFrame(base_raw.collect(), base_raw.schema)
 
     base = tempfile.mkdtemp(prefix="adt_q122_")
     try:
@@ -3563,7 +3567,10 @@ def q126_stream_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    base_df = centroid(emb, "embedding", EMB_DIM)
+    # 1 row x 64 doubles, collected once: an unpersisted static side
+    # would recompute the full-corpus centroid on every micro-batch
+    base_raw = centroid(emb, "embedding", EMB_DIM)
+    base_df = spark.createDataFrame(base_raw.collect(), base_raw.schema)
 
     base = tempfile.mkdtemp(prefix="adt_q126_")
     try:
@@ -3618,9 +3625,12 @@ def q127_stream_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
-    vocab = vocab_from_corpus(
+    # 20 rows, collected once: an unpersisted static side would re-run
+    # the full-corpus explode + groupBy + top-k on every micro-batch
+    vocab_raw = vocab_from_corpus(
         docs.filter(F.col("lang") == "en"), min_df=OOV_MIN_DF, top_k=OOV_TOP_K
     )
+    vocab = spark.createDataFrame(vocab_raw.collect(), vocab_raw.schema)
 
     base = tempfile.mkdtemp(prefix="adt_q127_")
     try:

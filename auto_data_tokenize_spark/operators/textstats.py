@@ -652,15 +652,27 @@ def duckdb_drift_sql(
     """
 
 
-def _token_explode(df: DataFrame, text_col: str) -> DataFrame:
-    """Lowercased whitespace token stream (the q107/q112 explode
-    contract): NULL text explodes to nothing, blank '' tokens drop."""
+def explode_tokens(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """THE one spelling of the lowercased whitespace token explosion —
+    shared by the vocabulary builder and OOV monitor here and by the
+    streaming token monitors (``streaming/pipeline._token_rows``
+    delegates to this), so a contract change lands in every consumer
+    at once: ``split(trim(lower(text)), '\\s+')``, empty tokens
+    dropped, NULL text contributes nothing (split(NULL) is NULL and
+    plain explode emits no rows). Output: ``keep`` columns + ``token``
+    — projecting only what's asked for keeps the explode narrow and
+    avoids column-name collisions with callers' own helper columns."""
+    keep = list(keep or [])
+    if "token" in keep:
+        raise ValueError("keep may not contain 'token' (the output column)")
     return df.select(
-        "*",
+        *keep,
         F.explode(
             F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
-        ).alias("_token"),
-    ).filter(F.col("_token") != "")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
 
 
 def vocab_from_corpus(
@@ -681,8 +693,8 @@ def vocab_from_corpus(
     if top_k is not None and top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     counts = (
-        _token_explode(df, text_col)
-        .groupBy(F.col("_token").alias("token"))
+        explode_tokens(df, text_col)
+        .groupBy("token")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_df)
     )
@@ -712,14 +724,14 @@ def oov_rate_monitor(
 
     Output per window: ``window_start, n_tokens, n_oov, oov_rate``
     (round 6)."""
-    toks = _token_explode(df, text_col)
+    toks = explode_tokens(df, text_col, keep=[ts_col])
     if watermark is not None:
         toks = toks.withWatermark(ts_col, watermark)
     vocab_hit = vocab.select(
         F.col("token").alias("_vtok"), F.lit(1).alias("_in_vocab")
     )
     j = toks.join(
-        F.broadcast(vocab_hit), toks["_token"] == vocab_hit["_vtok"], "left"
+        F.broadcast(vocab_hit), toks["token"] == vocab_hit["_vtok"], "left"
     )
     return (
         j.groupBy(F.window(F.col(ts_col), window).alias("w"))

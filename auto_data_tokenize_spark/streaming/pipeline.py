@@ -172,18 +172,15 @@ def _token_rows(
     docs: DataFrame, text_col: str, ts_col: str, watermark: str
 ) -> DataFrame:
     """Shared (ts, token) explosion for the windowed token monitors —
-    ONE spelling of the stream-side whitespace tokenization so a
-    contract change lands in every monitor at once (the same rationale
-    as ``ws_tokens_expr``): split(trim(lower(text)), '\\s+'), empty
-    tokens dropped, NULL text contributes nothing (split(NULL) is NULL
-    and plain explode emits no rows)."""
+    delegates to ``textstats.explode_tokens``, THE one spelling of the
+    whitespace tokenization (also under the vocabulary builder and OOV
+    monitor), so a contract change lands in every monitor at once (the
+    same rationale as ``ws_tokens_expr``): split(trim(lower(text)),
+    '\\s+'), empty tokens dropped, NULL text contributes nothing."""
+    from auto_data_tokenize_spark.operators.textstats import explode_tokens
+
     d = docs.withWatermark(ts_col, watermark)
-    return d.select(
-        ts_col,
-        F.explode(
-            F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
-        ).alias("token"),
-    ).filter(F.col("token") != "")
+    return explode_tokens(d, text_col, keep=[ts_col])
 
 
 def trending_tokens_stream(

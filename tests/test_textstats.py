@@ -396,3 +396,31 @@ def test_vocab_top_k_truncation_matches_twin(spark):
     duck.register("vt", pdf)
     want = {r[0] for r in duck.execute(duckdb_vocab_sql("vt", top_k=3)).fetchall()}
     assert got == want == {"a", "b", "c"}
+
+
+def test_explode_tokens_no_collision_and_keep_guard(spark):
+    """The shared explosion projects only requested columns, so caller
+    frames carrying their own helper columns (even one named 'token')
+    can't collide; asking to keep 'token' itself is rejected."""
+    import datetime as dt
+
+    import pytest
+
+    from auto_data_tokenize_spark.operators.textstats import (
+        explode_tokens,
+        oov_rate_monitor,
+        vocab_from_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [("a b", dt.datetime(2026, 1, 1), "collide", 7)],
+        "text string, ts timestamp, token string, _token int",
+    )
+    out = explode_tokens(df, keep=["ts"])
+    assert out.columns == ["ts", "token"]
+    assert {r["token"] for r in out.collect()} == {"a", "b"}
+    vocab = vocab_from_corpus(spark.createDataFrame([("a",)], "text string"))
+    mon = oov_rate_monitor(df, vocab).collect()
+    assert (mon[0]["n_tokens"], mon[0]["n_oov"]) == (2, 1)
+    with pytest.raises(ValueError):
+        explode_tokens(df, keep=["token"])
