@@ -3654,6 +3654,96 @@ def q127_stream_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+NULL_TEXT_MOD, NULL_LANG_MOD = 11, 13
+
+
+def q128_stream_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NULL-rate monitor (operators/errors.py
+    completeness_monitor): the document feed arrives with a
+    deterministic extractor fault injected (text NULLed on the
+    doc_id%11 slice, lang on the %13 slice — the q109 fixture
+    pattern), and each watermark-closed 1-minute window reports
+    per-column null counts and rates through the exactly-once sink —
+    the schema-health alarm that catches a silently-missing field in
+    the window it breaks. ONE windowed groupBy counting every column
+    in the same pass; the long-form un-pivot is stateless codegen.
+    Oracle: same fault + same per-column rollup at the identical
+    final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.errors import completeness_monitor
+
+    base = tempfile.mkdtemp(prefix="adt_q128_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text", "lang"]
+        ].copy()
+        pdf.loc[pdf.doc_id % NULL_TEXT_MOD == 0, "text"] = None
+        pdf.loc[pdf.doc_id % NULL_LANG_MOD == 0, "lang"] = None
+        pdf["ts"] = pd.Timestamp("2026-01-01").to_datetime64() + pd.to_timedelta(
+            pdf["doc_id"], unit="s"
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, text string, lang string, ts timestamp"
+        )
+        mon = completeness_monitor(
+            st, ["text", "lang"], window="1 minute", watermark="30 seconds"
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+DUP_MOD = 7
+
+
+def q129_stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming within-window duplicate-rate monitor (operators/
+    dedup.py dup_rate_monitor): the document feed arrives with a
+    deterministic redelivery storm injected (the doc_id%7 slice is
+    delivered twice at the same event time — a replaying queue), and
+    each watermark-closed window reports docs/distinct/dupes/rate
+    through the exactly-once sink. Two CHAINED stateful aggregations
+    (the q70 pattern); state freed per closed window. Oracle: the
+    same doubled feed + two-level rollup at the identical
+    final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.dedup import dup_rate_monitor
+
+    base = tempfile.mkdtemp(prefix="adt_q129_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "text"]
+        ]
+        dup = pdf[pdf.doc_id % DUP_MOD == 0]
+        feed = pd.concat([pdf, dup], ignore_index=True)
+        feed["ts"] = pd.Timestamp("2026-01-01").to_datetime64() + pd.to_timedelta(
+            feed["doc_id"], unit="s"
+        )
+        feed["ts"] = feed["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(feed, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, text string, ts timestamp"
+        )
+        mon = dup_rate_monitor(
+            st, window="1 minute", watermark="30 seconds"
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -3787,6 +3877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_stream_hot_keys": _with_prep(q125_stream_hot_keys),
         "q126_stream_centroid_drift": _with_prep(q126_stream_centroid_drift),
         "q127_stream_oov_rate": _with_prep(q127_stream_oov_rate),
+        "q128_stream_completeness": _with_prep(q128_stream_completeness),
+        "q129_stream_dup_rate": _with_prep(q129_stream_dup_rate),
     }
 
 
@@ -4698,6 +4790,20 @@ def _duck_oov_sql(table: str, min_df: int, top_k: int, ts_expr: str) -> str:
         top_k=top_k,
     )
     return duckdb_oov_sql(table, vocab, ts_expr=ts_expr)
+
+
+def _duck_completeness_sql(table: str, cols: list[str]) -> str:
+    from auto_data_tokenize_spark.operators.errors import (
+        duckdb_completeness_sql,
+    )
+
+    return duckdb_completeness_sql(table, cols)
+
+
+def _duck_dup_rate_sql(table: str) -> str:
+    from auto_data_tokenize_spark.operators.dedup import duckdb_dup_rate_sql
+
+    return duckdb_dup_rate_sql(table)
 
 
 def _duck_pack_utilization_sql(table: str, target_tokens: int) -> str:
@@ -5728,5 +5834,35 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                   (SELECT TIMESTAMP '2026-01-01' + to_seconds(max(doc_id))
                           - INTERVAL 30 SECOND
                    FROM documents)
+        """,
+        "q128_stream_completeness": f"""
+            WITH faulted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % {NULL_TEXT_MOD} = 0 THEN NULL
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % {NULL_LANG_MOD} = 0 THEN NULL
+                          ELSE lang END AS lang,
+                     TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts
+              FROM documents
+            )
+            SELECT * FROM ({_duck_completeness_sql(
+                "faulted", ["text", "lang"]
+            )}) m
+            WHERE m.window_start + INTERVAL 1 MINUTE <=
+                  (SELECT max(ts) - INTERVAL 30 SECOND FROM faulted)
+        """,
+        "q129_stream_dup_rate": f"""
+            WITH feed AS (
+              SELECT doc_id, text,
+                     TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts
+              FROM documents
+              UNION ALL
+              SELECT doc_id, text,
+                     TIMESTAMP '2026-01-01' + to_seconds(doc_id) AS ts
+              FROM documents WHERE doc_id % {DUP_MOD} = 0
+            )
+            SELECT * FROM ({_duck_dup_rate_sql("feed")}) m
+            WHERE m.window_start + INTERVAL 1 MINUTE <=
+                  (SELECT max(ts) - INTERVAL 30 SECOND FROM feed)
         """,
     }

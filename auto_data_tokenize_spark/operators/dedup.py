@@ -1047,3 +1047,78 @@ def simhash_near_dups(
         )
         .select("a", "b", "hamming")
     )
+
+
+def dup_rate_monitor(
+    df: DataFrame,
+    text_col: str = "text",
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window exact-duplicate rate of the ingest feed — the live
+    redelivery/loop detector: a crawler stuck on one site, a replaying
+    queue, or a producer retry storm shows up as a dup-rate spike in
+    the window it happens. Dup scope is WITHIN-window by design: state
+    stays bounded by (open windows × distinct hashes in them) and is
+    freed as the watermark closes each window — the cross-corpus
+    variant is the Bloom/LSH ingest gate family, not a monitor.
+
+    Output per window: ``window_start, n_docs, n_distinct, n_dupes
+    (= n_docs − n_distinct), dup_rate`` (round 6). NULL-text rows are
+    excluded (missing is the completeness monitor's signal, not
+    duplication). Streaming shape: two CHAINED stateful aggregations
+    via ``window_time`` (the q70 pattern) — per-(window, md5) counts
+    with map-side partials, then the per-window rollup."""
+    d = df.withWatermark(ts_col, watermark) if watermark is not None else df
+    groups = (
+        d.filter(F.col(text_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        groups.groupBy(F.window(F.window_time("w"), window).alias("cw"))
+        .agg(
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dupes"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def duckdb_dup_rate_sql(
+    table: str,
+    text_col: str = "text",
+    window_us: int = 60_000_000,
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB twin of ``dup_rate_monitor`` (same md5 grouping, NULL
+    exclusion, and rounding; the streaming final-watermark predicate
+    is the caller's outer filter)."""
+    return f"""
+        WITH g AS (
+          SELECT make_timestamp((epoch_us({ts_expr}) // {window_us})
+                   * {window_us}) AS window_start,
+                 md5({text_col}) AS h, COUNT(*) AS n
+          FROM {table}
+          WHERE {text_col} IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT window_start,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dupes,
+               ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate
+        FROM g GROUP BY 1
+    """

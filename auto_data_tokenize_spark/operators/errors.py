@@ -50,3 +50,79 @@ def transcript_validity_checks(df: DataFrame) -> dict[str, Column]:
         "null_ts": F.col("ts").isNotNull(),
         "oversize_text": (F.length("text") <= 480_000) | F.col("text").isNull(),
     }
+
+
+def completeness_monitor(
+    df: DataFrame,
+    cols: list[str],
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-window NULL-rate monitor over the monitored columns — the
+    schema-health alarm a 100 TB/day ingest runs so an upstream field
+    that silently goes missing (extractor change, renamed key, encoder
+    bug) pages in the window it breaks rather than at the next batch
+    audit. Works on batch and streaming inputs alike.
+
+    Output: one row per (window, column): ``window_start, column_name,
+    n_rows, n_null, null_rate`` (round 6).
+
+    Scale: ONE windowed groupBy with map-side partials computing every
+    column's null count in the same pass (state = one row of counters
+    per open window); the long-form un-pivot is a stateless codegen
+    stack on the closed aggregate."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    d = df.withWatermark(ts_col, watermark) if watermark is not None else df
+    agg = d.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{c}")
+            for c in cols
+        ],
+    )
+    stack = ", ".join(f"'{c}', _null_{c}" for c in cols)
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "n_rows",
+        F.expr(f"stack({len(cols)}, {stack}) AS (column_name, n_null)"),
+    ).select(
+        "window_start",
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null") / F.col("n_rows"), 6).alias("null_rate"),
+    )
+
+
+def duckdb_completeness_sql(
+    table: str,
+    cols: list[str],
+    window_us: int = 60_000_000,
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB twin of ``completeness_monitor`` (same bucketing,
+    rounding, and long-form shape; the streaming final-watermark
+    predicate is the caller's outer filter)."""
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT window_start, '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null
+        FROM b GROUP BY 1"""
+        for c in cols
+    )
+    return f"""
+        WITH b AS (
+          SELECT *, make_timestamp((epoch_us({ts_expr}) // {window_us})
+                      * {window_us}) AS window_start
+          FROM {table}
+        )
+        SELECT window_start, column_name, n_rows, n_null,
+               ROUND(n_null * 1.0 / n_rows, 6) AS null_rate
+        FROM ({per_col}) u
+    """

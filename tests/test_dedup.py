@@ -461,3 +461,28 @@ def test_null_text_participates_in_nothing(spark):
     assert {r["id"] for r in keys.collect()} == {3}
     pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(df)).collect()
     assert pairs == []
+
+
+def test_dup_rate_monitor_exact_and_null_excluded(spark):
+    """Within-window dup accounting: 3 copies of one text + 1 unique
+    -> 4 docs, 2 distinct, 2 dupes, rate 0.5; NULL text rows are
+    excluded (the completeness monitor's signal, not duplication)."""
+    import datetime as dt
+
+    from auto_data_tokenize_spark.operators.dedup import dup_rate_monitor
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = (
+        [("same", t0 + dt.timedelta(seconds=i)) for i in range(3)]
+        + [("other", t0), (None, t0)]
+        + [("same", t0 + dt.timedelta(minutes=1))]  # next window: unique
+    )
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    got = {
+        r["window_start"].minute: (
+            r["n_docs"], r["n_distinct"], r["n_dupes"], r["dup_rate"]
+        )
+        for r in dup_rate_monitor(df).collect()
+    }
+    assert got[0] == (4, 2, 2, 0.5)
+    assert got[1] == (1, 1, 0, 0.0)

@@ -458,3 +458,35 @@ def test_hot_keys_monitor_threshold_and_buckets(spark):
 
     with pytest.raises(ValueError):
         hot_keys_monitor(df, "k", min_count=0)
+
+
+def test_completeness_monitor_exact(spark):
+    """Hand-checked per-window null counts in long form; empty cols
+    list rejected."""
+    import datetime as dt
+
+    import pytest
+
+    from auto_data_tokenize_spark.operators.errors import completeness_monitor
+
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", "en", t0),
+            (None, "en", t0 + dt.timedelta(seconds=10)),
+            (None, None, t0 + dt.timedelta(minutes=1)),
+        ],
+        "text string, lang string, ts timestamp",
+    )
+    got = {
+        (r["window_start"].minute, r["column_name"]): (
+            r["n_rows"], r["n_null"], r["null_rate"]
+        )
+        for r in completeness_monitor(df, ["text", "lang"]).collect()
+    }
+    assert got[(0, "text")] == (2, 1, 0.5)
+    assert got[(0, "lang")] == (2, 0, 0.0)
+    assert got[(1, "text")] == (1, 1, 1.0)
+    assert got[(1, "lang")] == (1, 1, 1.0)
+    with pytest.raises(ValueError):
+        completeness_monitor(df, [])
