@@ -74,6 +74,8 @@ def completeness_monitor(
     stack on the closed aggregate."""
     if not cols:
         raise ValueError("cols must be non-empty")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"cols contains duplicates: {cols}")
     d = df.withWatermark(ts_col, watermark) if watermark is not None else df
     agg = d.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -84,7 +86,12 @@ def completeness_monitor(
             for c in cols
         ],
     )
-    stack = ", ".join(f"'{c}', _null_{c}" for c in cols)
+    # backtick-quote the generated identifiers (and escape quotes in the
+    # label literal) so non-plain column names like 'content-type' parse
+    stack = ", ".join(
+        "'{}', `{}`".format(c.replace("'", "\\'"), f"_null_{c}")
+        for c in cols
+    )
     return agg.select(
         F.col("w.start").alias("window_start"),
         "n_rows",
@@ -105,15 +112,21 @@ def duckdb_completeness_sql(
     ts_expr: str = "ts",
 ) -> str:
     """DuckDB twin of ``completeness_monitor`` (same bucketing,
-    rounding, and long-form shape; the streaming final-watermark
-    predicate is the caller's outer filter)."""
+    rounding, long-form shape, and input validation; the streaming
+    final-watermark predicate is the caller's outer filter)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"cols contains duplicates: {cols}")
     per_col = " UNION ALL ".join(
-        f"""
-        SELECT window_start, '{c}' AS column_name,
+        """
+        SELECT window_start, '{lbl}' AS column_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN "{ident}" IS NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_null
-        FROM b GROUP BY 1"""
+        FROM b GROUP BY 1""".format(
+            lbl=c.replace("'", "''"), ident=c.replace('"', '""')
+        )
         for c in cols
     )
     return f"""

@@ -490,3 +490,37 @@ def test_completeness_monitor_exact(spark):
     assert got[(1, "lang")] == (1, 1, 1.0)
     with pytest.raises(ValueError):
         completeness_monitor(df, [])
+
+
+def test_completeness_monitor_nonplain_column_names(spark):
+    """Generated identifiers are quoted on both engines, so a
+    dash-named column monitors cleanly; duplicates are rejected."""
+    import datetime as dt
+
+    import duckdb
+    import pytest
+
+    from auto_data_tokenize_spark.operators.errors import (
+        completeness_monitor,
+        duckdb_completeness_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(None, dt.datetime(2026, 1, 1)), ("x", dt.datetime(2026, 1, 1))],
+        "`content-type` string, ts timestamp",
+    )
+    rows = completeness_monitor(df, ["content-type"]).collect()
+    assert (rows[0]["column_name"], rows[0]["n_null"]) == ("content-type", 1)
+
+    duck = duckdb.connect()
+    sql = duckdb_completeness_sql(
+        "(SELECT TIMESTAMP '2026-01-01' AS ts,"
+        " NULL::VARCHAR AS \"content-type\") src",
+        ["content-type"],
+    )
+    want = duck.execute(sql).fetchall()
+    assert [(r[1], r[3]) for r in want] == [("content-type", 1)]
+    with pytest.raises(ValueError):
+        completeness_monitor(df, ["content-type", "content-type"])
+    with pytest.raises(ValueError):
+        duckdb_completeness_sql("b", [])
