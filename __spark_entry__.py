@@ -3744,6 +3744,101 @@ def q129_stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+DP_EPS, DP_SEED = 0.5, "adt-dp-r5"
+CARD_DELTA_MOD = 10
+
+
+def q130_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-DP corpus-composition release (operators/risk.py
+    dp_histogram): per-(lang, source) document counts published under
+    the Laplace mechanism — the privacy-preserving complement to the
+    k-anonymity/k-map metrics for releasing statistics ABOUT a
+    sensitive corpus. The draw is the documented deterministic
+    inverse-CDF transform of the cross-engine md5 fragment, so the
+    DuckDB oracle recomputes the release bit-for-bit at the shared
+    round-6 grain. ONE partial-agg groupBy; noise is pure codegen over
+    the category-sized aggregate."""
+    from auto_data_tokenize_spark.operators.risk import dp_histogram
+
+    return dp_histogram(
+        _documents(spark, sf_dir).select("lang", "source"),
+        ["lang", "source"],
+        epsilon=DP_EPS,
+        seed=DP_SEED,
+    )
+
+
+def q131_incremental_dataset_card(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dataset-card maintenance (operators/textstats.py
+    merge_dataset_reports): the corpus is split into a base snapshot
+    and a delta (doc_id%10 — the q109 fixture pattern), each slice is
+    reduced to its own dataset_report PARTIAL, and the partials are
+    merged. At 100 TB this is how the nightly card is maintained —
+    yesterday's card plus today's delta partial, never a corpus
+    re-scan. The oracle is the one-shot FULL recompute: the merge
+    contract is bit-for-bit equality with it."""
+    from auto_data_tokenize_spark.operators.textstats import (
+        dataset_report,
+        merge_dataset_reports,
+    )
+
+    docs = _documents(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % CARD_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % CARD_DELTA_MOD == 0)
+    return merge_dataset_reports(
+        dataset_report(base), dataset_report(delta)
+    ).select(
+        "lang", "source", "n_docs", "total_tokens",
+        "min_tokens", "avg_tokens", "max_tokens",
+    )
+
+
+def q132_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed epsilon-DP release (operators/risk.py
+    dp_histogram_monitor): per-window per-lang document counts
+    published through the exactly-once sink with per-(window,
+    category) independent Laplace draws — privacy-preserving live
+    telemetry over a sensitive ingest feed. ONE windowed stateful
+    groupBy (state freed per closed window); the noise key includes
+    the window-start epoch so the oracle recomputes every draw.
+    Oracle: same bucketing + same transform at the identical
+    final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.risk import dp_histogram_monitor
+
+    base = tempfile.mkdtemp(prefix="adt_q132_")
+    try:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))[
+            ["doc_id", "lang"]
+        ]
+        pdf["ts"] = pd.Timestamp("2026-01-01").to_datetime64() + pd.to_timedelta(
+            pdf["doc_id"], unit="s"
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        staged = _stage_append_log(pdf, f"{base}/in")
+        st = _stream_files(
+            spark, staged, "doc_id long, lang string, ts timestamp"
+        )
+        mon = dp_histogram_monitor(
+            st,
+            ["lang"],
+            window="1 minute",
+            watermark="30 seconds",
+            epsilon=DP_EPS,
+            seed=DP_SEED,
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -3879,6 +3974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_stream_oov_rate": _with_prep(q127_stream_oov_rate),
         "q128_stream_completeness": _with_prep(q128_stream_completeness),
         "q129_stream_dup_rate": _with_prep(q129_stream_dup_rate),
+        "q130_dp_histogram": _with_prep(q130_dp_histogram),
+        "q131_incremental_dataset_card": _with_prep(q131_incremental_dataset_card),
+        "q132_stream_dp_release": _with_prep(q132_stream_dp_release),
     }
 
 
@@ -4206,6 +4304,30 @@ def _duck_dataset_report_sql() -> str:
     )
 
     return duckdb_dataset_report_sql("documents")
+
+
+def _duck_dp_histogram_sql() -> str:
+    from auto_data_tokenize_spark.operators.risk import (
+        duckdb_dp_histogram_sql,
+    )
+
+    return duckdb_dp_histogram_sql(
+        "documents", ["lang", "source"], epsilon=DP_EPS, seed=DP_SEED
+    )
+
+
+def _duck_dp_monitor_sql() -> str:
+    from auto_data_tokenize_spark.operators.risk import (
+        duckdb_dp_histogram_monitor_sql,
+    )
+
+    return duckdb_dp_histogram_monitor_sql(
+        "documents",
+        ["lang"],
+        ts_expr="TIMESTAMP '2026-01-01' + to_seconds(doc_id)",
+        epsilon=DP_EPS,
+        seed=DP_SEED,
+    )
 
 
 def _duck_pack_sharded_sql() -> str:
@@ -5864,5 +5986,14 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT * FROM ({_duck_dup_rate_sql("feed")}) m
             WHERE m.window_start + INTERVAL 1 MINUTE <=
                   (SELECT max(ts) - INTERVAL 30 SECOND FROM feed)
+        """,
+        "q130_dp_histogram": _duck_dp_histogram_sql(),
+        "q131_incremental_dataset_card": _duck_dataset_report_sql(),
+        "q132_stream_dp_release": f"""
+            SELECT * FROM ({_duck_dp_monitor_sql()}) m
+            WHERE m.window_start + INTERVAL 1 MINUTE <=
+                  (SELECT TIMESTAMP '2026-01-01' + to_seconds(max(doc_id))
+                          - INTERVAL 30 SECOND
+                   FROM documents)
         """,
     }

@@ -41,6 +41,9 @@ __all__ = [
     "categorical_stats_histogram",
     "delta_presence",
     "delta_presence_histogram",
+    "dp_histogram",
+    "dp_histogram_monitor",
+    "duckdb_dp_histogram_sql",
     "k_anonymity",
     "k_anonymity_histogram",
     "k_anonymity_monitor",
@@ -344,3 +347,233 @@ def l_diversity_histogram(
         F.count(F.lit(1)).alias("num_classes"),
         F.sum("class_size").cast("long").alias("num_records"),
     )
+
+
+# --- differentially-private release -----------------------------------
+#
+# The DLP risk metrics above MEASURE residual re-identification risk;
+# a differentially-private histogram RELEASES aggregate statistics with
+# a provable bound on any individual's influence (epsilon-DP via the
+# Laplace mechanism, Dwork et al., TCC 2006). This is the modern
+# complement to the reference platform's risk-analysis API: publish
+# per-category counts of a sensitive corpus (sources, languages,
+# infoTypes) without the exact counts themselves becoming a side
+# channel.
+#
+# Determinism contract (what makes this oracle-checkable): the noise
+# draw is a PUBLIC deterministic function of (seed, category key) — the
+# inverse-CDF Laplace transform applied to a uniform derived from the
+# one cross-engine md5 fragment (functions/xengine.py). Both engines
+# recompute bit-identical uniforms; the only cross-engine freedom is
+# the last ulp of ln(), absorbed by the shared round-to-6-decimals
+# release grain (the q44 TF-IDF precedent). A production deployment
+# would rotate ``seed`` per release and keep it secret — determinism
+# per (seed, key) is exactly the "one draw per statistic" discipline a
+# real DP release needs anyway (re-drawing on re-query would let an
+# attacker average the noise away).
+
+DP_KEY_SEP = "\x1f"  # unit separator between key parts (chr(31))
+DP_NULL = "\x1e"  # NULL-category sentinel inside the key (chr(30))
+
+
+def _dp_check(epsilon: float, sensitivity: float) -> None:
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon!r}")
+    if not sensitivity > 0:
+        raise ValueError(f"sensitivity must be > 0, got {sensitivity!r}")
+
+
+def _laplace_noise(key, b: float):
+    """Deterministic Laplace(b) draw from a string key Column.
+
+    u32 = md5-prefix32(key) (the xengine fragment), u = (u32 + 0.5) /
+    2^32 in (0, 1); X = -b * sgn(u - 1/2) * ln(1 - 2|u - 1/2|) is the
+    standard inverse-CDF transform. u can never be exactly 1/2 (u32 is
+    an integer, 2^31 - 0.5 is not), so sgn never returns 0 and the ln
+    argument stays in (0, 1]."""
+    from auto_data_tokenize_spark.functions.xengine import (
+        spark_md5_prefix_col,
+    )
+
+    u = (spark_md5_prefix_col(key).cast("double") + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    v = u - F.lit(0.5)
+    return (
+        F.lit(-b)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+
+
+def _dp_release_cols(true_col, key, b: float):
+    """(noisy_count, released_count) expressions shared by the batch
+    and streaming shapes: noisy = round(true + Laplace(b), 6) — the
+    raw epsilon-DP real release — and released = the conventional
+    post-processed integer (non-negative, rounded; post-processing
+    cannot weaken the DP guarantee)."""
+    noisy = F.round(true_col + _laplace_noise(key, b), 6)
+    released = F.greatest(F.lit(0.0), F.round(noisy, 0)).cast("long")
+    return noisy.alias("noisy_count"), released.alias("released_count")
+
+
+def _dp_key_parts(group_cols: list[str]):
+    return [
+        F.coalesce(F.col(c).cast("string"), F.lit(DP_NULL))
+        for c in group_cols
+    ]
+
+
+def dp_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "adt-dp-v1",
+    sensitivity: float = 1.0,
+) -> DataFrame:
+    """Epsilon-DP category-count histogram (Laplace mechanism).
+
+    Output: ``group_cols..., noisy_count double, released_count
+    bigint`` — the true counts are aggregated but never emitted.
+    ``sensitivity`` defaults to 1 (add/remove-one-record adjacency for
+    a partition-disjoint histogram); scale b = sensitivity / epsilon.
+
+    Scale posture: ONE partial-aggregated groupBy; the noise is a pure
+    codegen projection over the (category-cardinality-sized) aggregate
+    — nothing here grows with the record count, so the plan at 100 TB
+    is the plan at 100 MB plus shuffle width."""
+    _check_cols(df, group_cols)
+    _dp_check(epsilon, sensitivity)
+    b = sensitivity / epsilon
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_true"))
+    key = F.concat_ws(DP_KEY_SEP, F.lit(seed), *_dp_key_parts(group_cols))
+    noisy, released = _dp_release_cols(F.col("_true"), key, b)
+    return counts.select(*group_cols, noisy, released)
+
+
+def dp_histogram_monitor(
+    df: DataFrame,
+    group_cols: list[str],
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    epsilon: float = 1.0,
+    seed: str = "adt-dp-v1",
+    sensitivity: float = 1.0,
+) -> DataFrame:
+    """Windowed epsilon-DP histogram release — privacy-preserving
+    telemetry over a live sensitive stream (per-window category counts
+    published as they close, without the exact counts leaking). Works
+    on batch and streaming inputs alike (the k_anonymity_monitor
+    pattern). The noise key includes the window-start epoch second, so
+    every (window, category) statistic gets its own independent draw;
+    per-window releases are epsilon-DP individually (an individual
+    appearing in w windows costs w * epsilon under composition — the
+    caller's budgeting decision, as with any repeated DP release).
+
+    Output: ``window_start, window_end, group_cols..., noisy_count,
+    released_count`` per watermark-closed tumbling window. ONE
+    windowed stateful groupBy; noise is stateless codegen on the
+    aggregate, state is freed as each window closes."""
+    _check_cols(df, group_cols)
+    _dp_check(epsilon, sensitivity)
+    b = sensitivity / epsilon
+    d = df
+    if watermark is not None:
+        d = d.withWatermark(ts_col, watermark)
+    counts = d.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), *group_cols
+    ).agg(F.count(F.lit(1)).alias("_true"))
+    key = F.concat_ws(
+        DP_KEY_SEP,
+        F.lit(seed),
+        F.unix_timestamp(F.col("w.start")).cast("string"),
+        *_dp_key_parts(group_cols),
+    )
+    noisy, released = _dp_release_cols(F.col("_true"), key, b)
+    return counts.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *group_cols,
+        noisy,
+        released,
+    )
+
+
+def _duck_dp_release_sql(true_sql: str, key_sql: str, b: float) -> str:
+    """DuckDB fragment: ``noisy_count, released_count`` from a true
+    count expression and a key expression (same transform, constant,
+    and rounding order as the Spark side)."""
+    from auto_data_tokenize_spark.functions.xengine import (
+        duckdb_md5_prefix,
+    )
+
+    u = f"(({duckdb_md5_prefix(key_sql)})::DOUBLE + 0.5) / 4294967296.0"
+    v = f"(({u}) - 0.5)"
+    noise = f"(-({b!r}) * sign({v}) * ln(1.0 - 2.0 * abs({v})))"
+    return (
+        f"round(({true_sql}) + {noise}, 6) AS noisy_count, "
+        f"CAST(greatest(0.0, round(round(({true_sql}) + {noise}, 6)))"
+        f" AS BIGINT) AS released_count"
+    )
+
+
+def _duck_dp_key_sql(seed: str, parts: list[str]) -> str:
+    quoted = ", ".join(
+        f"coalesce(({p})::VARCHAR, chr(30))" for p in parts
+    )
+    return f"concat_ws(chr(31), '{seed}', {quoted})"
+
+
+def duckdb_dp_histogram_sql(
+    table: str,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "adt-dp-v1",
+    sensitivity: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`dp_histogram` (same key construction,
+    uniform, transform, and rounding grain)."""
+    _dp_check(epsilon, sensitivity)
+    b = sensitivity / epsilon
+    g = ", ".join(f'"{c}"' for c in group_cols)
+    key = _duck_dp_key_sql(seed, [f'"{c}"' for c in group_cols])
+    release = _duck_dp_release_sql("_true", key, b)
+    return f"""
+        SELECT {g}, {release}
+        FROM (SELECT {g}, count(*) AS _true FROM {table} GROUP BY {g}) t
+    """
+
+
+def duckdb_dp_histogram_monitor_sql(
+    table: str,
+    group_cols: list[str],
+    window_us: int = 60_000_000,
+    ts_expr: str = "ts",
+    epsilon: float = 1.0,
+    seed: str = "adt-dp-v1",
+    sensitivity: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`dp_histogram_monitor` (same bucketing as
+    the other monitor twins; the streaming final-watermark predicate
+    is the caller's outer filter)."""
+    _dp_check(epsilon, sensitivity)
+    b = sensitivity / epsilon
+    g = ", ".join(f'"{c}"' for c in group_cols)
+    win_epoch_s = f"(epoch_us(window_start) // 1000000)"
+    key = _duck_dp_key_sql(
+        seed, [f"({win_epoch_s})", *[f'"{c}"' for c in group_cols]]
+    )
+    release = _duck_dp_release_sql("_true", key, b)
+    return f"""
+        SELECT window_start,
+               window_start + INTERVAL {window_us} MICROSECOND
+                 AS window_end,
+               {g}, {release}
+        FROM (
+          SELECT make_timestamp((epoch_us({ts_expr}) // {window_us})
+                   * {window_us}) AS window_start,
+                 {g}, count(*) AS _true
+          FROM {table} GROUP BY 1, {g}
+        ) t
+    """

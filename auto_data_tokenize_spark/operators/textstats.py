@@ -531,6 +531,56 @@ def duckdb_dataset_report_sql(
     """
 
 
+def merge_dataset_reports(
+    *reports: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge per-slice :func:`dataset_report` partials into the report
+    of the union — incremental dataset-card maintenance. At 100 TB the
+    nightly card must come from yesterday's card plus today's delta
+    partial, never a full corpus re-scan; every measure is mergeable
+    (counts/sums add, min/max fold) and the mean is re-derived from the
+    merged exact totals, so the result EQUALS the full recompute
+    bit-for-bit: Spark's avg over integral input is sum(long)/count
+    — the same division this performs on the merged totals, with the
+    shared round-6 grain.
+
+    Accepts any number of partials whose group slices may overlap
+    (e.g. yesterday's full report + today's delta report). One
+    |groups|-sized groupBy — nothing rescans documents."""
+    if not reports:
+        raise ValueError("at least one report partial is required")
+    group_cols = group_cols or ["lang", "source"]
+    need = set(group_cols) | {
+        "n_docs", "total_tokens", "min_tokens", "max_tokens"
+    }
+    for r in reports:
+        missing = need - set(r.columns)
+        if missing:
+            raise ValueError(f"report partial missing columns: {missing}")
+    u = reports[0]
+    for r in reports[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy(*group_cols)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.min("min_tokens").alias("min_tokens"),
+            F.max("max_tokens").alias("max_tokens"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens"),
+            "max_tokens",
+        )
+    )
+
+
 def baseline_shares(df: DataFrame, cat_col: str) -> DataFrame:
     """Reference categorical distribution: per-category share of the
     corpus — the broadcast side of ``distribution_drift_monitor``.
