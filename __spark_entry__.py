@@ -3756,8 +3756,11 @@ def q130_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensitive corpus. The draw is the documented deterministic
     inverse-CDF transform of the cross-engine md5 fragment, so the
     DuckDB oracle recomputes the release bit-for-bit at the shared
-    round-6 grain. ONE partial-agg groupBy; noise is pure codegen over
-    the category-sized aggregate."""
+    round-6 grain. The (lang, source) category lists here are fixed
+    public enums of the feed, satisfying the operator's public-domain
+    assumption (for data-dependent domains pass ``domain=``). ONE
+    partial-agg groupBy; noise is pure codegen over the category-sized
+    aggregate."""
     from auto_data_tokenize_spark.operators.risk import dp_histogram
 
     return dp_histogram(
@@ -3774,13 +3777,15 @@ def q131_incremental_dataset_card(
     """Incremental dataset-card maintenance (operators/textstats.py
     merge_dataset_reports): the corpus is split into a base snapshot
     and a delta (doc_id%10 — the q109 fixture pattern), each slice is
-    reduced to its own dataset_report PARTIAL, and the partials are
-    merged. At 100 TB this is how the nightly card is maintained —
-    yesterday's card plus today's delta partial, never a corpus
-    re-scan. The oracle is the one-shot FULL recompute: the merge
-    contract is bit-for-bit equality with it."""
+    reduced to its own dataset_report_partial (the mergeable
+    pre-aggregation carrying the NULL-skipping mean denominator), and
+    the partials are merged + rendered. At 100 TB this is how the
+    nightly card is maintained — yesterday's merged partial plus
+    today's delta partial, never a corpus re-scan. The oracle is the
+    one-shot FULL recompute: the merge contract is bit-for-bit
+    equality with it."""
     from auto_data_tokenize_spark.operators.textstats import (
-        dataset_report,
+        dataset_report_partial,
         merge_dataset_reports,
     )
 
@@ -3788,7 +3793,7 @@ def q131_incremental_dataset_card(
     base = docs.filter(F.col("doc_id") % CARD_DELTA_MOD != 0)
     delta = docs.filter(F.col("doc_id") % CARD_DELTA_MOD == 0)
     return merge_dataset_reports(
-        dataset_report(base), dataset_report(delta)
+        dataset_report_partial(base), dataset_report_partial(delta)
     ).select(
         "lang", "source", "n_docs", "total_tokens",
         "min_tokens", "avg_tokens", "max_tokens",

@@ -43,6 +43,7 @@ __all__ = [
     "delta_presence_histogram",
     "dp_histogram",
     "dp_histogram_monitor",
+    "duckdb_dp_histogram_monitor_sql",
     "duckdb_dp_histogram_sql",
     "k_anonymity",
     "k_anonymity_histogram",
@@ -430,6 +431,7 @@ def dp_histogram(
     epsilon: float = 1.0,
     seed: str = "adt-dp-v1",
     sensitivity: float = 1.0,
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Epsilon-DP category-count histogram (Laplace mechanism).
 
@@ -437,6 +439,19 @@ def dp_histogram(
     bigint`` — the true counts are aggregated but never emitted.
     ``sensitivity`` defaults to 1 (add/remove-one-record adjacency for
     a partition-disjoint histogram); scale b = sensitivity / epsilon.
+
+    Domain caveat — which categories appear is itself information:
+    without ``domain``, a category present in D but not in its
+    neighbor D' yields a row in one release and none in the other,
+    so the epsilon guarantee only holds when the category LIST is
+    public knowledge independent of the data (fixed enum columns,
+    published language codes). For data-dependent domains pass
+    ``domain``: a DataFrame of ``group_cols`` enumerating the public
+    category universe — every domain category is released (absent ones
+    as noisy zeros) and data categories outside it are dropped, which
+    is the textbook unknown-domain fix. The domain is a category list
+    (broadcastable); the join is null-safe so a NULL category in the
+    domain matches the data's NULL group.
 
     Scale posture: ONE partial-aggregated groupBy; the noise is a pure
     codegen projection over the (category-cardinality-sized) aggregate
@@ -446,6 +461,12 @@ def dp_histogram(
     _dp_check(epsilon, sensitivity)
     b = sensitivity / epsilon
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_true"))
+    if domain is not None:
+        _check_cols(domain, group_cols)
+        dom = domain.select(*group_cols).dropDuplicates(group_cols)
+        counts = _null_safe_left_join(dom, counts, group_cols).withColumn(
+            "_true", F.coalesce(F.col("_true"), F.lit(0)).cast("long")
+        )
     key = F.concat_ws(DP_KEY_SEP, F.lit(seed), *_dp_key_parts(group_cols))
     noisy, released = _dp_release_cols(F.col("_true"), key, b)
     return counts.select(*group_cols, noisy, released)
@@ -465,11 +486,16 @@ def dp_histogram_monitor(
     telemetry over a live sensitive stream (per-window category counts
     published as they close, without the exact counts leaking). Works
     on batch and streaming inputs alike (the k_anonymity_monitor
-    pattern). The noise key includes the window-start epoch second, so
-    every (window, category) statistic gets its own independent draw;
-    per-window releases are epsilon-DP individually (an individual
-    appearing in w windows costs w * epsilon under composition — the
-    caller's budgeting decision, as with any repeated DP release).
+    pattern). The noise key includes the window-start epoch
+    MICROsecond (sub-second windows stay distinct), so every (window,
+    category) statistic gets its own independent draw; per-window
+    releases are epsilon-DP individually (an individual appearing in
+    w windows costs w * epsilon under composition — the caller's
+    budgeting decision, as with any repeated DP release). The
+    :func:`dp_histogram` domain caveat applies per window, and
+    append-mode streaming cannot emit rows for categories it never
+    saw: treat the released support as public (fixed enum feeds) or
+    post-process against a public domain downstream.
 
     Output: ``window_start, window_end, group_cols..., noisy_count,
     released_count`` per watermark-closed tumbling window. ONE
@@ -487,7 +513,7 @@ def dp_histogram_monitor(
     key = F.concat_ws(
         DP_KEY_SEP,
         F.lit(seed),
-        F.unix_timestamp(F.col("w.start")).cast("string"),
+        F.unix_micros(F.col("w.start")).cast("string"),
         *_dp_key_parts(group_cols),
     )
     noisy, released = _dp_release_cols(F.col("_true"), key, b)
@@ -560,9 +586,8 @@ def duckdb_dp_histogram_monitor_sql(
     _dp_check(epsilon, sensitivity)
     b = sensitivity / epsilon
     g = ", ".join(f'"{c}"' for c in group_cols)
-    win_epoch_s = f"(epoch_us(window_start) // 1000000)"
     key = _duck_dp_key_sql(
-        seed, [f"({win_epoch_s})", *[f'"{c}"' for c in group_cols]]
+        seed, ["epoch_us(window_start)", *[f'"{c}"' for c in group_cols]]
     )
     release = _duck_dp_release_sql("_true", key, b)
     return f"""

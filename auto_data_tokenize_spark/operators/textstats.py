@@ -485,6 +485,68 @@ def duckdb_repetition_sql(table: str, text_col: str = "text", n: int = 2) -> str
     """
 
 
+#: the mergeable measures a dataset-card partial carries (see
+#: :func:`dataset_report_partial`); fixed order so unions line up.
+PARTIAL_MEASURES = (
+    "n_docs", "n_text_docs", "total_tokens", "min_tokens", "max_tokens"
+)
+
+
+def dataset_report_partial(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mergeable pre-aggregation behind :func:`dataset_report`: the
+    card's measures PLUS ``n_text_docs`` (docs with non-NULL text) —
+    the denominator the mean needs, which ``n_docs`` alone cannot
+    re-derive because every token measure skips NULL text (the uniform
+    NULL-text contract: the doc is counted, contributes no tokens).
+    Columns: ``group_cols..., n_docs, n_text_docs, total_tokens,
+    min_tokens, max_tokens``; closed under
+    :func:`merge_report_partials`. One partial-aggregated groupBy."""
+    group_cols = group_cols or ["lang", "source"]
+    n_tok = ws_tokens_expr(text_col)
+    return (
+        df.withColumn("_nt", n_tok)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_nt").cast("long").alias("n_text_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.min("_nt").alias("min_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )
+
+
+def render_dataset_card(
+    partial: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Render the release-shape dataset card from a (possibly merged)
+    partial: the mean re-derives from the EXACT integer totals over
+    the NULL-skipping denominator — Spark's integral ``avg`` is
+    sum(long)/count, the identical division, so this equals the
+    one-shot aggregate bit-for-bit; all-NULL-text groups render a NULL
+    mean exactly like ``F.avg`` over no values."""
+    group_cols = group_cols or ["lang", "source"]
+    return partial.select(
+        *group_cols,
+        "n_docs",
+        "total_tokens",
+        "min_tokens",
+        F.when(
+            F.col("n_text_docs") > 0,
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("n_text_docs"),
+                6,
+            ),
+        ).alias("avg_tokens"),
+        "max_tokens",
+    )
+
+
 def dataset_report(
     df: DataFrame,
     group_cols: list[str] | None = None,
@@ -494,19 +556,11 @@ def dataset_report(
     document-length distribution (min/mean/max) — the summary table a
     corpus release ships with. One partial-aggregated groupBy; every
     measure derives from the shared ``ws_tokens_expr`` contract so the
-    SQL twin is exact."""
-    group_cols = group_cols or ["lang", "source"]
-    n_tok = ws_tokens_expr(text_col)
-    return (
-        df.withColumn("_nt", n_tok)
-        .groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_nt").alias("total_tokens"),
-            F.min("_nt").alias("min_tokens"),
-            F.round(F.avg("_nt"), 6).alias("avg_tokens"),
-            F.max("_nt").alias("max_tokens"),
-        )
+    SQL twin is exact. Composed as render(partial) so the one-shot and
+    the incremental (:func:`merge_dataset_reports`) paths share one
+    definition of every measure."""
+    return render_dataset_card(
+        dataset_report_partial(df, group_cols, text_col), group_cols
     )
 
 
@@ -531,53 +585,52 @@ def duckdb_dataset_report_sql(
     """
 
 
-def merge_dataset_reports(
-    *reports: DataFrame, group_cols: list[str] | None = None
+def merge_report_partials(
+    *partials: DataFrame, group_cols: list[str] | None = None
 ) -> DataFrame:
-    """Merge per-slice :func:`dataset_report` partials into the report
-    of the union — incremental dataset-card maintenance. At 100 TB the
-    nightly card must come from yesterday's card plus today's delta
-    partial, never a full corpus re-scan; every measure is mergeable
-    (counts/sums add, min/max fold) and the mean is re-derived from the
-    merged exact totals, so the result EQUALS the full recompute
-    bit-for-bit: Spark's avg over integral input is sum(long)/count
-    — the same division this performs on the merged totals, with the
-    shared round-6 grain.
-
-    Accepts any number of partials whose group slices may overlap
-    (e.g. yesterday's full report + today's delta report). One
-    |groups|-sized groupBy — nothing rescans documents."""
-    if not reports:
+    """Merge :func:`dataset_report_partial` frames into the partial of
+    the union — associative and closed (the output is itself a
+    partial), so yesterday's merged partial + today's delta partial is
+    a valid input tomorrow. Counts/sums add, min/max fold; each input
+    is projected to the fixed partial column set before the union, so
+    extra columns are ignored rather than tripping ``unionByName``'s
+    strict schema match. One |groups|-sized groupBy — nothing rescans
+    documents."""
+    if not partials:
         raise ValueError("at least one report partial is required")
     group_cols = group_cols or ["lang", "source"]
-    need = set(group_cols) | {
-        "n_docs", "total_tokens", "min_tokens", "max_tokens"
-    }
-    for r in reports:
-        missing = need - set(r.columns)
+    need = [*group_cols, *PARTIAL_MEASURES]
+    for r in partials:
+        missing = set(need) - set(r.columns)
         if missing:
             raise ValueError(f"report partial missing columns: {missing}")
-    u = reports[0]
-    for r in reports[1:]:
-        u = u.unionByName(r)
-    return (
-        u.groupBy(*group_cols)
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("total_tokens").cast("long").alias("total_tokens"),
-            F.min("min_tokens").alias("min_tokens"),
-            F.max("max_tokens").alias("max_tokens"),
-        )
-        .select(
-            *group_cols,
-            "n_docs",
-            "total_tokens",
-            "min_tokens",
-            F.round(
-                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
-            ).alias("avg_tokens"),
-            "max_tokens",
-        )
+    u = partials[0].select(*need)
+    for r in partials[1:]:
+        u = u.unionByName(r.select(*need))
+    return u.groupBy(*group_cols).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_text_docs").cast("long").alias("n_text_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.min("min_tokens").alias("min_tokens"),
+        F.max("max_tokens").alias("max_tokens"),
+    )
+
+
+def merge_dataset_reports(
+    *partials: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Incremental dataset-card maintenance: merge per-slice
+    :func:`dataset_report_partial` frames and render the release-shape
+    card of the union. At 100 TB the nightly card comes from
+    yesterday's merged PARTIAL plus today's delta partial, never a
+    corpus re-scan, and equals the one-shot :func:`dataset_report`
+    bit-for-bit — including NULL-text documents, whose NULL-skipping
+    mean denominator travels in the partials as ``n_text_docs`` (a
+    rendered card alone cannot be merged exactly, which is why the
+    inputs are partials, not cards). Group slices may overlap."""
+    return render_dataset_card(
+        merge_report_partials(*partials, group_cols=group_cols),
+        group_cols,
     )
 
 

@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 from auto_data_tokenize_spark.operators import risk
 from auto_data_tokenize_spark.operators.textstats import (
     dataset_report,
+    dataset_report_partial,
     merge_dataset_reports,
+    merge_report_partials,
 )
 
 
@@ -172,7 +174,9 @@ def test_dp_histogram_plan_is_jvm_only(spark):
 
 def test_merge_dataset_reports_equals_full_recompute(spark):
     """partial(base) + partial(delta) merged == one-shot full report,
-    bit-for-bit, including a group present in only one slice."""
+    bit-for-bit — including NULL-text documents (counted in n_docs,
+    excluded from the mean's denominator: the case a card-only merge
+    gets wrong) and a group present in only one slice."""
     rows = [
         (1, "one two three", "en", "web"),
         (2, "four five", "en", "web"),
@@ -180,12 +184,16 @@ def test_merge_dataset_reports_equals_full_recompute(spark):
         (4, "sept huit neuf dix", "fr", "books"),
         (5, "eleven twelve", "en", "web"),
         (6, "treize", "fr", "books"),
+        (7, None, "en", "web"),  # NULL text in base slice
+        (9, None, "en", "web"),  # NULL text in delta slice
+        (10, None, "xx", "web"),  # all-NULL-text group
+        (12, None, "xx", "web"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
     base = df.filter(F.col("doc_id") % 3 != 0)
     delta = df.filter(F.col("doc_id") % 3 == 0)
     merged = merge_dataset_reports(
-        dataset_report(base), dataset_report(delta)
+        dataset_report_partial(base), dataset_report_partial(delta)
     )
     full = dataset_report(df)
     assert merged.columns == full.columns
@@ -193,9 +201,23 @@ def test_merge_dataset_reports_equals_full_recompute(spark):
     m = {key(r): tuple(r) for r in merged.collect()}
     f = {key(r): tuple(r) for r in full.collect()}
     assert m == f
-    # single-partial merge is the identity
-    solo = {key(r): tuple(r) for r in merge_dataset_reports(full).collect()}
+    # the NULL-text docs really exercise the distinct denominators
+    en = f[("en", "web")]
+    # n_docs counts the NULL-text docs; avg divides by the 3 docs WITH
+    # text (tokens 3+2+2=7), not by 5
+    assert en[2] == 5 and en[5] == pytest.approx(round(7 / 3, 6))
+    assert f[("xx", "web")][5] is None  # all-NULL group: NULL mean
+    # single-partial merge is the identity; partial merge is closed
+    part = dataset_report_partial(df)
+    solo = {key(r): tuple(r) for r in merge_dataset_reports(part).collect()}
     assert solo == f
+    twice = merge_report_partials(
+        merge_report_partials(dataset_report_partial(base)),
+        dataset_report_partial(delta),
+    )
+    assert {
+        key(r): tuple(r) for r in merge_dataset_reports(twice).collect()
+    } == f
 
 
 def test_merge_dataset_reports_validation(spark):
@@ -204,3 +226,56 @@ def test_merge_dataset_reports_validation(spark):
     df = spark.createDataFrame([("en", "web", 1)], "lang string, source string, n_docs long")
     with pytest.raises(ValueError, match="missing columns"):
         merge_dataset_reports(df)
+    # extra columns are projected away, not a unionByName crash
+    p = dataset_report_partial(
+        spark.createDataFrame(
+            [(1, "a b", "en", "web")],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    out = merge_dataset_reports(p.withColumn("extra", F.lit(1)), p)
+    assert out.columns[:2] == ["lang", "source"]
+    assert out.collect()[0].n_docs == 2
+
+
+def test_dp_histogram_public_domain(spark):
+    """With a public domain: absent categories release noisy zeros,
+    out-of-domain data categories are dropped, NULL domain categories
+    match NULL data groups (null-safe join)."""
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("z",), (None,)], "src string"
+    )
+    dom = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "src string"
+    )
+    rows = {
+        r.src: r
+        for r in risk.dp_histogram(
+            df, ["src"], epsilon=0.5, seed="d1", domain=dom
+        ).collect()
+    }
+    assert set(rows) == {"a", "b", None}  # 'z' dropped, 'b' noisy zero
+    b = 1.0 / 0.5
+    assert rows["b"].noisy_count == pytest.approx(
+        round(0 + expected_laplace("d1\x1fb", b), 6), abs=1e-9
+    )
+    assert rows[None].noisy_count == pytest.approx(
+        round(1 + expected_laplace("d1\x1f\x1e", b), 6), abs=1e-9
+    )
+    assert all(r.released_count >= 0 for r in rows.values())
+
+
+def test_dp_monitor_subsecond_windows_independent(spark):
+    """Sub-second windows must get distinct draws (the noise key is
+    the window-start epoch MICROsecond, not second)."""
+    rows = [
+        ("a", datetime.datetime(2026, 1, 1, 10, 0, 0, 100_000)),
+        ("a", datetime.datetime(2026, 1, 1, 10, 0, 0, 600_000)),
+    ]
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = risk.dp_histogram_monitor(
+        df, ["src"], window="500 milliseconds", epsilon=1.0, seed="sub"
+    ).collect()
+    assert len(out) == 2
+    noises = {r.noisy_count - 1 for r in out}  # true count 1 in each
+    assert len(noises) == 2
