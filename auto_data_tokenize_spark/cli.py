@@ -220,6 +220,55 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def _write_updated_schema(args) -> str:
+    """Write the reference-parity de-identified schema for an AVRO
+    source (DeIdentifiedRecordSchemaConverter semantics — see
+    sources/schema_encrypt.py; golden-pinned in
+    tests/test_schema_encrypt.py). Driver-side metadata only: reads
+    one container header, never data blocks."""
+    import glob
+    from datetime import datetime, timezone
+
+    from auto_data_tokenize_spark.sources.avro_io import read_header
+    from auto_data_tokenize_spark.sources.schema_encrypt import (
+        encrypt_avro_schema,
+    )
+
+    if (args.sourceType or "").upper() != "AVRO":
+        raise SystemExit("--updatedSchemaLocation requires --sourceType AVRO")
+    keys = {c for c in (args.tokenizeColumns or []) if c.startswith("$.")}
+    if args.dlpEncryptConfigJson:
+        from auto_data_tokenize_spark.operators.dlp_config import (
+            parse_encrypt_config,
+        )
+
+        src = args.dlpEncryptConfigJson
+        specs = parse_encrypt_config(
+            json.loads(src) if src.lstrip().startswith("{") else src
+        )
+        keys.update(s.column_id for s in specs)
+    if not keys:
+        raise SystemExit(
+            "--updatedSchemaLocation needs $.Record.column-style encrypt "
+            "keys via --tokenizeColumns and/or --dlpEncryptConfigJson"
+        )
+    pats = [args.inputPattern, os.path.join(args.inputPattern, "*.avro")]
+    files = sorted(f for p in pats for f in glob.glob(p) if os.path.isfile(f))
+    if not files:
+        raise SystemExit(f"no avro files match {args.inputPattern}")
+    with open(files[0], "rb") as f:
+        avsc, _codec, _sync = read_header(f)
+    ts = args.updatedSchemaAt or datetime.now(timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    updated = encrypt_avro_schema(avsc, keys, ts)
+    out_path = args.updatedSchemaLocation
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(updated, f, indent=2)
+    return out_path
+
+
 def cmd_encrypt(args) -> int:
     """EncryptionPipeline.main analogue: read → tokenize (whole-value
     --tokenizeColumns and/or --dlpEncryptConfigJson transforms) →
@@ -236,6 +285,8 @@ def cmd_encrypt(args) -> int:
         raise SystemExit(
             "provide --tokenizeColumns and/or --dlpEncryptConfigJson"
         )
+    if args.updatedSchemaLocation:
+        _write_updated_schema(args)
     spark = get_spark("adt-encrypt", cores=args.cores)
     df = _read_input(spark, args)
     if args.tinkEncryptionKeySetJson:
@@ -403,6 +454,16 @@ def build_parser() -> argparse.ArgumentParser:
                             "path to one) — emits tokens byte-compatible "
                             "with the reference's "
                             "DaeadEncryptingValueTokenizer")
+    p_enc.add_argument("--updatedSchemaLocation", default=None,
+                       help="AVRO sources only: also write the reference-"
+                            "parity de-identified schema JSON "
+                            "(DeIdentifiedRecordSchemaConverter semantics: "
+                            "encrypted_* renames + ORIGINAL_TYPE props) to "
+                            "this file")
+    p_enc.add_argument("--updatedSchemaAt", default=None,
+                       help="ISO-8601 instant stamped into the updated "
+                            "schema doc (default: now UTC); pin it for "
+                            "reproducible schema files")
     p_enc.set_defaults(func=cmd_encrypt)
 
     p_csv = sub.add_parser(

@@ -251,3 +251,103 @@ def test_cli_encrypt_tink_keyset_reference_wire(
         for r in back.collect()
     }
     assert got == exp  # byte-identical to the reference's wire format
+
+
+def test_cli_encrypt_writes_updated_schema(spark, sf_dir_small, tmp_path):
+    """--updatedSchemaLocation emits the DeIdentifiedRecordSchemaConverter
+    output schema for an AVRO source (EncryptionPipeline's updated-schema
+    seam; golden semantics pinned in tests/test_schema_encrypt.py)."""
+    from auto_data_tokenize_spark.sources.avro_io import read_header
+
+    avro_in = str(tmp_path / "avro_in")
+    rc = main([
+        "encrypt",
+        f"--inputPattern={sf_dir_small}/transcripts.parquet",
+        "--sourceType=PARQUET",
+        "--tokenizeColumns=$.Record.role",
+        f"--outputDirectory={avro_in}",
+        "--outputFormat=avro",
+    ])
+    assert rc == 0
+    first = sorted(glob.glob(f"{avro_in}/*.avro"))[0]
+    with open(first, "rb") as f:
+        avsc, _codec, _sync = read_header(f)
+    record_name = avsc["name"]
+
+    schema_out = str(tmp_path / "schemas" / "updated_schema.json")
+    out2 = str(tmp_path / "enc2_out")
+    rc = main([
+        "encrypt",
+        f"--inputPattern={avro_in}/*.avro",
+        "--sourceType=AVRO",
+        f"--tokenizeColumns=$.{record_name}.text",
+        f"--outputDirectory={out2}",
+        "--outputFormat=parquet",
+        f"--updatedSchemaLocation={schema_out}",
+        "--updatedSchemaAt=2020-10-21T01:00:15Z",
+    ])
+    assert rc == 0
+    with open(schema_out) as f:
+        updated = json.load(f)
+    names = [fl["name"] for fl in updated["fields"]]
+    assert "encrypted_text" in names and "text" not in names
+    enc = next(fl for fl in updated["fields"] if fl["name"] == "encrypted_text")
+    assert "ORIGINAL_TYPE" in enc
+    assert updated["doc"].endswith(
+        "Updated for encryption at 2020-10-21T01:00:15Z"
+    )
+    # and the tokenized data itself matches the schema's claim
+    got = spark.read.parquet(out2)
+    assert "encrypted_text" in got.columns and "text" not in got.columns
+
+
+def test_cli_updated_schema_contacts5k_matches_reference_golden(tmp_path):
+    """End-to-end on the reference's own contacts5k.avro: the written
+    updated schema equals its published golden
+    (bq_contacts_schema_encrypted.json) field-for-field."""
+    from argparse import Namespace
+
+    from auto_data_tokenize_spark.cli import _write_updated_schema
+
+    schema_out = str(tmp_path / "contacts_updated.json")
+    args = Namespace(
+        sourceType="AVRO",
+        inputPattern=REF_CONTACTS,
+        tokenizeColumns=[
+            "$.Root.contact.root.Contact.nums.root.contact.Nums.number"
+        ],
+        dlpEncryptConfigJson=None,
+        updatedSchemaLocation=schema_out,
+        updatedSchemaAt="2020-10-21T01:00:15Z",
+    )
+    _write_updated_schema(args)
+    with open(schema_out) as f:
+        got = json.load(f)
+    with open(
+        "/root/reference/src/test/resources/avro_records/"
+        "contact_records_with_namespace/bq_contacts_schema_encrypted.json"
+    ) as f:
+        want = json.load(f)
+    # contacts5k.avro's container schema has one extra leading field
+    # ("index") vs the golden's source schema; everything else must
+    # match, including the literal-"null" doc quirk.
+    got_fields = {fl["name"] for fl in got["fields"]}
+    assert got_fields == {"index", "contact"}
+    assert got["doc"] == want["doc"]
+
+    def find_number_field(schema):
+        contact = next(
+            fl for fl in schema["fields"] if fl["name"] == "contact"
+        )
+        rec = contact["type"][1]
+        nums = next(fl for fl in rec["fields"] if fl["name"] == "nums")
+        return nums["type"]["items"]["fields"]
+
+    got_nums = find_number_field(got)
+    want_nums = find_number_field(want)
+    assert [fl["name"] for fl in got_nums] == [
+        fl["name"] for fl in want_nums
+    ] == ["type", "encrypted_number"]
+    enc = got_nums[1]
+    assert enc["type"] == ["null", "string"]
+    assert enc["ORIGINAL_TYPE"] == '["null","string"]'
