@@ -3844,6 +3844,28 @@ def q132_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def q133_token_scope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-contract audit (operators/tokenize.py token_scope_audit):
+    per info_type, how many detected clear values are (a) scope-
+    ISOLATED — a value seen in N conversations shows exactly N distinct
+    tokens, so tokens never link across conversations — and (b)
+    conversation-CONSISTENT — one token per (value, conv), so joins
+    inside a conversation still work. The Spark side re-detects and
+    re-tokenizes with the engine UDFs; the oracle reads the
+    independently materialized pure-Python detections golden
+    (datagen.golden_detections), so hash equality cross-checks the
+    token structure between the two tokenizer implementations
+    (the reference's keyset-scoped DAEAD determinism,
+    EncryptionPipeline.java:117; ValueTokenizer contract)."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        token_scope_audit,
+    )
+
+    return token_scope_audit(
+        _detections(spark, sf_dir), _transcripts(spark, sf_dir)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -3982,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_dp_histogram": _with_prep(q130_dp_histogram),
         "q131_incremental_dataset_card": _with_prep(q131_incremental_dataset_card),
         "q132_stream_dp_release": _with_prep(q132_stream_dp_release),
+        "q133_token_scope_audit": _with_prep(q133_token_scope_audit),
     }
 
 
@@ -4939,6 +4962,14 @@ def _duck_pack_utilization_sql(table: str, target_tokens: int) -> str:
     )
 
     return duckdb_pack_utilization_sql(table, target_tokens=target_tokens)
+
+
+def _duck_token_scope_audit_sql(det: str, tr: str) -> str:
+    from auto_data_tokenize_spark.operators.tokenize import (
+        duckdb_token_scope_audit_sql,
+    )
+
+    return duckdb_token_scope_audit_sql(det, tr)
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -6001,4 +6032,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                           - INTERVAL 30 SECOND
                    FROM documents)
         """,
+        "q133_token_scope_audit": _duck_token_scope_audit_sql(det, tr),
     }

@@ -211,7 +211,16 @@ def cmd_inspect(args) -> int:
     )
     col_report, _ = pipelines.inspect(df, cfg)
     paths = report_io.write_column_reports(col_report, args.reportLocation)
-    schema_path = report_io.write_schema_file(df, args.reportLocation)
+    # CSV sources: schema.json carries the reference's synthetic
+    # all-string CsvRecord (CsvRowFlatRecordConvertors.makeCsvAvroSchema)
+    avsc = None
+    if (args.sourceType or "").upper() in ("CSV", "CSV_FILE"):
+        from auto_data_tokenize_spark.sources.readers import csv_avro_schema
+
+        avsc = csv_avro_schema(list(df.columns))
+    schema_path = report_io.write_schema_file(
+        df, args.reportLocation, avro_schema=avsc
+    )
     print(json.dumps({
         "column_reports": sorted(os.path.basename(p) for p in paths),
         "schema": os.path.basename(schema_path),

@@ -61,6 +61,32 @@ def column_info_json(column_name: str, info_types: list[dict]) -> dict:
     }
 
 
+def inspection_report_json(
+    sample_size: int, column_infos: list[dict]
+) -> dict:
+    """proto3-JSON of the whole InspectionReport — the shape the
+    reference publishes as its sample report
+    (``nested_repeated_avro_fields_dlp_report.json``; golden-pinned in
+    tests/test_report_io.py): ``sampleSize`` as a string (proto int64
+    JSON rendering), an empty ``fileInformation`` message, and
+    ``columnsInformation`` sorted by column name with each column's
+    infoTypes sorted by name — the same determinism contract as
+    :func:`column_info_json`.
+
+    ``column_infos`` rows are ``{"column_name", "info_types": [{
+    "info_type", "count"}]}`` dicts (collected
+    ``identify.column_report`` rows)."""
+    cols = []
+    for ci in sorted(column_infos, key=lambda c: c["column_name"]):
+        its = sorted(ci["info_types"], key=lambda it: it["info_type"])
+        cols.append(column_info_json(ci["column_name"], its))
+    return {
+        "sampleSize": str(sample_size),
+        "fileInformation": {},
+        "columnsInformation": cols,
+    }
+
+
 def write_column_reports(col_report: DataFrame, out_dir: str) -> list[str]:
     """One ``col-<name>-00000-of-00001.json`` per ColumnInformation
     row, in the reference's proto3-JSON shape (see module docstring)."""

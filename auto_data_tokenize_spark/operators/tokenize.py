@@ -690,3 +690,92 @@ def residual_leak_audit(
         F.count(F.lit(1)).alias("n_detections"),
         F.sum(leaked).cast("long").alias("n_leaked"),
     )
+
+
+def token_scope_audit(
+    detections: DataFrame,
+    transcripts: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Audit the two load-bearing properties of conv-scoped
+    deterministic tokenization (the key hierarchy of
+    functions/tokenizer.py; the reference scopes its DAEAD tokens to
+    the keyset, EncryptionPipeline.java:117):
+
+    - **conversation consistency**: within one conv_id, every
+      occurrence of the same clear value maps to ONE token (joins stay
+      possible inside the conversation);
+    - **scope isolation**: across conv_ids, the same clear value maps
+      to DIFFERENT tokens (no cross-conversation linkability), so a
+      value seen in N conversations shows exactly N distinct tokens.
+
+    Returns one row per info_type:
+      ``n_values`` distinct clear values detected,
+      ``value_conv_pairs`` distinct (value, conv) pairs,
+      ``isolated_values`` values whose distinct-token count equals
+      their conversation count (scope isolation held),
+      ``conv_consistent_values`` values with exactly one token per
+      conversation.
+
+    100 TB shape: one equi-join on the transcript key (no text is ever
+    collected), then two partial-agg groupBys — value-level first,
+    info_type rollup second. The clear value is re-derived from
+    (start, end) spans with codegen ``substring``; no Python runs."""
+    keys = keys or ["conv_id", "turn_idx"]
+    v = detections.select(
+        *keys, "info_type", "start", "end", "token"
+    ).join(transcripts.select(*keys, "text"), on=keys, how="inner")
+    v = v.select(
+        "info_type",
+        F.col("text")
+        .substr(F.col("start") + F.lit(1), F.col("end") - F.col("start"))
+        .alias("value"),
+        F.col(keys[0]).alias("scope"),
+        "token",
+    )
+    per_value = v.groupBy("info_type", "value").agg(
+        F.countDistinct("scope").alias("n_convs"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.countDistinct("scope", "token").alias("n_scope_tokens"),
+    )
+    return per_value.groupBy("info_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("n_convs").cast("long").alias("value_conv_pairs"),
+        F.sum(
+            (F.col("n_tokens") == F.col("n_convs")).cast("long")
+        ).alias("isolated_values"),
+        F.sum(
+            (F.col("n_scope_tokens") == F.col("n_convs")).cast("long")
+        ).alias("conv_consistent_values"),
+    )
+
+
+def duckdb_token_scope_audit_sql(det: str, tr: str) -> str:
+    """DuckDB twin of :func:`token_scope_audit` over the independently
+    materialized detections golden (datagen.golden_detections — the
+    pure-Python tokenizer, not the Spark UDF), so Spark-vs-oracle
+    equality cross-checks the token structure between the two
+    implementations. BIGINT casts keep dtypes parquet-faithful (the
+    r3 HUGEINT lesson)."""
+    return f"""
+        WITH v AS (
+          SELECT d.info_type,
+                 substr(t.text, d.start + 1, d."end" - d.start) AS value,
+                 d.conv_id AS scope, d.token
+          FROM {det} d JOIN {tr} t USING (conv_id, turn_idx)
+        ), g AS (
+          SELECT info_type, value,
+                 COUNT(DISTINCT scope) AS n_convs,
+                 COUNT(DISTINCT token) AS n_tokens,
+                 COUNT(DISTINCT scope || chr(31) || token) AS n_scope_tokens
+          FROM v GROUP BY 1, 2
+        )
+        SELECT info_type,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(n_convs) AS BIGINT) AS value_conv_pairs,
+               CAST(SUM(CASE WHEN n_tokens = n_convs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS isolated_values,
+               CAST(SUM(CASE WHEN n_scope_tokens = n_convs THEN 1 ELSE 0 END) AS BIGINT)
+                 AS conv_consistent_values
+        FROM g GROUP BY 1
+    """

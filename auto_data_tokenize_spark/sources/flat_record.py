@@ -1,0 +1,216 @@
+"""Reference-grammar FlatRecord flattening of Avro-JSON records.
+
+The reference's in-flight representation is the ``FlatRecord`` proto:
+a map of *flat keys* (concrete JSONPath with array indices and union
+branch names) to DLP ``Value``s, plus a flat-key → *schema key* map
+(``GenericRecordFlattener.java:47-222``).  The Spark engine
+deliberately replaced FlatRecord with DataFrame columns
+(``sources/flatten.py`` flattens StructType rows), but the reference's
+exact key grammar matters at the interop boundary — its config files,
+report columns and goldens all speak it.  This module implements that
+grammar verbatim over Avro **JSON-encoded** records (the Avro spec's
+interchange encoding, which the reference's own record fixtures use),
+proven against the reference's published ``flat_records/*.textpb``
+goldens in tests/test_flat_record.py.
+
+Grammar (from GenericRecordFlattener's TypeFlattener):
+
+- record field under a union branch: ``parent.["recordName"]``
+  (bracket-quoted, :110-113);
+- array element: ``parent[i]`` (:183-190);
+- union branch: the non-null branch's *full name* becomes a path
+  segment (``$.salary.double``, ``$.cc.array[0].string``; :192-215);
+  a null union value emits the bare key with an EMPTY Value (:194-199);
+- bytes/fixed: flat key suffixed ``/bytes``, value is base64
+  (:84-86, :150-161; ByteValueConverter.java:39-41);
+- schema keys never carry indices or branch names: record traversal
+  appends ``recordFullName.fieldName`` (:170-181);
+- float32 values widen through Java ``float`` → proto double exactly
+  like ``np.float32`` (golden pins 3.14 → 3.140000104904175);
+- MAP is unsupported (:165-166), mirroring the reference.
+
+Only nullable two-branch unions are supported — the same
+``checkArgument`` as the reference (:204-206).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from typing import Any
+
+import numpy as np
+
+from auto_data_tokenize_spark.sources.schema_encrypt import PRIMITIVES
+
+ROOT = "$"
+
+
+def _kind(t: Any, names: dict) -> str:
+    if isinstance(t, list):
+        return "union"
+    if isinstance(t, str):
+        if t in PRIMITIVES:
+            return t
+        if t in names:
+            return _kind(names[t], names)
+        raise ValueError(f"unresolved named type reference: {t!r}")
+    inner = t["type"]
+    if isinstance(inner, (dict, list)):
+        return _kind(inner, names)
+    return inner
+
+
+def _resolve(t: Any, names: dict) -> Any:
+    """Named-type reference → its definition."""
+    if isinstance(t, str) and t not in PRIMITIVES:
+        return _resolve(names[t], names)
+    return t
+
+
+def _full_name(t: Any, names: dict) -> str:
+    """Avro getFullName(): named types use namespace.name; unnamed
+    complex types use their type name; primitives their name."""
+    t = _resolve(t, names)
+    if isinstance(t, str):
+        return t
+    if isinstance(t, list):
+        return "union"
+    if "name" in t:
+        name = t["name"]
+        ns = t.get("namespace")
+        return name if "." in name or not ns else f"{ns}.{name}"
+    return _kind(t, names)
+
+
+def _collect_names(t: Any, names: dict) -> None:
+    if isinstance(t, list):
+        for b in t:
+            _collect_names(b, names)
+        return
+    if not isinstance(t, dict):
+        return
+    if t.get("name") and t.get("type") in ("record", "enum", "fixed"):
+        names[t["name"]] = t
+        ns = t.get("namespace")
+        if ns:
+            names[f"{ns}.{t['name']}"] = t
+    if t.get("type") == "record":
+        for f in t.get("fields", []):
+            _collect_names(f["type"], names)
+    elif t.get("type") == "array":
+        _collect_names(t["items"], names)
+    elif t.get("type") == "map":
+        _collect_names(t["values"], names)
+
+
+class FlatRecord(dict):
+    """``{"values": {flat_key: dlp_value_dict}, "flat_key_schema":
+    {flat_key: schema_key}}`` — dict subclass so tests compare
+    structurally while call sites read attributes."""
+
+    @property
+    def values_map(self) -> dict:
+        return self["values"]
+
+    @property
+    def flat_key_schema(self) -> dict:
+        return self["flat_key_schema"]
+
+
+def flatten_avro_json(record: dict, schema: dict | str) -> FlatRecord:
+    """Flatten one Avro-JSON-encoded ``record`` of ``schema`` into the
+    reference's FlatRecord maps."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    names: dict = {}
+    _collect_names(schema, names)
+    out = FlatRecord(values={}, flat_key_schema={})
+
+    def put(field_key: str, schema_key: str, value: dict) -> None:
+        out["values"][field_key] = value
+        out["flat_key_schema"][field_key] = schema_key
+
+    def process(value, fs, parent_key, field_name, schema_key) -> None:
+        fs = _resolve(fs, names)
+        field_key = (
+            f"{parent_key}.{field_name}" if field_name else parent_key
+        )
+        kind = _kind(fs, names)
+        if kind == "record":
+            rec_key = (
+                parent_key
+                if not field_name
+                else f'{parent_key}.["{field_name}"]'
+            )
+            convert_record(value, fs, rec_key, schema_key)
+        elif kind == "array":
+            for i, elem in enumerate(value):
+                process(elem, fs["items"], f"{field_key}[{i}]", None,
+                        schema_key)
+        elif kind == "union":
+            process_union(value, fs, parent_key, field_name, schema_key)
+        elif kind in ("enum", "string"):
+            put(field_key, schema_key, {"string_value": str(value)})
+        elif kind == "boolean":
+            put(field_key, schema_key, {"boolean_value": bool(value)})
+        elif kind == "float":
+            # Java float widens to proto double through float32
+            put(field_key, schema_key,
+                {"float_value": float(np.float32(value))})
+        elif kind == "double":
+            put(field_key, schema_key, {"float_value": float(value)})
+        elif kind in ("int", "long"):
+            put(field_key, schema_key, {"integer_value": int(value)})
+        elif kind in ("bytes", "fixed"):
+            # Avro JSON encodes bytes as a latin-1 codepoint string
+            raw = value.encode("latin-1") if isinstance(value, str) else bytes(value)
+            put(f"{field_key}/bytes", schema_key,
+                {"string_value": base64.b64encode(raw).decode("ascii")})
+        elif kind == "null":
+            pass
+        elif kind == "map":
+            raise ValueError(f"Unsupported Type MAP at {field_key}")
+        else:  # pragma: no cover - _kind() exhausts Avro's type system
+            raise ValueError(f"unknown Avro kind {kind!r} at {field_key}")
+
+    def process_union(value, fs, parent_key, field_name, schema_key):
+        bare_key = (
+            f"{parent_key}.{field_name}" if field_name else parent_key
+        )
+        # a null branch appears bare (Avro JSON spec) or wrapped as
+        # {"null": null} (the reference's record fixtures use both)
+        if value is None or (
+            isinstance(value, dict) and set(value) == {"null"}
+        ):
+            put(bare_key, schema_key, {})
+            return
+        branches = list(fs)
+        if len(branches) != 2 or _kind(branches[0], names) != "null":
+            raise ValueError(
+                "Only nullable union with one type is supported. found "
+                f"{branches}"
+            )
+        non_null = branches[1]
+        branch_name = _full_name(non_null, names)
+        # Avro JSON wraps non-null union values as {"branchName": v};
+        # accept both wrapped and bare (already-unwrapped) forms
+        if isinstance(value, dict) and set(value) == {branch_name}:
+            value = value[branch_name]
+        elif (
+            isinstance(value, dict)
+            and len(value) == 1
+            and next(iter(value)) == branch_name.rsplit(".", 1)[-1]
+        ):
+            value = next(iter(value.values()))
+        process(value, non_null, bare_key, branch_name, schema_key)
+
+    def convert_record(rec, rs, parent_key, parent_schema_key):
+        record_name = _full_name(rs, names)
+        for f in rs["fields"]:
+            fname = f["name"]
+            fsk = f"{parent_schema_key}.{record_name}.{fname}"
+            process(rec.get(fname), f["type"], parent_key, fname, fsk)
+
+    convert_record(record, schema, ROOT, ROOT)
+    return out

@@ -43,6 +43,30 @@ def read_source(
     **options,
 ) -> DataFrame:
     """Source-type dispatch table (TransformingReader.java:221-236)."""
+    return _read_source_impl(spark, source_type, path, **options)
+
+
+def csv_avro_schema(headers: list[str]) -> dict:
+    """The synthetic all-string Avro record the reference fabricates
+    for CSV sources (CsvRowFlatRecordConvertors.makeCsvAvroSchema,
+    :113-125): record ``CsvRecord`` with doc
+    ``"CsvRecord created by auto-data-tokenize"`` and one string field
+    per header, in order. Golden-pinned against the reference's own
+    ``five_column_csv_schema.json``."""
+    return {
+        "type": "record",
+        "name": "CsvRecord",
+        "doc": "CsvRecord created by auto-data-tokenize",
+        "fields": [{"name": h, "type": "string"} for h in headers],
+    }
+
+
+def _read_source_impl(
+    spark: SparkSession,
+    source_type: str,
+    path: str | None = None,
+    **options,
+) -> DataFrame:
     st = source_type.upper()
     if st in ("PARQUET", "PARQUET_FILE"):
         return spark.read.parquet(path)

@@ -81,3 +81,18 @@ def test_avro_gated_cleanly(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         read_source(spark, "AVRO", str(tmp_path)).count()
     assert "avro" in str(ei.value).lower()
+
+
+def test_csv_avro_schema_matches_reference_golden():
+    """The synthetic CSV record schema equals the reference's own
+    five_column_csv_schema.json for headerless col_N columns."""
+    import json
+
+    from auto_data_tokenize_spark.sources.readers import csv_avro_schema
+
+    with open(
+        "/root/reference/src/test/resources/five_column_csv_schema.json"
+    ) as f:
+        want = json.load(f)
+    got = csv_avro_schema([f"col_{i}" for i in range(5)])
+    assert got == want

@@ -160,3 +160,37 @@ def test_sanitize_filesystem_hostile_names(tmp_path, spark):
     assert _sanitize("a/b") == "col-a-b"
     assert _sanitize("$.contacts[0].number") == "col-contacts-0-number"
     assert _sanitize("weird\x00name") == "col-weird-name"
+
+
+def test_inspection_report_json_matches_reference_golden_shape():
+    """The merged-report proto JSON equals the reference's published
+    nested-repeated golden byte-for-byte when fed the same counts
+    (nested_repeated_avro_fields_dlp_report.json): camelCase keys,
+    int64-as-string rendering, columns sorted by name, infoTypes
+    sorted within each column."""
+    import json
+
+    from auto_data_tokenize_spark.operators.report_io import (
+        inspection_report_json,
+    )
+
+    with open(
+        "/root/reference/src/test/resources/"
+        "nested_repeated_avro_fields_dlp_report.json"
+    ) as f:
+        want = json.load(f)
+
+    got = inspection_report_json(
+        100,
+        [
+            # deliberately out of order: the serializer must sort
+            {"column_name": "$.kylosample.name",
+             "info_types": [{"info_type": "PERSON_NAME", "count": 100}]},
+            {"column_name": "$.kylosample.contacts.contact.number",
+             "info_types": [{"info_type": "PHONE_NUMBER", "count": 200}]},
+        ],
+    )
+    assert got == want
+    assert json.dumps(got, sort_keys=True) == json.dumps(
+        want, sort_keys=True
+    )
