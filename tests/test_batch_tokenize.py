@@ -147,3 +147,53 @@ def test_rekey_columns_rotates_and_roundtrips(spark):
 
     with _pytest.raises(ValueError, match="missing tokenized"):
         rekey_columns(df, ["name"], a, b)
+
+
+def test_token_scope_audit_counts_violations(spark):
+    """token_scope_audit must detect both contract breaches, not just
+    bless the engine's own (always-correct) output: a value reusing one
+    token across two conversations breaks scope ISOLATION; a value with
+    two tokens inside one conversation breaks conversation CONSISTENCY."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        token_scope_audit,
+    )
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "x ok y"),
+            ("c2", 0, "x ok y"),
+            ("c1", 1, "x bad y"),
+            ("c2", 1, "x bad y"),
+            ("c1", 2, "x flip y z x flip y"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    det = spark.createDataFrame(
+        [
+            # "ok": one token per conversation, distinct across convs
+            ("c1", 0, "EMAIL", 2, 4, "tA"),
+            ("c2", 0, "EMAIL", 2, 4, "tB"),
+            # "bad": SAME token in both conversations -> isolation broken
+            ("c1", 1, "EMAIL", 2, 5, "tSAME"),
+            ("c2", 1, "EMAIL", 2, 5, "tSAME"),
+            # "flip": two different tokens within ONE conversation
+            # -> consistency broken (and n_tokens=2 != n_convs=1)
+            ("c1", 2, "PHONE", 2, 6, "t1"),
+            ("c1", 2, "PHONE", 13, 17, "t2"),
+        ],
+        "conv_id string, turn_idx int, info_type string, "
+        "start int, end int, token string",
+    )
+    rows = {
+        r["info_type"]: r
+        for r in token_scope_audit(det, tr).collect()
+    }
+    em = rows["EMAIL"]
+    # values "ok" (clean) and "bad" (isolation breach)
+    assert (em["n_values"], em["value_conv_pairs"]) == (2, 4)
+    assert em["isolated_values"] == 1          # only "ok"
+    assert em["conv_consistent_values"] == 2   # both are 1-token-per-conv
+    ph = rows["PHONE"]
+    assert (ph["n_values"], ph["value_conv_pairs"]) == (1, 1)
+    assert ph["isolated_values"] == 0          # 2 tokens != 1 conv
+    assert ph["conv_consistent_values"] == 0   # 2 tokens in one conv
