@@ -3866,6 +3866,80 @@ def q133_token_scope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5(conv_id) first hex digit picks the fault slices (disjoint):
+TSM_ISO_DIGITS = ("0", "1", "2")  # scope-loss deploy (shadow scope)
+TSM_CON_DIGITS = ("3", "4")  # rekey-on-retry redelivery
+
+
+def q134_stream_token_scope_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming token-scope contract monitor (operators/tokenize.py
+    token_scope_monitor): q133's crypto audit as a LIVE alarm. The
+    detection-event feed arrives with two deterministic faults
+    injected — a scope-loss deploy (the md5(conv)-sliced shadow
+    duplicates reuse the SOURCE token under a second scope, so tokens
+    link across conversations: isolation breach) and a rekey-on-retry
+    storm (redelivered events carry a fresh token for the same (value,
+    conversation): consistency breach) — and each watermark-closed
+    window reports per (info_type, contract) group/breach/combo
+    counts through the exactly-once sink. Three CHAINED stateful
+    window aggregations after a stateless contract fan-out; state
+    freed per closed window. Oracle: the same faulted feed + fan-out
+    + distinct rollup at the identical final-watermark predicate."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.tokenize import (
+        token_scope_monitor,
+    )
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    base = tempfile.mkdtemp(prefix="adt_q134_")
+    try:
+        det = pd.read_parquet(os.path.join(sf_dir, "detections.parquet"))
+        tr = pd.read_parquet(os.path.join(sf_dir, "transcripts.parquet"))[
+            ["conv_id", "turn_idx", "text"]
+        ]
+        f = det.merge(tr, on=["conv_id", "turn_idx"], how="inner")
+        f["value_hash"] = [
+            md5(t[s:e]) for t, s, e in zip(f["text"], f["start"], f["end"])
+        ]
+        f = f[["ts", "info_type", "value_hash", "conv_id", "token"]].rename(
+            columns={"conv_id": "scope"}
+        )
+        sl = f["scope"].map(lambda c: md5(c)[0])
+        shadow = f[sl.isin(TSM_ISO_DIGITS)].copy()
+        shadow["scope"] = shadow["scope"] + "#shadow"
+        retry = f[sl.isin(TSM_CON_DIGITS)].copy()
+        retry["token"] = retry["token"].map(lambda t: md5(t + ":retry"))
+        feed = pd.concat([f, shadow, retry], ignore_index=True)
+        feed["ts"] = feed["ts"].astype("datetime64[us]")
+        feed = feed.sort_values(
+            ["ts", "value_hash", "scope", "token"]
+        ).reset_index(drop=True)
+        feed["event_id"] = range(len(feed))
+        staged = _stage_append_log(feed, f"{base}/in", order_col="event_id")
+        st = _stream_files(
+            spark,
+            staged,
+            "ts timestamp, info_type string, value_hash string, "
+            "scope string, token string, event_id long",
+        )
+        mon = token_scope_monitor(
+            st, window="1 minute", watermark="30 seconds"
+        )
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -4005,6 +4079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_incremental_dataset_card": _with_prep(q131_incremental_dataset_card),
         "q132_stream_dp_release": _with_prep(q132_stream_dp_release),
         "q133_token_scope_audit": _with_prep(q133_token_scope_audit),
+        "q134_stream_token_scope_monitor": _with_prep(
+            q134_stream_token_scope_monitor
+        ),
     }
 
 
@@ -4970,6 +5047,14 @@ def _duck_token_scope_audit_sql(det: str, tr: str) -> str:
     )
 
     return duckdb_token_scope_audit_sql(det, tr)
+
+
+def _duck_token_scope_monitor_sql(table: str) -> str:
+    from auto_data_tokenize_spark.operators.tokenize import (
+        duckdb_token_scope_monitor_sql,
+    )
+
+    return duckdb_token_scope_monitor_sql(table)
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -6033,4 +6118,27 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
                    FROM documents)
         """,
         "q133_token_scope_audit": _duck_token_scope_audit_sql(det, tr),
+        "q134_stream_token_scope_monitor": f"""
+            WITH joined AS (
+              SELECT d.ts, d.info_type,
+                     md5(substr(t.text, d.start + 1, d."end" - d.start))
+                       AS value_hash,
+                     d.conv_id AS scope, d.token
+              FROM {det} d JOIN {tr} t USING (conv_id, turn_idx)
+            ), feed AS (
+              SELECT * FROM joined
+              UNION ALL
+              SELECT ts, info_type, value_hash, scope || '#shadow', token
+              FROM joined
+              WHERE substr(md5(scope), 1, 1) IN {TSM_ISO_DIGITS!r}
+              UNION ALL
+              SELECT ts, info_type, value_hash, scope,
+                     md5(token || ':retry')
+              FROM joined
+              WHERE substr(md5(scope), 1, 1) IN {TSM_CON_DIGITS!r}
+            )
+            SELECT * FROM ({_duck_token_scope_monitor_sql("feed")}) m
+            WHERE m.window_start + INTERVAL 1 MINUTE <=
+                  (SELECT max(ts) - INTERVAL 30 SECOND FROM feed)
+        """,
     }

@@ -779,3 +779,138 @@ def duckdb_token_scope_audit_sql(det: str, tr: str) -> str:
                  AS conv_consistent_values
         FROM g GROUP BY 1
     """
+
+
+def token_scope_monitor(
+    df: DataFrame,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    info_col: str = "info_type",
+    value_col: str = "value_hash",
+    scope_col: str = "scope",
+    token_col: str = "token",
+) -> DataFrame:
+    """LIVE counterpart of :func:`token_scope_audit`: per
+    watermark-closed window, does the detection/tokenization feed still
+    honor both DAEAD scope contracts (the reference keys its tokens to
+    one keyset, EncryptionPipeline.java:117; this engine scopes them
+    per conversation) — the alarm that catches a scope-loss deploy
+    (tokens suddenly link across conversations) or a rekey-on-retry bug
+    (one value growing multiple tokens inside a conversation) in the
+    window it ships, not at the next offline audit.
+
+    Each event is judged under both contracts via a STATELESS fan-out
+    (``contract`` becomes a grouping key, so one operator chain checks
+    both):
+
+    - ``consistency``: group (value, scope), observe tokens — a group
+      with >1 distinct token means one value tokenized two ways inside
+      one conversation;
+    - ``isolation``: group (value, token), observe scopes — a group
+      with >1 distinct scope means one token linking conversations.
+
+    Output per (window_start, info_type, contract): ``n_groups``
+    distinct key pairs, ``n_breached`` groups with >1 distinct
+    observation, ``n_combos`` distinct (group, observation) triples.
+
+    Streaming shape: three CHAINED stateful window aggregations via
+    ``window_time`` (distinct counts are unsupported in streaming
+    aggs, but each level's groupBy leaves rows UNIQUE per key, so the
+    next level's plain ``count`` IS the distinct count). Dup scope is
+    WITHIN-window by design — state stays bounded by (open windows x
+    distinct fan-out keys) and frees as the watermark closes each
+    window; the corpus-wide check is the batch audit. Batch/stream
+    agnostic: the identical plan runs on a static frame."""
+    d = df.withWatermark(ts_col, watermark) if watermark is not None else df
+    ev = d.select(
+        F.col(ts_col).alias("_ts"),
+        F.col(info_col).alias("_it"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("consistency").alias("contract"),
+                    F.col(value_col).alias("k1"),
+                    F.col(scope_col).alias("k2"),
+                    F.col(token_col).alias("obs"),
+                ),
+                F.struct(
+                    F.lit("isolation").alias("contract"),
+                    F.col(value_col).alias("k1"),
+                    F.col(token_col).alias("k2"),
+                    F.col(scope_col).alias("obs"),
+                ),
+            )
+        ).alias("e"),
+    )
+    uniq = ev.groupBy(
+        F.window("_ts", window).alias("w"),
+        "_it",
+        F.col("e.contract").alias("contract"),
+        F.col("e.k1").alias("k1"),
+        F.col("e.k2").alias("k2"),
+        F.col("e.obs").alias("obs"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    groups = uniq.groupBy(
+        F.window(F.window_time("w"), window).alias("w2"),
+        "_it",
+        "contract",
+        "k1",
+        "k2",
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    return (
+        groups.groupBy(
+            F.window(F.window_time("w2"), window).alias("cw"),
+            F.col("_it").alias("info_type"),
+            "contract",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("n_obs") > 1).cast("long")).alias("n_breached"),
+            F.sum("n_obs").cast("long").alias("n_combos"),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            "info_type",
+            "contract",
+            "n_groups",
+            "n_breached",
+            "n_combos",
+        )
+    )
+
+
+def duckdb_token_scope_monitor_sql(
+    table: str,
+    window_us: int = 60_000_000,
+    value_col: str = "value_hash",
+    scope_col: str = "scope",
+    token_col: str = "token",
+) -> str:
+    """DuckDB twin of :func:`token_scope_monitor` (same contract
+    fan-out, window bucketing, and distinct-count rollup; the
+    streaming final-watermark predicate is the caller's outer
+    filter). BIGINT casts keep dtypes parquet-faithful."""
+    return f"""
+        WITH ev AS (
+          SELECT ts, info_type, 'consistency' AS contract,
+                 {value_col} AS k1, {scope_col} AS k2, {token_col} AS obs
+          FROM {table}
+          UNION ALL
+          SELECT ts, info_type, 'isolation',
+                 {value_col}, {token_col}, {scope_col}
+          FROM {table}
+        ), g AS (
+          SELECT make_timestamp((epoch_us(ts) // {window_us})
+                   * {window_us}) AS window_start,
+                 info_type, contract, k1, k2,
+                 COUNT(DISTINCT obs) AS n_obs
+          FROM ev GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT window_start, info_type, contract,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN n_obs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_breached,
+               CAST(SUM(n_obs) AS BIGINT) AS n_combos
+        FROM g GROUP BY 1, 2, 3
+    """

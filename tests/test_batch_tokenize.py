@@ -197,3 +197,46 @@ def test_token_scope_audit_counts_violations(spark):
     assert (ph["n_values"], ph["value_conv_pairs"]) == (1, 1)
     assert ph["isolated_values"] == 0          # 2 tokens != 1 conv
     assert ph["conv_consistent_values"] == 0   # 2 tokens in one conv
+
+
+def test_token_scope_monitor_batch_semantics(spark):
+    """Per-window contract rollups: a token shared by two scopes in one
+    window breaches isolation; two tokens for one (value, scope)
+    breaches consistency; clean traffic and cross-WINDOW reuse (outside
+    the monitor's dup scope by design) breach neither."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        token_scope_monitor,
+    )
+
+    rows = [
+        # window 0: clean value v0 + isolation breach on v1 (tX in two
+        # scopes) + consistency breach on v2 (two tokens in one scope)
+        ("2026-01-01 00:00:01", "EMAIL", "v0", "c1", "t0"),
+        ("2026-01-01 00:00:02", "EMAIL", "v1", "c1", "tX"),
+        ("2026-01-01 00:00:03", "EMAIL", "v1", "c2", "tX"),
+        ("2026-01-01 00:00:04", "EMAIL", "v2", "c3", "tA"),
+        ("2026-01-01 00:00:05", "EMAIL", "v2", "c3", "tB"),
+        # window 1: v1/tX appears again but in ONE scope -> no breach
+        # (within-window dup scope, pinned)
+        ("2026-01-01 00:01:10", "EMAIL", "v1", "c1", "tX"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ts_s string, info_type string, value_hash string, "
+        "scope string, token string",
+    ).selectExpr("CAST(ts_s AS timestamp) AS ts", "info_type",
+                 "value_hash", "scope", "token")
+    out = {
+        (str(r["window_start"]), r["contract"]): r
+        for r in token_scope_monitor(df).collect()
+    }
+    w0 = "2026-01-01 00:00:00"
+    iso = out[(w0, "isolation")]
+    # (value, token) pairs in w0: (v0,t0) (v1,tX) (v2,tA) (v2,tB)
+    assert (iso["n_groups"], iso["n_breached"], iso["n_combos"]) == (4, 1, 5)
+    con = out[(w0, "consistency")]
+    # (value, scope) pairs in w0: (v0,c1) (v1,c1) (v1,c2) (v2,c3)
+    assert (con["n_groups"], con["n_breached"], con["n_combos"]) == (4, 1, 5)
+    w1 = "2026-01-01 00:01:00"
+    assert out[(w1, "isolation")]["n_breached"] == 0
+    assert out[(w1, "consistency")]["n_breached"] == 0
