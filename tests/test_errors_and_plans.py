@@ -524,3 +524,39 @@ def test_completeness_monitor_nonplain_column_names(spark):
         completeness_monitor(df, ["content-type", "content-type"])
     with pytest.raises(ValueError):
         duckdb_completeness_sql("b", [])
+
+
+def test_token_scope_ops_plan_shapes(spark):
+    """q133/q134: the audit is join + two partial-agg groupBys, the
+    monitor is a stateless fan-out + three window groupBys — pure
+    codegen, no Python node anywhere, and every aggregate exchange
+    carries map-side partials (partial_count before the shuffle)."""
+    from auto_data_tokenize_spark.operators.tokenize import (
+        token_scope_audit,
+        token_scope_monitor,
+    )
+
+    det = spark.createDataFrame(
+        [("c1", 0, "EMAIL", 0, 2, "t1")],
+        "conv_id string, turn_idx int, info_type string, "
+        "start int, end int, token string",
+    )
+    tr = spark.createDataFrame(
+        [("c1", 0, "ab")], "conv_id string, turn_idx int, text string"
+    )
+    plan = _executed(token_scope_audit(det, tr))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                "CartesianProduct"):
+        assert bad not in plan, plan
+
+    ev = spark.createDataFrame(
+        [("2026-01-01 00:00:01", "EMAIL", "v", "c1", "t1")],
+        "ts_s string, info_type string, value_hash string, "
+        "scope string, token string",
+    ).selectExpr("CAST(ts_s AS timestamp) AS ts", "info_type",
+                 "value_hash", "scope", "token")
+    plan = _executed(token_scope_monitor(ev))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                "Join"):
+        assert bad not in plan, plan
+    assert "partial_count" in plan, plan
