@@ -214,3 +214,127 @@ def flatten_avro_json(record: dict, schema: dict | str) -> FlatRecord:
 
     convert_record(record, schema, ROOT, ROOT)
     return out
+
+
+# --------------------------------------------------------------------------
+# JDBC / DataFrame → Avro-JSON (the reference's JdbcIO conversion shape)
+# --------------------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    "byte": "int",
+    "short": "int",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-millis"},
+}
+
+
+def spark_schema_to_avro(
+    schema,
+    name: str = "topLevelRecord",
+    overrides: dict | None = None,
+    not_null: set[str] | frozenset[str] = frozenset(),
+) -> dict:
+    """A Spark ``StructType`` as the Avro record the reference's JDBC
+    path fabricates (``Contacts5kSql_avro_schema.json``: record name
+    ``topLevelRecord``, per-column ``"doc": ""``, nullable columns as
+    ``["null", T]`` unions, NOT-NULL columns bare — which is exactly
+    why its goldens show ``$.id`` without a branch suffix but
+    ``$.salary.double`` with one). Temporal columns carry Avro logical
+    types (date / timestamp-millis); ``overrides`` swaps a column's
+    non-null branch for JDBC types Spark widens away (e.g. SQL TIME
+    arrives as timestamp — pass ``{"t": {"type": "int", "logicalType":
+    "time-millis"}}`` to restore the reference's ``.int`` branch).
+
+    ``not_null`` marks columns bare (non-union) — needed for JDBC
+    DataFrames because Spark's reader deliberately reports every JDBC
+    column nullable; feed it
+    :func:`~auto_data_tokenize_spark.sources.readers.jdbc_not_null_columns`,
+    the database's own metadata (the source the reference's JdbcIO
+    reads)."""
+    overrides = overrides or {}
+    fields = []
+    for f in schema.fields:
+        key = f.dataType.typeName()
+        if key in overrides or f.name in overrides:
+            t = overrides.get(f.name, overrides.get(key))
+        elif key in _SPARK_TO_AVRO:
+            t = _SPARK_TO_AVRO[key]
+        else:
+            raise ValueError(
+                f"unsupported Spark type {key!r} for column {f.name!r}"
+            )
+        nullable = f.nullable and f.name not in not_null
+        fields.append(
+            {"name": f.name, "type": ["null", t] if nullable else t,
+             "doc": ""}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _avro_json_value(value, t) -> Any:
+    """One JVM-side value → its Avro-JSON form under branch type
+    ``t`` (millis conventions match the reference's JdbcIO goldens:
+    DATE → epoch days, TIMESTAMP → epoch millis of the wall-clock
+    value read as UTC, TIME → millis of day)."""
+    import calendar
+    import datetime as _dt
+
+    logical = t.get("logicalType") if isinstance(t, dict) else None
+    base = t["type"] if isinstance(t, dict) else t
+    if logical == "date":
+        return (value - _dt.date(1970, 1, 1)).days
+    if logical == "time-millis":
+        tod = value.time() if isinstance(value, _dt.datetime) else value
+        return (
+            (tod.hour * 3600 + tod.minute * 60 + tod.second) * 1000
+            + tod.microsecond // 1000
+        )
+    if logical == "timestamp-millis":
+        return (
+            calendar.timegm(value.timetuple()) * 1000
+            + value.microsecond // 1000
+        )
+    if base in ("int", "long"):
+        return int(value)
+    if base in ("float", "double"):
+        return float(value)
+    if base == "boolean":
+        return bool(value)
+    if base == "string":
+        return str(value)
+    if base == "bytes":
+        return bytes(value).decode("latin-1")
+    raise ValueError(f"unsupported Avro branch {t!r}")
+
+
+def row_to_avro_json(row: dict, avro_schema: dict) -> dict:
+    """One row (``Row.asDict()``) as the Avro-JSON record encoding the
+    flattener consumes: nullable-union values wrapped as
+    ``{branchName: v}`` (spec interchange form), NULLs bare, NOT-NULL
+    columns unwrapped. Feed the result to :func:`flatten_avro_json`
+    with :func:`spark_schema_to_avro`'s schema to reproduce the
+    reference's JDBC FlatRecords byte-for-byte
+    (``jdbc_flatrecords/*.textpb``)."""
+    out = {}
+    for f in avro_schema["fields"]:
+        v = row.get(f["name"])
+        t = f["type"]
+        if isinstance(t, list):  # ["null", T]
+            if v is None:
+                out[f["name"]] = None
+                continue
+            branch = t[1]
+            bname = (
+                branch["type"] if isinstance(branch, dict) else branch
+            )
+            out[f["name"]] = {bname: _avro_json_value(v, branch)}
+        else:
+            out[f["name"]] = _avro_json_value(v, t)
+    return out

@@ -175,3 +175,38 @@ def build_jdbc_query(
     if filter_clause:
         out += f" WHERE {filter_clause}"
     return out
+
+
+def jdbc_not_null_columns(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    **props: str,
+) -> set[str]:
+    """NOT-NULL column names straight from JDBC ``DatabaseMetaData`` —
+    Spark's JDBC reader deliberately marks every column nullable
+    (pushdown under outer joins may inject NULLs), so the schema
+    nullability the reference's JdbcIO reads from the database
+    (its ``$.id`` vs ``$.salary.double`` flat-key split) must come
+    from the metadata, not the DataFrame. One driver-side metadata
+    call; no data moves."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    p = jvm.java.util.Properties()
+    for k, v in props.items():
+        p.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, p)
+    try:
+        rs = conn.getMetaData().getColumns(
+            None, None, table.strip('"'), None
+        )
+        out: set[str] = set()
+        while rs.next():
+            if rs.getString("IS_NULLABLE") == "NO":
+                out.add(rs.getString("COLUMN_NAME"))
+        rs.close()
+        return out
+    finally:
+        conn.close()

@@ -136,3 +136,189 @@ def test_float32_widening_matches_java_float_semantics():
     }
     got = flatten_avro_json({"f": 3.14}, schema)
     assert got["values"]["$.f"]["float_value"] == 3.140000104904175
+
+
+# --------------------------------------------------------------------------
+# JDBC → FlatRecord parity against the reference's jdbc_flatrecords goldens
+# --------------------------------------------------------------------------
+
+
+def _unquote_proto(quoted: str) -> str:
+    """Textproto string literal incl. octal byte escapes (the goldens
+    encode UTF-8 as \\NNN octal runs, which JSON's grammar lacks)."""
+    body = quoted[1:-1]
+    buf = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\":
+            buf.extend(c.encode("utf-8"))
+            i += 1
+            continue
+        n = body[i + 1]
+        if n in "01234567":
+            buf.append(int(body[i + 1:i + 4], 8))
+            i += 4
+        elif n == "n":
+            buf.append(0x0A)
+            i += 2
+        elif n == "t":
+            buf.append(0x09)
+            i += 2
+        else:  # \" \\ and friends
+            buf.extend(n.encode("utf-8"))
+            i += 2
+    return buf.decode("utf-8")
+
+
+def _parse_textpb_bytes(path: str) -> dict:
+    text = open(path, encoding="utf-8").read()
+    out = {"values": {}, "flat_key_schema": {}}
+    for kind, body in re.findall(
+        r"(flat_key_schema|values)\s*\{(.*?)\n\}", text, re.S
+    ):
+        key = _unquote_proto(
+            re.search(r'key:\s*(".*?(?<!\\)")', body).group(1)
+        )
+        if kind == "flat_key_schema":
+            out["flat_key_schema"][key] = _unquote_proto(
+                re.search(r'value:\s*(".*?(?<!\\)")', body).group(1)
+            )
+            continue
+        value: dict = {}
+        m = re.search(r'string_value:\s*(".*?(?<!\\)")', body)
+        if m:
+            value = {"string_value": _unquote_proto(m.group(1))}
+        m = re.search(r"integer_value:\s*(-?\d+)", body)
+        if m:
+            value = {"integer_value": int(m.group(1))}
+        m = re.search(r"float_value:\s*(-?[\d.eE+-]+)", body)
+        if m:
+            value = {"float_value": float(m.group(1))}
+        out["values"][key] = value
+    return out
+
+
+def _derby_exec(spark, url: str, stmts: list[str]) -> None:
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for s in stmts:
+            st.executeUpdate(s)
+        st.close()
+    finally:
+        conn.close()
+
+
+def _derby_ok(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.jdbc.EmbeddedDriver"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_jdbc_flat_records_match_reference_goldens(spark, tmp_path):
+    """The reference's JdbcIO path (db_init_scripts/
+    simple_flat_records.sql → jdbc_flatrecords/record_{1,2,3}.textpb)
+    reproduced over embedded Derby: same rows (incl. the Devanagari /
+    CJK regional names), read through read_jdbc, schema fabricated by
+    spark_schema_to_avro (NOT-NULL id stays bare — `$.id`; nullable
+    columns grow `.string` / `.double` / `.int` / `.long` branch
+    keys), values Avro-JSON-encoded and flattened — equal to all
+    three published goldens field-for-field."""
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.sources.flat_record import (
+        flatten_avro_json,
+        row_to_avro_json,
+        spark_schema_to_avro,
+    )
+    from auto_data_tokenize_spark.sources.readers import (
+        jdbc_not_null_columns,
+        read_jdbc,
+    )
+
+    if not _derby_ok(spark):
+        _pytest.skip("derby jar not on the Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/fr_db;create=true"
+    _derby_exec(spark, url, [
+        'CREATE TABLE "SimpleFlatRecords" ('
+        '"id" INTEGER NOT NULL PRIMARY KEY, "name" VARCHAR(100), '
+        '"regional_name" VARCHAR(50), "salary" DOUBLE, '
+        '"birth_date" DATE, "last_signin_timestamp" TIMESTAMP)',
+        'INSERT INTO "SimpleFlatRecords" VALUES '
+        "(1, 'Test User1', 'टेस्ट "
+        "यूजर1', 123.2453, '2000-05-11', "
+        "'2021-05-11 23:55:00'), "
+        "(2, 'Test User2', '测试用户2', 456.7896, "
+        "'2001-06-12', '2020-05-11 13:55:00'), "
+        "(3, 'Test User3', '「テストユー"
+        "ザー」3', 789.1225, '2002-07-13', "
+        "'2019-07-15 12:55:00')",
+    ])
+    df = read_jdbc(
+        spark, url, table='"SimpleFlatRecords"',
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    avsc = spark_schema_to_avro(
+        df.schema,
+        not_null=jdbc_not_null_columns(
+            spark, url, "SimpleFlatRecords",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        ),
+    )
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    for i, row in enumerate(rows, start=1):
+        got = flatten_avro_json(row_to_avro_json(row.asDict(), avsc), avsc)
+        want = _parse_textpb_bytes(
+            f"{REF}jdbc_flatrecords/record_{i}.textpb"
+        )
+        assert dict(got) == want, f"record_{i}"
+
+
+def test_jdbc_time_fields_match_reference_golden(spark, tmp_path):
+    """date_time_fields_flatrecords.textpb over embedded Derby: DATE →
+    epoch-day ints, TIMESTAMP/DATETIME → epoch-milli longs, TIME →
+    millis-of-day via the time-millis override (Spark's JDBC reader
+    widens SQL TIME to timestamp; MySQL YEAR is modeled as the
+    reference renders it — the year's first epoch day)."""
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.sources.flat_record import (
+        flatten_avro_json,
+        row_to_avro_json,
+        spark_schema_to_avro,
+    )
+    from auto_data_tokenize_spark.sources.readers import read_jdbc
+
+    if not _derby_ok(spark):
+        _pytest.skip("derby jar not on the Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/tf_db;create=true"
+    _derby_exec(spark, url, [
+        'CREATE TABLE "TableWithTimeFields" ('
+        '"date_field" DATE, "time_field" TIME, '
+        '"datetime_field" TIMESTAMP, "timestamp_field" TIMESTAMP, '
+        '"year_field" DATE)',
+        'INSERT INTO "TableWithTimeFields" VALUES '
+        "('2021-12-12', '10:11:30', '2021-12-12 10:11:30', "
+        "'2021-12-12 10:11:30', '2021-01-01')",
+    ])
+    df = read_jdbc(
+        spark, url, table='"TableWithTimeFields"',
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    avsc = spark_schema_to_avro(
+        df.schema,
+        overrides={
+            "time_field": {"type": "int", "logicalType": "time-millis"}
+        },
+    )
+    row = df.collect()[0]
+    got = flatten_avro_json(row_to_avro_json(row.asDict(), avsc), avsc)
+    want = _parse_textpb_bytes(
+        f"{REF}jdbc_flatrecords/date_time_fields_flatrecords.textpb"
+    )
+    assert dict(got) == want
