@@ -127,3 +127,49 @@ def write_errors(bad: DataFrame, report_dir: str) -> str:
     p = os.path.join(report_dir, "error")
     bad.write.mode("overwrite").json(p)
     return p
+
+
+def findings_to_column_infos(
+    findings: list[dict], flat_key_schema: dict[str, str] | None = None
+) -> list[dict]:
+    """DLP inspection findings → per-column info-type counts — the
+    FindingsTranslateFn + per-column count stage of the reference's
+    inspection pipeline (DlpBatchInspect.java:84,125-134: each
+    finding's ``recordLocation.fieldId.name`` is the flat key sent as
+    a table header; the batch's flat-key → schema-key map folds array
+    indices back onto ONE schema column, then findings count per
+    (column, info_type)). Proven as a closed chain on the reference's
+    own published response/report pairs
+    (``nested_repeated_avro_fields_inspection_response.json`` →
+    ``nested_repeated_avro_fields_dlp_report.json`` and
+    ``inspection_results.json`` → ``dlp_report.json``) in
+    tests/test_report_io.py.
+
+    ``findings`` are proto3-JSON finding dicts (the
+    ``result.findings`` list of an InspectContentResponse); keys
+    absent from ``flat_key_schema`` pass through unchanged. Returns
+    rows in :func:`inspection_report_json`'s input shape. Driver-side
+    by design: responses arrive per RPC batch, bounded by the 50k-cell
+    DLP cap, never corpus-sized."""
+    flat_key_schema = flat_key_schema or {}
+    counts: dict[tuple[str, str], int] = {}
+    for f in findings:
+        locs = f.get("location", {}).get("contentLocations", [])
+        if not locs:
+            continue
+        flat_key = (
+            locs[0].get("recordLocation", {}).get("fieldId", {}).get("name")
+        )
+        if not flat_key:
+            continue
+        col = flat_key_schema.get(flat_key, flat_key)
+        it = f.get("infoType", {}).get("name")
+        if not it:
+            continue
+        counts[(col, it)] = counts.get((col, it), 0) + 1
+    cols: dict[str, list[dict]] = {}
+    for (col, it), n in counts.items():
+        cols.setdefault(col, []).append({"info_type": it, "count": n})
+    return [
+        {"column_name": c, "info_types": its} for c, its in cols.items()
+    ]

@@ -194,3 +194,70 @@ def test_inspection_report_json_matches_reference_golden_shape():
     assert json.dumps(got, sort_keys=True) == json.dumps(
         want, sort_keys=True
     )
+
+
+def test_findings_to_report_closes_nested_repeated_chain():
+    """Full published chain: the reference's recorded DLP response
+    (nested_repeated_avro_fields_inspection_response.json, 300
+    findings over dot-indexed flat keys) through the flat-key →
+    schema-key fold and the report serializer equals its published
+    report byte-for-byte."""
+    import json
+
+    from auto_data_tokenize_spark.operators.report_io import (
+        findings_to_column_infos,
+        inspection_report_json,
+    )
+
+    ref = "/root/reference/src/test/resources/"
+    with open(ref + "nested_repeated_avro_fields_inspection_response.json") as f:
+        findings = json.load(f)["result"]["findings"]
+    mapping = {
+        "$.contacts.0.contact.number": (
+            "$.kylosample.contacts.contact.number"
+        ),
+        "$.contacts.1.contact.number": (
+            "$.kylosample.contacts.contact.number"
+        ),
+        "$.name": "$.kylosample.name",
+    }
+    got = inspection_report_json(
+        100, findings_to_column_infos(findings, mapping)
+    )
+    with open(
+        ref + "nested_repeated_avro_fields_dlp_report.json"
+    ) as f:
+        assert got == json.load(f)
+
+
+def test_findings_to_report_closes_sample_csv_chain():
+    """Second published chain: inspection_results.json (the sample-csv
+    response: 803 findings, multi-infoType columns, an email column
+    with a stray PERSON_NAME hit) folds to dlp_report.json's
+    columnsInformation exactly. Only that field plus sampleSize are
+    compared — the reference artifact renders the empty file message
+    as snake_case ``file_information`` (a proto-name rendering quirk
+    of that one golden), unlike the camelCase the proto3-JSON printer
+    and its other golden use."""
+    import json
+
+    from auto_data_tokenize_spark.operators.report_io import (
+        findings_to_column_infos,
+        inspection_report_json,
+    )
+
+    ref = "/root/reference/src/test/resources/"
+    with open(ref + "inspection_results.json") as f:
+        findings = json.load(f)["result"]["findings"]
+    cols = [
+        "birthdate", "cc", "email", "first_name", "ip_address",
+        "last_name", "registration_dttm",
+    ]
+    mapping = {f"$.{c}": f"$.kylosample.{c}" for c in cols}
+    got = inspection_report_json(
+        100, findings_to_column_infos(findings, mapping)
+    )
+    with open(ref + "dlp_report.json") as f:
+        want = json.load(f)
+    assert got["sampleSize"] == want["sampleSize"]
+    assert got["columnsInformation"] == want["columnsInformation"]
