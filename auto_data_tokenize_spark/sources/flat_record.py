@@ -240,6 +240,7 @@ def spark_schema_to_avro(
     name: str = "topLevelRecord",
     overrides: dict | None = None,
     not_null: set[str] | frozenset[str] = frozenset(),
+    varchar_sizes: dict | None = None,
 ) -> dict:
     """A Spark ``StructType`` as the Avro record the reference's JDBC
     path fabricates (``Contacts5kSql_avro_schema.json``: record name
@@ -257,13 +258,25 @@ def spark_schema_to_avro(
     column nullable; feed it
     :func:`~auto_data_tokenize_spark.sources.readers.jdbc_not_null_columns`,
     the database's own metadata (the source the reference's JdbcIO
-    reads)."""
+    reads).
+
+    ``varchar_sizes`` maps character columns to their declared width
+    (``jdbc_column_meta``'s ``varchar_length``); such columns render
+    as ``{"type": "string", "logicalType": "varchar", "maxLength":
+    N}`` — the shape ``Contacts5kSql_avro_schema.json`` pins."""
     overrides = overrides or {}
+    varchar_sizes = varchar_sizes or {}
     fields = []
     for f in schema.fields:
         key = f.dataType.typeName()
         if key in overrides or f.name in overrides:
             t = overrides.get(f.name, overrides.get(key))
+        elif key == "string" and varchar_sizes.get(f.name) is not None:
+            t = {
+                "type": "string",
+                "logicalType": "varchar",
+                "maxLength": int(varchar_sizes[f.name]),
+            }
         elif key in _SPARK_TO_AVRO:
             t = _SPARK_TO_AVRO[key]
         else:

@@ -210,3 +210,45 @@ def jdbc_not_null_columns(
         return out
     finally:
         conn.close()
+
+
+def jdbc_column_meta(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    **props: str,
+) -> dict[str, dict]:
+    """Per-column JDBC ``DatabaseMetaData``: ``{"not_null": bool,
+    "varchar_length": int | None}`` — the character-width and
+    nullability facts Spark's JDBC schema drops but the reference's
+    Avro fabrication keeps (its ``Contacts5kSql_avro_schema.json``
+    renders text columns as ``{"type": "string", "logicalType":
+    "varchar", "maxLength": N}``). One driver-side metadata call."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    p = jvm.java.util.Properties()
+    for k, v in props.items():
+        p.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, p)
+    try:
+        rs = conn.getMetaData().getColumns(
+            None, None, table.strip('"'), None
+        )
+        out: dict[str, dict] = {}
+        char_types = {"VARCHAR", "CHAR", "LONGVARCHAR", "TEXT", "CLOB"}
+        while rs.next():
+            tname = (rs.getString("TYPE_NAME") or "").upper()
+            out[rs.getString("COLUMN_NAME")] = {
+                "not_null": rs.getString("IS_NULLABLE") == "NO",
+                "varchar_length": (
+                    int(rs.getInt("COLUMN_SIZE"))
+                    if any(t in tname for t in char_types)
+                    else None
+                ),
+            }
+        rs.close()
+        return out
+    finally:
+        conn.close()

@@ -322,3 +322,51 @@ def test_jdbc_time_fields_match_reference_golden(spark, tmp_path):
         f"{REF}jdbc_flatrecords/date_time_fields_flatrecords.textpb"
     )
     assert dict(got) == want
+
+
+def test_jdbc_avro_schema_matches_contacts5k_golden(spark, tmp_path):
+    """The fabricated JDBC Avro schema equals the reference's own
+    Contacts5kSql_avro_schema.json (DlpInspectionPipelineTest's MySQL
+    case) when the contacts table is replayed in Derby with the same
+    character width the reference's TEXT columns surfaced (16383
+    utf8mb4 chars): nullable ["null", T] unions, empty docs, and
+    varchar logicalType + maxLength from the database metadata."""
+    import json
+
+    import pytest as _pytest
+
+    from auto_data_tokenize_spark.sources.flat_record import (
+        spark_schema_to_avro,
+    )
+    from auto_data_tokenize_spark.sources.readers import (
+        jdbc_column_meta,
+        read_jdbc,
+    )
+
+    if not _derby_ok(spark):
+        _pytest.skip("derby jar not on the Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/c5k_db;create=true"
+    _derby_exec(spark, url, [
+        'CREATE TABLE "Contacts" ('
+        '"row_id" INTEGER, "person_name" VARCHAR(16383), '
+        '"contact_type" VARCHAR(16383), "contact_number" VARCHAR(16383))',
+        'INSERT INTO "Contacts" VALUES '
+        "(1, 'sunny meet', 'WORK', '(559)458-7172')",
+    ])
+    df = read_jdbc(
+        spark, url, table='"Contacts"',
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    meta = jdbc_column_meta(
+        spark, url, "Contacts",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    got = spark_schema_to_avro(
+        df.schema,
+        not_null={c for c, m in meta.items() if m["not_null"]},
+        varchar_sizes={c: m["varchar_length"] for c, m in meta.items()},
+    )
+    with open(
+        f"{REF}Contacts5kSql_avro_schema.json"
+    ) as f:
+        assert got == json.load(f)
