@@ -3900,10 +3900,15 @@ def q134_stream_token_scope_monitor(
     def md5(s: str) -> str:
         return hashlib.md5(s.encode("utf-8")).hexdigest()
 
+    from auto_data_tokenize_spark import datagen
+
     base = tempfile.mkdtemp(prefix="adt_q134_")
     try:
-        det = pd.read_parquet(os.path.join(sf_dir, "detections.parquet"))
-        tr = pd.read_parquet(os.path.join(sf_dir, "transcripts.parquet"))[
+        # detections/transcripts are datagen fixtures (the oracle reads
+        # the same REPO/data/<sf> paths), not driver sf_dir tables
+        dd = datagen.ensure_sf(_sf_name(sf_dir))
+        det = pd.read_parquet(os.path.join(dd, "detections.parquet"))
+        tr = pd.read_parquet(os.path.join(dd, "transcripts.parquet"))[
             ["conv_id", "turn_idx", "text"]
         ]
         f = det.merge(tr, on=["conv_id", "turn_idx"], how="inner")

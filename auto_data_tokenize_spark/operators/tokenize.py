@@ -712,10 +712,14 @@ def token_scope_audit(
     Returns one row per info_type:
       ``n_values`` distinct clear values detected,
       ``value_conv_pairs`` distinct (value, conv) pairs,
-      ``isolated_values`` values whose distinct-token count equals
-      their conversation count (scope isolation held),
+      ``isolated_values`` values none of whose tokens appear in more
+      than one conversation — distinct (conv, token) pairs equal
+      distinct tokens, so no token links conversations (a value may
+      simultaneously breach consistency; that never masks a linking
+      token here),
       ``conv_consistent_values`` values with exactly one token per
-      conversation.
+      conversation (distinct (conv, token) pairs equal the
+      conversation count).
 
     100 TB shape: one equi-join on the transcript key (no text is ever
     collected), then two partial-agg groupBys — value-level first,
@@ -742,7 +746,7 @@ def token_scope_audit(
         F.count(F.lit(1)).alias("n_values"),
         F.sum("n_convs").cast("long").alias("value_conv_pairs"),
         F.sum(
-            (F.col("n_tokens") == F.col("n_convs")).cast("long")
+            (F.col("n_scope_tokens") == F.col("n_tokens")).cast("long")
         ).alias("isolated_values"),
         F.sum(
             (F.col("n_scope_tokens") == F.col("n_convs")).cast("long")
@@ -773,7 +777,7 @@ def duckdb_token_scope_audit_sql(det: str, tr: str) -> str:
         SELECT info_type,
                CAST(COUNT(*) AS BIGINT) AS n_values,
                CAST(SUM(n_convs) AS BIGINT) AS value_conv_pairs,
-               CAST(SUM(CASE WHEN n_tokens = n_convs THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(SUM(CASE WHEN n_scope_tokens = n_tokens THEN 1 ELSE 0 END) AS BIGINT)
                  AS isolated_values,
                CAST(SUM(CASE WHEN n_scope_tokens = n_convs THEN 1 ELSE 0 END) AS BIGINT)
                  AS conv_consistent_values

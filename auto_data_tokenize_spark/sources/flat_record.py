@@ -83,6 +83,46 @@ def _full_name(t: Any, names: dict) -> str:
     return _kind(t, names)
 
 
+def _inherit_namespaces(t: Any, ns: str | None) -> Any:
+    """Avro-spec namespace inheritance (schema resolution §Names): a
+    named type without its own ``namespace`` lives in the ENCLOSING
+    definition's namespace — Java ``Schema.getFullName()`` (the name
+    the reference puts in union-branch path segments and schema keys,
+    GenericRecordFlattener.java:173,213) reflects that. Rewrite the
+    schema once so every named type carries its namespace explicitly;
+    a dotted ``name`` is already a fullname and wins over any
+    ``namespace`` attribute."""
+    if isinstance(t, list):
+        return [_inherit_namespaces(b, ns) for b in t]
+    if not isinstance(t, dict):
+        return t
+    t = dict(t)
+    here = ns
+    if t.get("name") and t.get("type") in ("record", "enum", "fixed"):
+        if "." in t["name"]:
+            here = t["name"].rsplit(".", 1)[0]
+            t.pop("namespace", None)
+        elif t.get("namespace"):
+            here = t["namespace"]
+        elif ns:
+            t["namespace"] = ns
+            here = ns
+        else:
+            here = None
+    if t.get("type") == "record":
+        t["fields"] = [
+            dict(f, type=_inherit_namespaces(f["type"], here))
+            for f in t.get("fields", [])
+        ]
+    elif t.get("type") == "array":
+        t["items"] = _inherit_namespaces(t["items"], here)
+    elif t.get("type") == "map":
+        t["values"] = _inherit_namespaces(t["values"], here)
+    elif isinstance(t.get("type"), (dict, list)):
+        t["type"] = _inherit_namespaces(t["type"], here)
+    return t
+
+
 def _collect_names(t: Any, names: dict) -> None:
     if isinstance(t, list):
         for b in t:
@@ -123,6 +163,7 @@ def flatten_avro_json(record: dict, schema: dict | str) -> FlatRecord:
     reference's FlatRecord maps."""
     if isinstance(schema, str):
         schema = json.loads(schema)
+    schema = _inherit_namespaces(schema, None)
     names: dict = {}
     _collect_names(schema, names)
     out = FlatRecord(values={}, flat_key_schema={})
@@ -194,15 +235,24 @@ def flatten_avro_json(record: dict, schema: dict | str) -> FlatRecord:
         non_null = branches[1]
         branch_name = _full_name(non_null, names)
         # Avro JSON wraps non-null union values as {"branchName": v};
-        # accept both wrapped and bare (already-unwrapped) forms
+        # accept both wrapped and bare (already-unwrapped) forms. A
+        # record branch is only unwrapped when the inner value is a
+        # JSON object — otherwise a BARE record whose single field
+        # happens to share the branch's name (a contacts/contact
+        # shape) would be misread as the wrapper and crash downstream
+        branch_is_record = _kind(non_null, names) == "record"
         if isinstance(value, dict) and set(value) == {branch_name}:
-            value = value[branch_name]
+            inner = value[branch_name]
+            if not branch_is_record or isinstance(inner, dict):
+                value = inner
         elif (
             isinstance(value, dict)
             and len(value) == 1
             and next(iter(value)) == branch_name.rsplit(".", 1)[-1]
         ):
-            value = next(iter(value.values()))
+            inner = next(iter(value.values()))
+            if not branch_is_record or isinstance(inner, dict):
+                value = inner
         process(value, non_null, bare_key, branch_name, schema_key)
 
     def convert_record(rec, rs, parent_key, parent_schema_key):
@@ -279,6 +329,8 @@ def spark_schema_to_avro(
             }
         elif key in _SPARK_TO_AVRO:
             t = _SPARK_TO_AVRO[key]
+            if isinstance(t, dict):
+                t = dict(t)  # never alias the module table into results
         else:
             raise ValueError(
                 f"unsupported Spark type {key!r} for column {f.name!r}"

@@ -43,30 +43,6 @@ def read_source(
     **options,
 ) -> DataFrame:
     """Source-type dispatch table (TransformingReader.java:221-236)."""
-    return _read_source_impl(spark, source_type, path, **options)
-
-
-def csv_avro_schema(headers: list[str]) -> dict:
-    """The synthetic all-string Avro record the reference fabricates
-    for CSV sources (CsvRowFlatRecordConvertors.makeCsvAvroSchema,
-    :113-125): record ``CsvRecord`` with doc
-    ``"CsvRecord created by auto-data-tokenize"`` and one string field
-    per header, in order. Golden-pinned against the reference's own
-    ``five_column_csv_schema.json``."""
-    return {
-        "type": "record",
-        "name": "CsvRecord",
-        "doc": "CsvRecord created by auto-data-tokenize",
-        "fields": [{"name": h, "type": "string"} for h in headers],
-    }
-
-
-def _read_source_impl(
-    spark: SparkSession,
-    source_type: str,
-    path: str | None = None,
-    **options,
-) -> DataFrame:
     st = source_type.upper()
     if st in ("PARQUET", "PARQUET_FILE"):
         return spark.read.parquet(path)
@@ -101,6 +77,21 @@ def _read_source_impl(
     if st in ("JDBC_TABLE", "JDBC_QUERY"):
         return read_jdbc(spark, **options)
     raise ValueError(f"unsupported source type: {source_type}")
+
+
+def csv_avro_schema(headers: list[str]) -> dict:
+    """The synthetic all-string Avro record the reference fabricates
+    for CSV sources (CsvRowFlatRecordConvertors.makeCsvAvroSchema,
+    :113-125): record ``CsvRecord`` with doc
+    ``"CsvRecord created by auto-data-tokenize"`` and one string field
+    per header, in order. Golden-pinned against the reference's own
+    ``five_column_csv_schema.json``."""
+    return {
+        "type": "record",
+        "name": "CsvRecord",
+        "doc": "CsvRecord created by auto-data-tokenize",
+        "fields": [{"name": h, "type": "string"} for h in headers],
+    }
 
 
 def read_jdbc(
@@ -191,25 +182,8 @@ def jdbc_not_null_columns(
     (its ``$.id`` vs ``$.salary.double`` flat-key split) must come
     from the metadata, not the DataFrame. One driver-side metadata
     call; no data moves."""
-    jvm = spark._jvm
-    if driver:
-        jvm.java.lang.Class.forName(driver)
-    p = jvm.java.util.Properties()
-    for k, v in props.items():
-        p.setProperty(k, str(v))
-    conn = jvm.java.sql.DriverManager.getConnection(url, p)
-    try:
-        rs = conn.getMetaData().getColumns(
-            None, None, table.strip('"'), None
-        )
-        out: set[str] = set()
-        while rs.next():
-            if rs.getString("IS_NULLABLE") == "NO":
-                out.add(rs.getString("COLUMN_NAME"))
-        rs.close()
-        return out
-    finally:
-        conn.close()
+    meta = jdbc_column_meta(spark, url, table, driver=driver, **props)
+    return {c for c, m in meta.items() if m["not_null"]}
 
 
 def jdbc_column_meta(

@@ -165,6 +165,11 @@ def test_token_scope_audit_counts_violations(spark):
             ("c1", 1, "x bad y"),
             ("c2", 1, "x bad y"),
             ("c1", 2, "x flip y z x flip y"),
+            # "mask": the compensating double-breach — tA links c1/c2
+            # AND c1 carries a second token tB, so distinct tokens (2)
+            # equal distinct convs (2); the audit must still flag it
+            ("c1", 3, "x mask y z x mask y"),
+            ("c2", 3, "x mask y"),
         ],
         "conv_id string, turn_idx int, text string",
     )
@@ -176,10 +181,14 @@ def test_token_scope_audit_counts_violations(spark):
             # "bad": SAME token in both conversations -> isolation broken
             ("c1", 1, "EMAIL", 2, 5, "tSAME"),
             ("c2", 1, "EMAIL", 2, 5, "tSAME"),
-            # "flip": two different tokens within ONE conversation
-            # -> consistency broken (and n_tokens=2 != n_convs=1)
+            # "flip": two different tokens within ONE conversation ->
+            # consistency broken, but no token spans convs (isolated)
             ("c1", 2, "PHONE", 2, 6, "t1"),
             ("c1", 2, "PHONE", 13, 17, "t2"),
+            # "mask": (c1,tA) (c1,tB) (c2,tA) — tA links c1 and c2
+            ("c1", 3, "SSN", 2, 6, "tA"),
+            ("c1", 3, "SSN", 13, 17, "tB"),
+            ("c2", 3, "SSN", 2, 6, "tA"),
         ],
         "conv_id string, turn_idx int, info_type string, "
         "start int, end int, token string",
@@ -195,8 +204,12 @@ def test_token_scope_audit_counts_violations(spark):
     assert em["conv_consistent_values"] == 2   # both are 1-token-per-conv
     ph = rows["PHONE"]
     assert (ph["n_values"], ph["value_conv_pairs"]) == (1, 1)
-    assert ph["isolated_values"] == 0          # 2 tokens != 1 conv
+    assert ph["isolated_values"] == 1          # no token spans convs
     assert ph["conv_consistent_values"] == 0   # 2 tokens in one conv
+    sn = rows["SSN"]
+    assert (sn["n_values"], sn["value_conv_pairs"]) == (1, 2)
+    assert sn["isolated_values"] == 0          # tA links c1 and c2
+    assert sn["conv_consistent_values"] == 0   # c1 carries two tokens
 
 
 def test_token_scope_monitor_batch_semantics(spark):

@@ -19,10 +19,36 @@ from auto_data_tokenize_spark.sources.flat_record import flatten_avro_json
 REF = "/root/reference/src/test/resources/"
 
 
-def _unquote(s: str) -> str:
-    # textproto string: handle \" \\ and \uXXXX-style escapes via the
-    # JSON decoder (same escape grammar for the subset used here)
-    return json.loads(s)
+def _unquote_proto(quoted: str) -> str:
+    """Textproto string literal: \\" \\\\ \\n \\t, \\uXXXX, and octal
+    \\NNN byte runs (the goldens encode UTF-8 that way, which JSON's
+    escape grammar lacks)."""
+    body = quoted[1:-1]
+    buf = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\":
+            buf.extend(c.encode("utf-8"))
+            i += 1
+            continue
+        n = body[i + 1]
+        if n in "01234567":
+            buf.append(int(body[i + 1:i + 4], 8))
+            i += 4
+        elif n == "u":
+            buf.extend(chr(int(body[i + 2:i + 6], 16)).encode("utf-8"))
+            i += 6
+        elif n == "n":
+            buf.append(0x0A)
+            i += 2
+        elif n == "t":
+            buf.append(0x09)
+            i += 2
+        else:  # \" \\ and friends
+            buf.extend(n.encode("utf-8"))
+            i += 2
+    return buf.decode("utf-8")
 
 
 def _parse_textpb_flat_record(text: str) -> dict:
@@ -33,25 +59,25 @@ def _parse_textpb_flat_record(text: str) -> dict:
         r"(flat_key_schema|values)\s*\{(.*?)\n\}", re.S
     )
     for kind, body in block_re.findall(text):
-        key = _unquote(re.search(r'key:\s*(".*?(?<!\\)")', body).group(1))
+        key = _unquote_proto(
+            re.search(r'key:\s*(".*?(?<!\\)")', body).group(1)
+        )
         if kind == "flat_key_schema":
-            val = _unquote(
+            out["flat_key_schema"][key] = _unquote_proto(
                 re.search(r'value:\s*(".*?(?<!\\)")', body).group(1)
             )
-            out["flat_key_schema"][key] = val
             continue
-        vm = re.search(r"value\s*\{(.*)\}?", body, re.S).group(1)
         value: dict = {}
-        m = re.search(r'string_value:\s*(".*?(?<!\\)")', vm)
+        m = re.search(r'string_value:\s*(".*?(?<!\\)")', body)
         if m:
-            value = {"string_value": _unquote(m.group(1))}
-        m = re.search(r"integer_value:\s*(-?\d+)", vm)
+            value = {"string_value": _unquote_proto(m.group(1))}
+        m = re.search(r"integer_value:\s*(-?\d+)", body)
         if m:
             value = {"integer_value": int(m.group(1))}
-        m = re.search(r"float_value:\s*(-?[\d.eE+-]+)", vm)
+        m = re.search(r"float_value:\s*(-?[\d.eE+-]+)", body)
         if m:
             value = {"float_value": float(m.group(1))}
-        m = re.search(r"boolean_value:\s*(true|false)", vm)
+        m = re.search(r"boolean_value:\s*(true|false)", body)
         if m:
             value = {"boolean_value": m.group(1) == "true"}
         out["values"][key] = value
@@ -143,60 +169,9 @@ def test_float32_widening_matches_java_float_semantics():
 # --------------------------------------------------------------------------
 
 
-def _unquote_proto(quoted: str) -> str:
-    """Textproto string literal incl. octal byte escapes (the goldens
-    encode UTF-8 as \\NNN octal runs, which JSON's grammar lacks)."""
-    body = quoted[1:-1]
-    buf = bytearray()
-    i = 0
-    while i < len(body):
-        c = body[i]
-        if c != "\\":
-            buf.extend(c.encode("utf-8"))
-            i += 1
-            continue
-        n = body[i + 1]
-        if n in "01234567":
-            buf.append(int(body[i + 1:i + 4], 8))
-            i += 4
-        elif n == "n":
-            buf.append(0x0A)
-            i += 2
-        elif n == "t":
-            buf.append(0x09)
-            i += 2
-        else:  # \" \\ and friends
-            buf.extend(n.encode("utf-8"))
-            i += 2
-    return buf.decode("utf-8")
-
-
 def _parse_textpb_bytes(path: str) -> dict:
-    text = open(path, encoding="utf-8").read()
-    out = {"values": {}, "flat_key_schema": {}}
-    for kind, body in re.findall(
-        r"(flat_key_schema|values)\s*\{(.*?)\n\}", text, re.S
-    ):
-        key = _unquote_proto(
-            re.search(r'key:\s*(".*?(?<!\\)")', body).group(1)
-        )
-        if kind == "flat_key_schema":
-            out["flat_key_schema"][key] = _unquote_proto(
-                re.search(r'value:\s*(".*?(?<!\\)")', body).group(1)
-            )
-            continue
-        value: dict = {}
-        m = re.search(r'string_value:\s*(".*?(?<!\\)")', body)
-        if m:
-            value = {"string_value": _unquote_proto(m.group(1))}
-        m = re.search(r"integer_value:\s*(-?\d+)", body)
-        if m:
-            value = {"integer_value": int(m.group(1))}
-        m = re.search(r"float_value:\s*(-?[\d.eE+-]+)", body)
-        if m:
-            value = {"float_value": float(m.group(1))}
-        out["values"][key] = value
-    return out
+    with open(path, encoding="utf-8") as f:
+        return _parse_textpb_flat_record(f.read())
 
 
 def _derby_exec(spark, url: str, stmts: list[str]) -> None:
@@ -370,3 +345,52 @@ def test_jdbc_avro_schema_matches_contacts5k_golden(spark, tmp_path):
         f"{REF}Contacts5kSql_avro_schema.json"
     ) as f:
         assert got == json.load(f)
+
+
+def test_namespace_inheritance_uses_full_names():
+    """Avro-spec namespace inheritance: a nested named type without an
+    explicit namespace lives in the enclosing one, and the reference
+    keys use Java getFullName() (GenericRecordFlattener.java:173,213)
+    — branch segments and schema keys must carry com.x.Inner, and a
+    later full-name reference to the type must resolve."""
+    schema = {
+        "type": "record", "name": "Outer", "namespace": "com.x",
+        "fields": [
+            {"name": "u", "type": ["null", {
+                "type": "record", "name": "Inner",
+                "fields": [{"name": "a", "type": "string"}],
+            }]},
+            {"name": "again", "type": ["null", "com.x.Inner"]},
+        ],
+    }
+    got = flatten_avro_json(
+        {"u": {"com.x.Inner": {"a": "v1"}}, "again": None}, schema
+    )
+    assert got["values"] == {
+        '$.u.["com.x.Inner"].a': {"string_value": "v1"},
+        "$.again": {},
+    }
+    assert got["flat_key_schema"]['$.u.["com.x.Inner"].a'] == (
+        "$.com.x.Outer.u.com.x.Inner.a"
+    )
+
+
+def test_bare_record_with_self_named_field_not_misread_as_wrapper():
+    """A BARE union-record value whose single field shares the branch
+    name (the contacts/contact shape) must flatten as the record, not
+    be unwrapped as the spec wrapper; the wrapped spec form still
+    works."""
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "contact", "type": ["null", {
+            "type": "record", "name": "contact",
+            "fields": [{"name": "contact", "type": "string"}],
+        }]}],
+    }
+    want = {'$.contact.["contact"].contact': {"string_value": "555"}}
+    bare = flatten_avro_json({"contact": {"contact": "555"}}, schema)
+    assert bare["values"] == want
+    wrapped = flatten_avro_json(
+        {"contact": {"contact": {"contact": "555"}}}, schema
+    )
+    assert wrapped["values"] == want
