@@ -141,7 +141,10 @@ def scaling_run(sf_dir: str, cores_small: int, cores_big: int, replicate: int = 
             big = df
             for _ in range(replicate - 1):
                 big = big.unionAll(df)
-            sec = _timed(lambda big=big: _force(big))
+            # min-of-2 for the same reason tokenize_throughput is
+            # min-of-3: one shot swings on GC/JIT/background load, and a
+            # spike hitting only one level corrupts the efficiency ratio.
+            sec = min(_timed(lambda big=big: _force(big)) for _ in range(2))
             out[label] = {
                 "cores": cores,
                 "sec": sec,
