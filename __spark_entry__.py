@@ -3945,6 +3945,194 @@ def q134_stream_token_scope_monitor(
     return result
 
 
+# erasure-request slice: identities whose md5 starts with one of these
+# hex digits (~4/16 of subjects) file a right-to-be-forgotten request
+ERASE_DIGITS = ("0", "1", "2", "3")
+
+
+def _ext_detections(spark: SparkSession, sf_dir: str):
+    """Engine-computed extended detections + the extended transcript
+    table (the oracle reads the independently materialized pure-Python
+    goldens for the same fixture, so every downstream linkage query
+    also cross-checks the detector/tokenizer parity q58 pins)."""
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.functions.detectors import EXTENDED_INFO_TYPES
+    from auto_data_tokenize_spark.operators.identify import detections
+    from auto_data_tokenize_spark.sources.readers import read_transcripts
+
+    d = datagen.ensure_extended(_sf_name(sf_dir))
+    tr = read_transcripts(spark, os.path.join(d, "transcripts_ext.parquet"))
+    return detections(tr, info_types=EXTENDED_INFO_TYPES), tr
+
+
+def q135_entity_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy identity linkage (operators/linkage.py ed1_link_pairs):
+    every pair of distinct detected PERSON_NAME mentions within
+    Levenshtein distance 1, found via the pigeonhole-COMPLETE
+    prefix/suffix blocked self-join — never a brute-force cross join —
+    with the exact codegen ``levenshtein`` verify on candidates only.
+    The mention set is the detected names plus a deterministically
+    noised variant of each (middle character dropped — the OCR/typo
+    noise record linkage exists to absorb). The oracle recomputes the
+    SAME mention set and brute-forces all O(n^2) pairs in SQL, so hash
+    equality proves the blocking scheme loses no pair."""
+    from auto_data_tokenize_spark.operators.linkage import (
+        ed1_link_pairs,
+        normalize_identity,
+    )
+
+    det, tr = _ext_detections(spark, sf_dir)
+    spans = det.filter(F.col("info_type") == "PERSON_NAME").select(
+        "conv_id", "turn_idx", "start", "end"
+    )
+    names = (
+        spans.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .select(
+            normalize_identity(
+                F.expr("substring(text, start + 1, end - start)")
+            ).alias("name")
+        )
+        .distinct()
+    )
+    ln = F.length("name")
+    p = F.floor((ln + 1) / 2).cast("int")
+    variant = F.concat(
+        F.col("name").substr(F.lit(1), p - 1),
+        F.col("name").substr(p + 1, ln),
+    )
+    mentions = names.unionByName(
+        names.filter(ln > 1).select(variant.alias("name"))
+    )
+    return ed1_link_pairs(mentions).select("name_a", "name_b", "dist")
+
+
+def q136_subject_access_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR subject-access map (operators/linkage.py
+    subject_access_map): per exact normalized EMAIL_ADDRESS identity,
+    the conversations that mention it, mention count, and first/last
+    timestamps — the DSAR footprint the reference's per-column
+    inspection report cannot answer (it aggregates by column, not by
+    data subject). One span-to-text join + one partial-aggregated
+    groupBy keyed on the subject population."""
+    from auto_data_tokenize_spark.operators.linkage import subject_access_map
+
+    det, tr = _ext_detections(spark, sf_dir)
+    return subject_access_map(det, tr, info_type="EMAIL_ADDRESS").select(
+        "identity", "n_convs", "n_mentions", "convs", "first_seen", "last_seen"
+    )
+
+
+def q137_stream_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation as a live CDC flow: the
+    corpus arrives as keyed upsert rows (version 0) interleaved with
+    erasure requests; each request fans out through the static
+    identity index (identity -> conversations that mention it, a
+    stream-static join — the request side is human-driven and tiny) to
+    per-(conv_id, turn_idx) TOMBSTONES (version 1) through the
+    exactly-once upsert sink. The committed read resolves keys LSM-
+    style, so erased conversations vanish from reads regardless of
+    arrival order or micro-batch redelivery. Output: the surviving
+    turns; oracle: the batch anti-join twin."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark import datagen
+    from auto_data_tokenize_spark.operators.linkage import normalize_identity
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    det, tr = _ext_detections(spark, sf_dir)
+    idx = (
+        det.filter(F.col("info_type") == "EMAIL_ADDRESS")
+        .join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .select(
+            normalize_identity(
+                F.expr("substring(text, start + 1, end - start)")
+            ).alias("identity"),
+            "conv_id",
+        )
+        .distinct()
+    )
+    turns = tr.select("conv_id", "turn_idx").distinct()
+    # conv-level fan-out: erasing a subject tombstones EVERY turn of
+    # every conversation that mentions them
+    fanout = idx.join(turns, "conv_id").select("identity", "conv_id", "turn_idx")
+
+    d = datagen.ensure_extended(_sf_name(sf_dir))
+    base = tempfile.mkdtemp(prefix="adt_q137_")
+    try:
+        corpus = pd.read_parquet(
+            os.path.join(d, "transcripts_ext.parquet")
+        ).loc[:, ["conv_id", "turn_idx", "text"]]
+        rows = pd.DataFrame(
+            {
+                "kind": "row",
+                "conv_id": corpus["conv_id"].astype("string"),
+                "turn_idx": corpus["turn_idx"].astype("Int32"),
+                "text": corpus["text"].astype("string"),
+                "identity": pd.array([None] * len(corpus), dtype="string"),
+                "version": 0,
+                "dead": False,
+            }
+        )
+        req = (
+            idx.filter(
+                F.substring(F.md5("identity"), 1, 1).isin(*ERASE_DIGITS)
+            )
+            .select("identity")
+            .distinct()
+            .toPandas()
+        )
+        erase = pd.DataFrame(
+            {
+                "kind": "erase",
+                "conv_id": pd.array([None] * len(req), dtype="string"),
+                "turn_idx": pd.array([None] * len(req), dtype="Int32"),
+                "text": pd.array([None] * len(req), dtype="string"),
+                "identity": req["identity"].astype("string"),
+                "version": 1,
+                "dead": True,
+            }
+        )
+        feed = pd.concat([rows, erase], ignore_index=True)
+        feed["seq"] = range(len(feed))
+        staged = _stage_append_log(feed, f"{base}/in", order_col="seq")
+        st = _stream_files(
+            spark,
+            staged,
+            "kind string, conv_id string, turn_idx int, text string, "
+            "identity string, version long, dead boolean, seq long",
+        )
+        upserts = st.filter(F.col("kind") == "row").select(
+            "conv_id", "turn_idx", "text", "version", "dead"
+        )
+        tomb = (
+            st.filter(F.col("kind") == "erase")
+            .select("identity", "version", "dead")
+            .join(fanout, "identity")
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.lit(None).cast("string").alias("text"),
+                "version",
+                "dead",
+            )
+        )
+        sink = ExactlyOnceSink(
+            f"{base}/out",
+            key_cols=("conv_id", "turn_idx"),
+            version_col="version",
+            tombstone_col="dead",
+        )
+        result = _run_stream_to_sink(
+            spark, upserts.unionByName(tomb), base, sink=sink
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.select("conv_id", "turn_idx", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -4086,6 +4274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_token_scope_audit": _with_prep(q133_token_scope_audit),
         "q134_stream_token_scope_monitor": _with_prep(
             q134_stream_token_scope_monitor
+        ),
+        "q135_entity_link_pairs": _with_prep(q135_entity_link_pairs),
+        "q136_subject_access_map": _with_prep(q136_subject_access_map),
+        "q137_stream_erasure_propagation": _with_prep(
+            q137_stream_erasure_propagation
         ),
     }
 
@@ -6145,5 +6338,65 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT * FROM ({_duck_token_scope_monitor_sql("feed")}) m
             WHERE m.window_start + INTERVAL 1 MINUTE <=
                   (SELECT max(ts) - INTERVAL 30 SECOND FROM feed)
+        """,
+        # blocking-free O(n^2) twin: hash equality proves the Spark
+        # side's prefix/suffix pigeonhole blocking loses no pair
+        "q135_entity_link_pairs": f"""
+            WITH names0 AS (
+              SELECT DISTINCT regexp_replace(trim(lower(
+                       substr(t.text, d.start + 1, d."end" - d.start)
+                     )), '\\s+', ' ', 'g') AS name
+              FROM read_parquet('{dd}/detections_ext.parquet') d
+              JOIN read_parquet('{dd}/transcripts_ext.parquet') t
+                USING (conv_id, turn_idx)
+              WHERE d.info_type = 'PERSON_NAME'
+            ), noised AS (
+              SELECT regexp_replace(trim(lower(
+                       substr(name, 1, (length(name) + 1) // 2 - 1)
+                       || substr(name, (length(name) + 1) // 2 + 1)
+                     )), '\\s+', ' ', 'g') AS name
+              FROM names0 WHERE length(name) > 1
+            ), mentions AS (
+              SELECT name FROM names0 WHERE length(name) > 0
+              UNION
+              SELECT name FROM noised WHERE length(name) > 0
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   levenshtein(a.name, b.name)::INT AS dist
+            FROM mentions a JOIN mentions b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1
+        """,
+        "q136_subject_access_map": f"""
+            SELECT regexp_replace(trim(lower(
+                     substr(t.text, d.start + 1, d."end" - d.start)
+                   )), '\\s+', ' ', 'g') AS identity,
+                   count(DISTINCT d.conv_id) AS n_convs,
+                   count(*) AS n_mentions,
+                   list_sort(list(DISTINCT d.conv_id)) AS convs,
+                   min(d.ts) AS first_seen,
+                   max(d.ts) AS last_seen
+            FROM read_parquet('{dd}/detections_ext.parquet') d
+            JOIN read_parquet('{dd}/transcripts_ext.parquet') t
+              USING (conv_id, turn_idx)
+            WHERE d.info_type = 'EMAIL_ADDRESS'
+            GROUP BY 1
+        """,
+        "q137_stream_erasure_propagation": f"""
+            WITH idx AS (
+              SELECT DISTINCT regexp_replace(trim(lower(
+                       substr(t.text, d.start + 1, d."end" - d.start)
+                     )), '\\s+', ' ', 'g') AS identity,
+                     d.conv_id
+              FROM read_parquet('{dd}/detections_ext.parquet') d
+              JOIN read_parquet('{dd}/transcripts_ext.parquet') t
+                USING (conv_id, turn_idx)
+              WHERE d.info_type = 'EMAIL_ADDRESS'
+            ), erased AS (
+              SELECT DISTINCT conv_id FROM idx
+              WHERE substr(md5(identity), 1, 1) IN {ERASE_DIGITS!r}
+            )
+            SELECT t.conv_id, t.turn_idx, t.text
+            FROM read_parquet('{dd}/transcripts_ext.parquet') t
+            WHERE t.conv_id NOT IN (SELECT conv_id FROM erased)
         """,
     }
