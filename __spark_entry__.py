@@ -3976,34 +3976,11 @@ def q135_entity_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise record linkage exists to absorb). The oracle recomputes the
     SAME mention set and brute-forces all O(n^2) pairs in SQL, so hash
     equality proves the blocking scheme loses no pair."""
-    from auto_data_tokenize_spark.operators.linkage import (
-        ed1_link_pairs,
-        normalize_identity,
-    )
+    from auto_data_tokenize_spark.operators.linkage import ed1_link_pairs
 
-    det, tr = _ext_detections(spark, sf_dir)
-    spans = det.filter(F.col("info_type") == "PERSON_NAME").select(
-        "conv_id", "turn_idx", "start", "end"
+    return ed1_link_pairs(_ext_name_mentions(spark, sf_dir)).select(
+        "name_a", "name_b", "dist"
     )
-    names = (
-        spans.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
-        .select(
-            normalize_identity(
-                F.expr("substring(text, start + 1, end - start)")
-            ).alias("name")
-        )
-        .distinct()
-    )
-    ln = F.length("name")
-    p = F.floor((ln + 1) / 2).cast("int")
-    variant = F.concat(
-        F.col("name").substr(F.lit(1), p - 1),
-        F.col("name").substr(p + 1, ln),
-    )
-    mentions = names.unionByName(
-        names.filter(ln > 1).select(variant.alias("name"))
-    )
-    return ed1_link_pairs(mentions).select("name_a", "name_b", "dist")
 
 
 def q136_subject_access_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4131,6 +4108,129 @@ def q137_stream_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result.select("conv_id", "turn_idx", "text")
+
+
+def _ext_person_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized distinct detected PERSON_NAME strings — the identity
+    catalog the linkage family works over."""
+    from auto_data_tokenize_spark.operators.linkage import normalize_identity
+
+    det, tr = _ext_detections(spark, sf_dir)
+    spans = det.filter(F.col("info_type") == "PERSON_NAME").select(
+        "conv_id", "turn_idx", "start", "end"
+    )
+    return (
+        spans.join(tr.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+        .select(
+            normalize_identity(
+                F.expr("substring(text, start + 1, end - start)")
+            ).alias("name")
+        )
+        .distinct()
+    )
+
+
+def _noised(name_col: str = "name"):
+    """Deterministic typo: drop the middle character (the same
+    derivation the oracles replay in SQL)."""
+    ln = F.length(name_col)
+    p = F.floor((ln + 1) / 2).cast("int")
+    return F.concat(
+        F.col(name_col).substr(F.lit(1), p - 1),
+        F.col(name_col).substr(p + 1, ln),
+    )
+
+
+def _ext_name_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q135 mention fixture: the identity catalog plus one noised
+    variant per name — shared by the linkage family so the batch
+    pairs, the clusters, and the streaming match gate all see the same
+    population."""
+    names = _ext_person_names(spark, sf_dir)
+    return names.unionByName(
+        names.filter(F.length("name") > 1).select(_noised().alias("name"))
+    )
+
+
+def q138_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity clusters: the q135 Levenshtein<=1 edge set closed
+    transitively with the same O(log n) pointer-jumping components
+    engine the dedup family uses (operators/dedup.py
+    connected_components) — each mention resolves to a canonical
+    identity (the lexicographically smallest mention in its cluster),
+    singletons to themselves. Oracle: recursive-CTE reachability over
+    the brute-forced edge set, so the gate checks blocking
+    completeness AND the transitive closure."""
+    from auto_data_tokenize_spark.operators.dedup import connected_components
+    from auto_data_tokenize_spark.operators.linkage import (
+        ed1_link_pairs,
+        normalize_identity,
+    )
+
+    mentions = _ext_name_mentions(spark, sf_dir)
+    norm = (
+        mentions.select(normalize_identity(F.col("name")).alias("name"))
+        .filter(F.length("name") > 0)
+        .distinct()
+    )
+    pairs = ed1_link_pairs(mentions)
+    comp = connected_components(pairs, a="name_a", b="name_b")
+    return norm.join(comp, norm["name"] == comp["id"], "left").select(
+        "name", F.coalesce("cluster_id", "name").alias("canon")
+    )
+
+
+def q139_stream_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time identity resolution (operators/linkage.py
+    ed1_match_stream): noised mentions arrive as a stream and match
+    the static identity catalog within edit distance 1 through the
+    blocked stream-static join (catalog side broadcast), rolled up
+    per watermark-closed window through the exactly-once sink. The
+    oracle replays the identical feed construction and brute-forces
+    the matches in SQL under the same final-watermark predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.linkage import (
+        ed1_match_stream,
+        normalize_identity,
+    )
+
+    catalog = _ext_person_names(spark, sf_dir)
+    feed = (
+        catalog.filter(F.length("name") > 1)
+        .select(normalize_identity(_noised()).alias("mention"))
+        .filter(F.length("mention") > 0)
+        .distinct()
+        .toPandas()
+        .sort_values("mention")
+        .reset_index(drop=True)
+    )
+    feed["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        feed.index * 5, unit="s"
+    )
+    feed["ts"] = feed["ts"].astype("datetime64[us]")
+    base = tempfile.mkdtemp(prefix="adt_q139_")
+    try:
+        staged = _stage_append_log(feed, f"{base}/in", order_col="ts")
+        st = _stream_files(spark, staged, "mention string, ts timestamp")
+        matched = ed1_match_stream(st, catalog)
+        result = _run_stream_to_sink(spark, matched, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    # the established closed-window emission contract: compare only
+    # windows the final watermark provably closed
+    import pandas as _pd
+
+    max_ts = _pd.Timestamp("2026-01-01") + _pd.to_timedelta(
+        (len(feed) - 1) * 5, unit="s"
+    )
+    horizon = max_ts - _pd.Timedelta(seconds=30)
+    return result.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 MINUTE") <= F.lit(horizon)
+    ).select("window_start", "mention", "matched_name", "dist")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4280,6 +4380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_stream_erasure_propagation": _with_prep(
             q137_stream_erasure_propagation
         ),
+        "q138_entity_clusters": _with_prep(q138_entity_clusters),
+        "q139_stream_entity_match": _with_prep(q139_stream_entity_match),
     }
 
 
@@ -6398,5 +6500,75 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             SELECT t.conv_id, t.turn_idx, t.text
             FROM read_parquet('{dd}/transcripts_ext.parquet') t
             WHERE t.conv_id NOT IN (SELECT conv_id FROM erased)
+        """,
+        # recursive-CTE reachability over the brute-forced edge set:
+        # checks blocking completeness AND the transitive closure
+        "q138_entity_clusters": f"""
+            WITH RECURSIVE names0 AS (
+              SELECT DISTINCT regexp_replace(trim(lower(
+                       substr(t.text, d.start + 1, d."end" - d.start)
+                     )), '\\s+', ' ', 'g') AS name
+              FROM read_parquet('{dd}/detections_ext.parquet') d
+              JOIN read_parquet('{dd}/transcripts_ext.parquet') t
+                USING (conv_id, turn_idx)
+              WHERE d.info_type = 'PERSON_NAME'
+            ), noised AS (
+              SELECT regexp_replace(trim(lower(
+                       substr(name, 1, (length(name) + 1) // 2 - 1)
+                       || substr(name, (length(name) + 1) // 2 + 1)
+                     )), '\\s+', ' ', 'g') AS name
+              FROM names0 WHERE length(name) > 1
+            ), mentions AS (
+              SELECT name FROM names0 WHERE length(name) > 0
+              UNION
+              SELECT name FROM noised WHERE length(name) > 0
+            ), edges AS (
+              SELECT a.name AS a, b.name AS b
+              FROM mentions a JOIN mentions b ON a.name < b.name
+              WHERE levenshtein(a.name, b.name) <= 1
+            ), sym AS (
+              SELECT a AS src, b AS dst FROM edges
+              UNION ALL
+              SELECT b AS src, a AS dst FROM edges
+            ), reach(id, r) AS (
+              SELECT name, name FROM mentions
+              UNION
+              SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst
+            )
+            SELECT id AS name, min(r) AS canon FROM reach GROUP BY id
+        """,
+        "q139_stream_entity_match": f"""
+            WITH catalog AS (
+              SELECT DISTINCT regexp_replace(trim(lower(
+                       substr(t.text, d.start + 1, d."end" - d.start)
+                     )), '\\s+', ' ', 'g') AS name
+              FROM read_parquet('{dd}/detections_ext.parquet') d
+              JOIN read_parquet('{dd}/transcripts_ext.parquet') t
+                USING (conv_id, turn_idx)
+              WHERE d.info_type = 'PERSON_NAME'
+            ), feed0 AS (
+              SELECT DISTINCT regexp_replace(trim(lower(
+                       substr(name, 1, (length(name) + 1) // 2 - 1)
+                       || substr(name, (length(name) + 1) // 2 + 1)
+                     )), '\\s+', ' ', 'g') AS mention
+              FROM catalog WHERE length(name) > 1
+            ), feed AS (
+              SELECT mention,
+                     TIMESTAMP '2026-01-01' + to_seconds(
+                       5 * (row_number() OVER (ORDER BY mention) - 1)
+                     ) AS ts
+              FROM feed0 WHERE length(mention) > 0
+            ), matches AS (
+              SELECT make_timestamp((epoch_us(f.ts) // 60000000)
+                       * 60000000) AS window_start,
+                     f.mention, c.name AS matched_name,
+                     levenshtein(f.mention, c.name)::INT AS dist
+              FROM feed f JOIN catalog c
+                ON levenshtein(f.mention, c.name) <= 1
+            )
+            SELECT DISTINCT window_start, mention, matched_name, dist
+            FROM matches
+            WHERE window_start + INTERVAL 1 MINUTE <=
+                  (SELECT max(ts) - INTERVAL 30 SECOND FROM feed)
         """,
     }

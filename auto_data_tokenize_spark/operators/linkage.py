@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_identity",
     "ed1_link_pairs",
+    "ed1_match_stream",
     "subject_access_map",
     "erasure_conv_ids",
     "duckdb_ed1_pairs_sql",
@@ -134,6 +135,67 @@ def ed1_link_pairs(
     )
     dist = F.levenshtein("name_a", "name_b")
     return cand.filter(dist <= max_dist).withColumn("dist", dist)
+
+
+def ed1_match_stream(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    mention_col: str = "mention",
+    name_col: str = "name",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Ingest-time identity resolution: a STREAM of incoming mentions
+    matched against the static catalog of known identities within
+    Levenshtein distance 1.  Same pigeonhole keys as
+    :func:`ed1_link_pairs` — the stream side explodes its <=4 keys,
+    the catalog side is pre-exploded (small: the distinct-identity
+    set), Spark broadcasts it in the stream-static join, and the exact
+    ``levenshtein`` verify runs on candidates only.  A mention hitting
+    the catalog through several shared keys would duplicate in a raw
+    append, so matches roll up per watermark-closed window to one
+    ``(window_start, mention, matched_name, dist)`` row — the same
+    closed-window emission contract as the monitor family.
+
+    100 TB posture: the corpus-sized side is the stream; it never
+    shuffles before the verify (the join key is the short blocking
+    fragment, the catalog side broadcast).  Window state is bounded by
+    (open windows x distinct candidate pairs in them).
+    """
+    cat = (
+        catalog.select(normalize_identity(F.col(name_col)).alias("name"))
+        .filter(F.length("name") > 0)
+        .distinct()
+    )
+    cat_keyed = cat.select(
+        "name", F.explode(_blocking_keys("name")).alias("key")
+    )
+    m = (
+        mentions.withWatermark(ts_col, watermark)
+        .select(
+            ts_col,
+            normalize_identity(F.col(mention_col)).alias("mention"),
+        )
+        .filter(F.length("mention") > 0)
+    )
+    m_keyed = m.select(
+        ts_col, "mention", F.explode(_blocking_keys("mention")).alias("key")
+    )
+    dist = F.levenshtein("mention", "name")
+    verified = m_keyed.join(cat_keyed, "key").filter(dist <= 1)
+    return (
+        verified.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), "mention", "name"
+        )
+        .agg(F.min(dist).alias("dist"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "mention",
+            F.col("name").alias("matched_name"),
+            "dist",
+        )
+    )
 
 
 def duckdb_ed1_pairs_sql(names_subquery: str, max_dist: int = 1) -> str:

@@ -159,6 +159,28 @@ def test_subject_access_map_golden(spark, _dsar_frames):
     assert b.n_convs == 1 and b.convs == ["c3"]
 
 
+def test_match_stream_semantics_on_batch(spark):
+    """ed1_match_stream's plan is stream-agnostic: on a batch frame it
+    must reproduce the brute-force ed<=1 match set (windowed), with
+    multi-key candidates deduped to one row."""
+    from auto_data_tokenize_spark.operators.linkage import ed1_match_stream
+
+    catalog = spark.createDataFrame(
+        pd.DataFrame({"name": ["alice", "bob", "carol"]})
+    )
+    feed = pd.DataFrame(
+        {
+            "mention": ["alise", "alice", "bob", "dave"],
+            "ts": pd.to_datetime(["2026-01-01 00:00:05"] * 4),
+        }
+    )
+    out = ed1_match_stream(spark.createDataFrame(feed), catalog).collect()
+    got = {(r.mention, r.matched_name, r.dist) for r in out}
+    assert got == {("alise", "alice", 1), ("alice", "alice", 0), ("bob", "bob", 0)}
+    # exactly one row per (mention, match) despite shared prefix+suffix keys
+    assert len(out) == len(got)
+
+
 def test_erasure_fanout_broadcasts_requests(spark, _dsar_frames):
     det, tr = _dsar_frames
     req = spark.createDataFrame(pd.DataFrame({"identity": ["a@x.com"]}))
