@@ -4033,8 +4033,13 @@ def q137_stream_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFra
     )
     turns = tr.select("conv_id", "turn_idx").distinct()
     # conv-level fan-out: erasing a subject tombstones EVERY turn of
-    # every conversation that mentions them
-    fanout = idx.join(turns, "conv_id").select("identity", "conv_id", "turn_idx")
+    # every conversation that mentions them; persisted so the joined
+    # static side is computed once, not re-derived per micro-batch
+    fanout = (
+        idx.join(turns, "conv_id")
+        .select("identity", "conv_id", "turn_idx")
+        .persist()
+    )
 
     d = datagen.ensure_extended(_sf_name(sf_dir))
     base = tempfile.mkdtemp(prefix="adt_q137_")
@@ -4106,6 +4111,7 @@ def q137_stream_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFra
             spark, upserts.unionByName(tomb), base, sink=sink
         )
     finally:
+        fanout.unpersist()
         shutil.rmtree(base, ignore_errors=True)
     return result.select("conv_id", "turn_idx", "text")
 
@@ -4198,7 +4204,9 @@ def q139_stream_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_identity,
     )
 
-    catalog = _ext_person_names(spark, sf_dir)
+    # persisted: consumed once to derive the feed and then again by
+    # every micro-batch of the stream-static match join
+    catalog = _ext_person_names(spark, sf_dir).persist()
     feed = (
         catalog.filter(F.length("name") > 1)
         .select(normalize_identity(_noised()).alias("mention"))
@@ -4219,6 +4227,7 @@ def q139_stream_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched = ed1_match_stream(st, catalog)
         result = _run_stream_to_sink(spark, matched, base, shuffle_partitions=8)
     finally:
+        catalog.unpersist()
         shutil.rmtree(base, ignore_errors=True)
     # the established closed-window emission contract: compare only
     # windows the final watermark provably closed
@@ -6445,18 +6454,18 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         # side's prefix/suffix pigeonhole blocking loses no pair
         "q135_entity_link_pairs": f"""
             WITH names0 AS (
-              SELECT DISTINCT regexp_replace(trim(lower(
+              SELECT DISTINCT trim(regexp_replace(lower(
                        substr(t.text, d.start + 1, d."end" - d.start)
-                     )), '\\s+', ' ', 'g') AS name
+                     ), '\\s+', ' ', 'g')) AS name
               FROM read_parquet('{dd}/detections_ext.parquet') d
               JOIN read_parquet('{dd}/transcripts_ext.parquet') t
                 USING (conv_id, turn_idx)
               WHERE d.info_type = 'PERSON_NAME'
             ), noised AS (
-              SELECT regexp_replace(trim(lower(
+              SELECT trim(regexp_replace(lower(
                        substr(name, 1, (length(name) + 1) // 2 - 1)
                        || substr(name, (length(name) + 1) // 2 + 1)
-                     )), '\\s+', ' ', 'g') AS name
+                     ), '\\s+', ' ', 'g')) AS name
               FROM names0 WHERE length(name) > 1
             ), mentions AS (
               SELECT name FROM names0 WHERE length(name) > 0
@@ -6469,9 +6478,9 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             WHERE levenshtein(a.name, b.name) <= 1
         """,
         "q136_subject_access_map": f"""
-            SELECT regexp_replace(trim(lower(
+            SELECT trim(regexp_replace(lower(
                      substr(t.text, d.start + 1, d."end" - d.start)
-                   )), '\\s+', ' ', 'g') AS identity,
+                   ), '\\s+', ' ', 'g')) AS identity,
                    count(DISTINCT d.conv_id) AS n_convs,
                    count(*) AS n_mentions,
                    list_sort(list(DISTINCT d.conv_id)) AS convs,
@@ -6485,9 +6494,9 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         "q137_stream_erasure_propagation": f"""
             WITH idx AS (
-              SELECT DISTINCT regexp_replace(trim(lower(
+              SELECT DISTINCT trim(regexp_replace(lower(
                        substr(t.text, d.start + 1, d."end" - d.start)
-                     )), '\\s+', ' ', 'g') AS identity,
+                     ), '\\s+', ' ', 'g')) AS identity,
                      d.conv_id
               FROM read_parquet('{dd}/detections_ext.parquet') d
               JOIN read_parquet('{dd}/transcripts_ext.parquet') t
@@ -6505,18 +6514,18 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         # checks blocking completeness AND the transitive closure
         "q138_entity_clusters": f"""
             WITH RECURSIVE names0 AS (
-              SELECT DISTINCT regexp_replace(trim(lower(
+              SELECT DISTINCT trim(regexp_replace(lower(
                        substr(t.text, d.start + 1, d."end" - d.start)
-                     )), '\\s+', ' ', 'g') AS name
+                     ), '\\s+', ' ', 'g')) AS name
               FROM read_parquet('{dd}/detections_ext.parquet') d
               JOIN read_parquet('{dd}/transcripts_ext.parquet') t
                 USING (conv_id, turn_idx)
               WHERE d.info_type = 'PERSON_NAME'
             ), noised AS (
-              SELECT regexp_replace(trim(lower(
+              SELECT trim(regexp_replace(lower(
                        substr(name, 1, (length(name) + 1) // 2 - 1)
                        || substr(name, (length(name) + 1) // 2 + 1)
-                     )), '\\s+', ' ', 'g') AS name
+                     ), '\\s+', ' ', 'g')) AS name
               FROM names0 WHERE length(name) > 1
             ), mentions AS (
               SELECT name FROM names0 WHERE length(name) > 0
@@ -6539,18 +6548,18 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         """,
         "q139_stream_entity_match": f"""
             WITH catalog AS (
-              SELECT DISTINCT regexp_replace(trim(lower(
+              SELECT DISTINCT trim(regexp_replace(lower(
                        substr(t.text, d.start + 1, d."end" - d.start)
-                     )), '\\s+', ' ', 'g') AS name
+                     ), '\\s+', ' ', 'g')) AS name
               FROM read_parquet('{dd}/detections_ext.parquet') d
               JOIN read_parquet('{dd}/transcripts_ext.parquet') t
                 USING (conv_id, turn_idx)
               WHERE d.info_type = 'PERSON_NAME'
             ), feed0 AS (
-              SELECT DISTINCT regexp_replace(trim(lower(
+              SELECT DISTINCT trim(regexp_replace(lower(
                        substr(name, 1, (length(name) + 1) // 2 - 1)
                        || substr(name, (length(name) + 1) // 2 + 1)
-                     )), '\\s+', ' ', 'g') AS mention
+                     ), '\\s+', ' ', 'g')) AS mention
               FROM catalog WHERE length(name) > 1
             ), feed AS (
               SELECT mention,

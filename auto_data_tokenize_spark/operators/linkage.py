@@ -65,16 +65,19 @@ __all__ = [
     "ed1_match_stream",
     "subject_access_map",
     "erasure_conv_ids",
-    "duckdb_ed1_pairs_sql",
 ]
 
 
 def normalize_identity(col: Column) -> Column:
-    """Casefold + trim + collapse internal runs of whitespace — the
-    shared normalization applied before any linkage or DSAR grouping
-    (mirrors the dedup-key normalization posture: explicit character
-    classes, no locale-dependent folding)."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """Casefold + collapse runs of whitespace + trim — the shared
+    normalization applied before any linkage or DSAR grouping (mirrors
+    the dedup-key normalization posture: explicit character classes,
+    no locale-dependent folding).  Collapse runs BEFORE the trim:
+    ``F.trim`` strips spaces only, so an edge tab/newline must first
+    become a space or it survives as a distinct identity and splits a
+    subject's footprint (and silently un-matches an erasure request).
+    """
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def _blocking_keys(name_col: str = "name") -> Column:
@@ -133,8 +136,11 @@ def ed1_link_pairs(
         .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
         .distinct()
     )
-    dist = F.levenshtein("name_a", "name_b")
-    return cand.filter(dist <= max_dist).withColumn("dist", dist)
+    # materialize dist BEFORE filtering so the O(len^2) levenshtein
+    # runs once per candidate, not once in Filter and again in Project
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= max_dist)
 
 
 def ed1_match_stream(
@@ -183,7 +189,7 @@ def ed1_match_stream(
         ts_col, "mention", F.explode(_blocking_keys("mention")).alias("key")
     )
     dist = F.levenshtein("mention", "name")
-    verified = m_keyed.join(cat_keyed, "key").filter(dist <= 1)
+    verified = m_keyed.join(F.broadcast(cat_keyed), "key").filter(dist <= 1)
     return (
         verified.groupBy(
             F.window(F.col(ts_col), window).alias("w"), "mention", "name"
@@ -196,20 +202,6 @@ def ed1_match_stream(
             "dist",
         )
     )
-
-
-def duckdb_ed1_pairs_sql(names_subquery: str, max_dist: int = 1) -> str:
-    """The brute-force O(n^2) DuckDB twin over the same normalized
-    distinct-name set — deliberately blocking-free, so the oracle
-    cross-checks the completeness proof, not just the verify step.
-    ``names_subquery`` must yield one column ``name``."""
-    return f"""
-        WITH names AS ({names_subquery})
-        SELECT a.name AS name_a, b.name AS name_b,
-               levenshtein(a.name, b.name)::INT AS dist
-        FROM names a JOIN names b ON a.name < b.name
-        WHERE levenshtein(a.name, b.name) <= {int(max_dist)}
-    """
 
 
 def subject_access_map(
