@@ -141,14 +141,19 @@ def scaling_run(sf_dir: str, cores_small: int, cores_big: int, replicate: int = 
             big = df
             for _ in range(replicate - 1):
                 big = big.unionAll(df)
-            # min-of-2 for the same reason tokenize_throughput is
+            # min-of-k for the same reason tokenize_throughput is
             # min-of-3: one shot swings on GC/JIT/background load, and a
             # spike hitting only one level corrupts the efficiency ratio.
-            sec = min(_timed(lambda big=big: _force(big)) for _ in range(2))
+            # The big level gets an extra rep: a spike there UNDERSTATES
+            # efficiency (T_4N inflated) and a rep is 3-4x cheaper than
+            # at the small level, so the guard is asymmetric on purpose.
+            reps = 3 if label == "big" else 2
+            shots = [_timed(lambda big=big: _force(big)) for _ in range(reps)]
             out[label] = {
                 "cores": cores,
-                "sec": sec,
-                "turns_per_sec": round(n / sec, 1),
+                "sec": min(shots),
+                "shots": shots,
+                "turns_per_sec": round(n / min(shots), 1),
                 "rows": n,
             }
         finally:
@@ -156,6 +161,7 @@ def scaling_run(sf_dir: str, cores_small: int, cores_big: int, replicate: int = 
     speedup = out["small"]["sec"] / out["big"]["sec"]
     out["speedup"] = round(speedup, 3)
     out["efficiency"] = round(speedup / (cores_big / cores_small), 3)
+    out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     return out
 
 
