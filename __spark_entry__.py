@@ -4242,6 +4242,60 @@ def q139_stream_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "mention", "matched_name", "dist")
 
 
+def _relog_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts plus a deterministic 're-logged' variant of every
+    conversation (same exchange minus its final turn, conv_id suffixed
+    '_rl') — the session-dedup population: a retried/resumed agent run
+    re-emits the same turns under a fresh conv_id, which document- and
+    turn-level dedup both miss. The oracles replay the identical
+    construction in SQL."""
+    from pyspark.sql import Window
+
+    tr = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    w = Window.partitionBy("conv_id")
+    variant = (
+        tr.withColumn("_mx", F.max("turn_idx").over(w))
+        .filter(F.col("turn_idx") < F.col("_mx"))
+        .select(
+            F.concat("conv_id", F.lit("_rl")).alias("conv_id"),
+            "turn_idx",
+            "text",
+        )
+    )
+    return tr.unionByName(variant)
+
+
+def q140_conversation_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level near-dup pairs (operators/conversations.py
+    conversation_near_dups): conversations as SETS of turn-content
+    fingerprints, exact Jaccard >= 0.8 via the AllPairs prefix-filter
+    kernel generalized to arbitrary token sets (operators/dedup.py
+    set_jaccard_join). The re-logged fixture guarantees a non-trivial
+    match population ((n-1)/n >= 0.8 for conversations with >= 5
+    distinct turn texts); the oracle brute-forces ALL fingerprint-
+    sharing pairs in SQL, so the value-hash gate proves the prefix
+    filter loses no pair."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_near_dups,
+    )
+
+    return conversation_near_dups(_relog_fixture(spark, sf_dir), threshold=0.8)
+
+
+def q141_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical session per near-dup cluster: the q140 pair set closed
+    transitively by the pointer-jumping components kernel, every
+    conversation mapped to the lexicographically smallest conv_id in
+    its cluster (original conv_ids order before their '_rl' variants,
+    so canon is stable). Oracle: recursive-CTE reachability over the
+    brute-forced edge set — the q138 pattern at session granularity."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_dedup,
+    )
+
+    return conversation_dedup(_relog_fixture(spark, sf_dir), threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -4391,6 +4445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q138_entity_clusters": _with_prep(q138_entity_clusters),
         "q139_stream_entity_match": _with_prep(q139_stream_entity_match),
+        "q140_conversation_near_dups": _with_prep(q140_conversation_near_dups),
+        "q141_conversation_dedup": _with_prep(q141_conversation_dedup),
     }
 
 
@@ -5364,6 +5420,37 @@ def _duck_token_scope_monitor_sql(table: str) -> str:
     )
 
     return duckdb_token_scope_monitor_sql(table)
+
+
+def _relog_fixture_sql(tr: str) -> str:
+    """SQL twin of :func:`_relog_fixture`."""
+    return f"""
+        SELECT conv_id, turn_idx, text FROM {tr}
+        UNION ALL
+        SELECT conv_id || '_rl' AS conv_id, turn_idx, text
+        FROM (
+          SELECT conv_id, turn_idx, text,
+                 max(turn_idx) OVER (PARTITION BY conv_id) AS _mx
+          FROM {tr}
+        )
+        WHERE turn_idx < _mx
+    """
+
+
+def _duck_conversation_near_dups_sql(turns_sql: str) -> str:
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_conversation_near_dups_sql,
+    )
+
+    return duckdb_conversation_near_dups_sql(turns_sql, threshold=0.8)
+
+
+def _duck_conversation_dedup_sql(turns_sql: str) -> str:
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_conversation_dedup_sql,
+    )
+
+    return duckdb_conversation_dedup_sql(turns_sql, threshold=0.8)
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -6580,4 +6667,10 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             WHERE window_start + INTERVAL 1 MINUTE <=
                   (SELECT max(ts) - INTERVAL 30 SECOND FROM feed)
         """,
+        "q140_conversation_near_dups": _duck_conversation_near_dups_sql(
+            _relog_fixture_sql(tr)
+        ),
+        "q141_conversation_dedup": _duck_conversation_dedup_sql(
+            _relog_fixture_sql(tr)
+        ),
     }

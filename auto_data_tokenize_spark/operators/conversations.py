@@ -37,9 +37,14 @@ __all__ = [
     "conversation_audit",
     "render_chat",
     "loss_mask_spans",
+    "conversation_fingerprints",
+    "conversation_near_dups",
+    "conversation_dedup",
     "duckdb_conversation_audit_sql",
     "duckdb_render_chat_sql",
     "duckdb_loss_mask_sql",
+    "duckdb_conversation_near_dups_sql",
+    "duckdb_conversation_dedup_sql",
 ]
 
 #: Chat-template framing (public convention shape: role-tagged headers
@@ -375,4 +380,148 @@ def duckdb_loss_mask_sql(
                _cum AS tok_end,
                role = '{trainable_role}' AS trainable
         FROM c
+    """
+
+
+def conversation_fingerprints(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Each conversation as a SET of turn-content fingerprints:
+    distinct ``md5(text)`` per conversation, NULL-text turns ignored.
+    This is the session-granular analogue of a document's shingle set
+    — turn order and timestamps deliberately do NOT participate, so a
+    re-logged session (same exchange, new conv_id/timestamps, a turn
+    added or dropped) keeps a near-identical fingerprint set.
+
+    Output: (conv_col, tfp) distinct rows — the exploded set
+    representation :func:`~..dedup.set_jaccard_join` consumes.
+    One partial-agg-backed distinct; pure JVM codegen."""
+    return (
+        turns.filter(F.col(text_col).isNotNull())
+        .select(F.col(conv_col), F.md5(text_col).alias("tfp"))
+        .distinct()
+    )
+
+
+def conversation_near_dups(
+    turns: DataFrame,
+    threshold: float = 0.8,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Session-level near-duplicate pairs: conversations whose turn-
+    fingerprint sets have Jaccard >= threshold — re-run / re-logged /
+    resumed agent sessions that document-level dedup misses because
+    every individual turn is "short and common" while the SESSION is
+    the duplicated artifact. Exact (AllPairs prefix filtering via
+    :func:`~..dedup.set_jaccard_join`), zero false negatives.
+
+    Output: (a, b, jaccard), a < b.
+
+    100 TB notes: canned turns shared by thousands of sessions
+    ("session resumed", greetings) have high document frequency and
+    fall out of every rarest-first prefix — exactly the tokens that
+    would otherwise quadratically explode the candidate join."""
+    from .dedup import set_jaccard_join
+
+    return set_jaccard_join(
+        conversation_fingerprints(turns, conv_col, text_col),
+        id_col=conv_col,
+        token_col="tfp",
+        threshold=threshold,
+        assume_distinct=True,
+    )
+
+
+def conversation_dedup(
+    turns: DataFrame,
+    threshold: float = 0.8,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical conversation per near-dup cluster: the near-dup pair
+    set closed transitively (pointer-jumping connected components, the
+    dedup-family kernel), each conversation mapped to the smallest
+    conv_id in its cluster, singletons to themselves.
+
+    Output: (conv_col, canon) — one row per conversation that has at
+    least one non-NULL turn."""
+    from .dedup import connected_components
+
+    pairs = conversation_near_dups(turns, threshold, conv_col, text_col)
+    comp = connected_components(pairs, a="a", b="b")
+    convs = turns.filter(F.col(text_col).isNotNull()).select(conv_col).distinct()
+    return convs.join(comp, convs[conv_col] == comp["id"], "left").select(
+        conv_col, F.coalesce("cluster_id", conv_col).alias("canon")
+    )
+
+
+def duckdb_conversation_near_dups_sql(
+    turns_sql: str,
+    threshold: float = 0.8,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> str:
+    """Brute-force DuckDB twin of :func:`conversation_near_dups`:
+    ALL pairs sharing >= 1 fingerprint, exact Jaccard, same
+    round(J, 6) >= t emission — so the value-hash gate proves the
+    prefix filter loses no pair."""
+    return f"""
+        WITH fp AS (
+          SELECT DISTINCT {conv_col} AS cid, md5({text_col}) AS tfp
+          FROM ({turns_sql}) WHERE {text_col} IS NOT NULL
+        ),
+        sz AS (SELECT cid, count(*) AS sz FROM fp GROUP BY cid),
+        inter AS (
+          SELECT x.cid AS a, y.cid AS b, count(*) AS i
+          FROM fp x JOIN fp y ON x.tfp = y.tfp AND x.cid < y.cid
+          GROUP BY 1, 2
+        )
+        SELECT a, b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.cid = a
+        JOIN sz sb ON sb.cid = b
+        WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+    """
+
+
+def duckdb_conversation_dedup_sql(
+    turns_sql: str,
+    threshold: float = 0.8,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`conversation_dedup`: recursive-CTE
+    reachability over the brute-forced edge set (the q138 oracle
+    pattern) — proves blocking completeness AND the transitive
+    closure."""
+    pairs = duckdb_conversation_near_dups_sql(
+        turns_sql, threshold, conv_col, text_col
+    )
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT a, b FROM ({pairs})
+        ),
+        und AS (
+          SELECT a AS s, b AS t FROM e
+          UNION ALL SELECT b, a FROM e
+        ),
+        reach (s, t) AS (
+          SELECT s, t FROM und
+          UNION
+          SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+        ),
+        lbl AS (
+          SELECT s AS cid, least(min(t), s) AS canon
+          FROM reach GROUP BY s
+        ),
+        convs AS (
+          SELECT DISTINCT {conv_col} AS cid FROM ({turns_sql})
+          WHERE {text_col} IS NOT NULL
+        )
+        SELECT c.cid AS {conv_col}, coalesce(l.canon, c.cid) AS canon
+        FROM convs c LEFT JOIN lbl l ON l.cid = c.cid
     """

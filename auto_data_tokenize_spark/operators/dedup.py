@@ -616,6 +616,103 @@ def setsim_join(
     )
 
 
+def set_jaccard_join(
+    tokens: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    threshold: float = 0.6,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """EXACT set-Jaccard self-join over an arbitrary ``(id, token)``
+    set representation — the representation-agnostic sibling of
+    :func:`setsim_join` (which owns the prefix-filter lemma and the
+    5e-7 slack derivation; the math here is identical, only the input
+    is already a token multiset instead of text to be shingled).
+
+    Input: one row per (id, token) membership; NULL tokens are
+    ignored. Pass ``assume_distinct=True`` only when the caller
+    guarantees (id, token) rows are unique — it skips a defensive
+    ``distinct`` shuffle that would otherwise re-dedupe.
+
+    Verification is count-based and touches candidate pairs only:
+    the intersection size is one equi-join on token restricted to
+    candidates, ``J = i / (|A| + |B| - i)``, emitted when
+    ``round(J, 6) >= threshold`` — the same emission contract as the
+    text-shingle variant, so borderline floats behave identically in
+    both engines (integer counts, one IEEE division, one round).
+
+    100 TB notes: identical posture to :func:`setsim_join` — high-df
+    tokens (shared boilerplate turns, canned phrases) fall out of
+    every rarest-first prefix, which is what bounds inverted-index
+    bucket sizes; the candidate join runs on explicitly repartitioned
+    token keys (AQE-coalesce-exempt); the exact verify is linear in
+    candidate-pair set sizes, never corpus-quadratic.
+    """
+    from pyspark.sql import Window
+
+    t = tokens.select(
+        F.col(id_col).alias("_id"), F.col(token_col).alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    if not assume_distinct:
+        t = t.distinct()
+    dfreq = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id")
+    ranked = (
+        t.join(dfreq, "_s")
+        .withColumn("_sz", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy("_df", "_s")))
+    )
+    # prefix length + slack: see setsim_join (round(J,6) >= t emission
+    # admits true J >= t - 5e-7; -1e-9 absorbs float product error)
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_sz")
+        - F.ceil(
+            (F.lit(threshold) - F.lit(5e-7)) * F.col("_sz") - F.lit(1e-9)
+        )
+        + 1
+    ).select("_id", "_s", "_sz")
+    n_part = int(tokens.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        prefix.select(F.col("_id").alias("a"), "_s", F.col("_sz").alias("_sza"))
+        .repartition(n_part, "_s")
+        .join(
+            prefix.select(F.col("_id").alias("b"), "_s", F.col("_sz").alias("_szb"))
+            .repartition(n_part, "_s"),
+            "_s",
+        )
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("_sza", "_szb")
+                >= (F.lit(threshold) - F.lit(5e-7)) * F.greatest("_sza", "_szb")
+                - F.lit(1e-9)
+            )
+        )
+        # set sizes ride along with the pair (they are functionally
+        # dependent on the ids), so the verify below needs no extra
+        # size aggregate or re-join
+        .select("a", "b", "_sza", "_szb")
+        .distinct()
+    )
+    inter = (
+        cand.join(t.select(F.col("_id").alias("a"), "_s"), "a")
+        .join(t.select(F.col("_id").alias("b"), "_s"), ["b", "_s"])
+        .groupBy("a", "b", "_sza", "_szb")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return (
+        inter.select(
+            "a",
+            "b",
+            F.round(
+                F.col("_i") / (F.col("_sza") + F.col("_szb") - F.col("_i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "a",
