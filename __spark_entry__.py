@@ -4296,6 +4296,57 @@ def q141_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_dedup(_relog_fixture(spark, sf_dir), threshold=0.8)
 
 
+def q142_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time session-dedup admission (operators/conversations.py
+    turn_containment_stream): arriving conversations score the fraction
+    of their distinct turn fingerprints already present in the static
+    corpus index (stream-static left join on tfp, windowed collect_set
+    rollup); re-logged sessions contain ~1.0 and are rejected, fresh
+    sessions ~0 and admitted. Feed: every conversation's '_rl' variant
+    (minus final turn — fully contained) plus a '_new' variant (text
+    suffixed, disjoint fingerprints), arriving ts-ordered. Oracle
+    replays the identical feed and the same closed-window predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.conversations import (
+        turn_containment_stream,
+    )
+    from auto_data_tokenize_spark import datagen
+
+    dd = datagen.ensure_sf(_sf_name(sf_dir))
+    tr = pd.read_parquet(os.path.join(dd, "transcripts.parquet"))[
+        ["conv_id", "turn_idx", "text", "ts"]
+    ]
+    tr = tr[tr["text"].notna()]
+    mx = tr.groupby("conv_id")["turn_idx"].transform("max")
+    rl = tr[tr["turn_idx"] < mx].assign(conv_id=tr["conv_id"] + "_rl")
+    new = tr.assign(conv_id=tr["conv_id"] + "_new", text=tr["text"] + " v2")
+    feed = (
+        pd.concat([rl, new])[["conv_id", "text", "ts"]]
+        .sort_values(["ts", "conv_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    feed["ts"] = feed["ts"].astype("datetime64[us]")
+    corpus = _transcripts(spark, sf_dir).select("text")
+    base = tempfile.mkdtemp(prefix="adt_q142_")
+    try:
+        staged = _stage_append_log(feed, f"{base}/in", order_col="ts")
+        st = _stream_files(spark, staged, "conv_id string, text string, ts timestamp")
+        gated = turn_containment_stream(st, corpus, threshold=0.8)
+        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    import pandas as _pd
+
+    horizon = _pd.Timestamp(feed["ts"].max()) - _pd.Timedelta(seconds=30)
+    return result.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 MINUTE") <= F.lit(horizon)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -4447,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_stream_entity_match": _with_prep(q139_stream_entity_match),
         "q140_conversation_near_dups": _with_prep(q140_conversation_near_dups),
         "q141_conversation_dedup": _with_prep(q141_conversation_dedup),
+        "q142_stream_session_gate": _with_prep(q142_stream_session_gate),
     }
 
 
@@ -5451,6 +5503,43 @@ def _duck_conversation_dedup_sql(turns_sql: str) -> str:
     )
 
     return duckdb_conversation_dedup_sql(turns_sql, threshold=0.8)
+
+
+def _duck_session_gate_sql(tr: str) -> str:
+    """q142 twin: the identical feed construction (NULL-text turns
+    dropped first, '_rl' = minus-final-turn, '_new' = suffixed text),
+    the containment rollup, and the final-watermark predicate."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_turn_containment_sql,
+    )
+
+    feed = f"""
+        WITH base AS (
+          SELECT conv_id, turn_idx, text, ts FROM {tr}
+          WHERE text IS NOT NULL
+        ),
+        rl AS (
+          SELECT conv_id || '_rl' AS conv_id, text, ts
+          FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id)
+                  AS _mx FROM base)
+          WHERE turn_idx < _mx
+        ),
+        fresh AS (
+          SELECT conv_id || '_new' AS conv_id, text || ' v2' AS text, ts
+          FROM base
+        )
+        SELECT * FROM rl UNION ALL SELECT * FROM fresh
+    """
+    inner = duckdb_turn_containment_sql(
+        feed_sql=feed,
+        corpus_sql=f"SELECT text FROM {tr}",
+        threshold=0.8,
+    )
+    return f"""
+        SELECT * FROM ({inner})
+        WHERE window_start + INTERVAL 1 MINUTE <=
+              (SELECT max(ts) - INTERVAL 30 SECOND FROM ({feed}))
+    """
 
 
 def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
@@ -6673,4 +6762,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q141_conversation_dedup": _duck_conversation_dedup_sql(
             _relog_fixture_sql(tr)
         ),
+        "q142_stream_session_gate": _duck_session_gate_sql(tr),
     }

@@ -40,11 +40,13 @@ __all__ = [
     "conversation_fingerprints",
     "conversation_near_dups",
     "conversation_dedup",
+    "turn_containment_stream",
     "duckdb_conversation_audit_sql",
     "duckdb_render_chat_sql",
     "duckdb_loss_mask_sql",
     "duckdb_conversation_near_dups_sql",
     "duckdb_conversation_dedup_sql",
+    "duckdb_turn_containment_sql",
 ]
 
 #: Chat-template framing (public convention shape: role-tagged headers
@@ -524,4 +526,103 @@ def duckdb_conversation_dedup_sql(
         )
         SELECT c.cid AS {conv_col}, coalesce(l.canon, c.cid) AS canon
         FROM convs c LEFT JOIN lbl l ON l.cid = c.cid
+    """
+
+
+def turn_containment_stream(
+    turns_stream: DataFrame,
+    corpus_turns: DataFrame,
+    threshold: float = 0.8,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Ingest-time session-dedup admission gate: for each arriving
+    conversation (per event-time window), the fraction of its distinct
+    turn fingerprints ALREADY present in the static corpus fingerprint
+    index — a re-logged/re-run session scores containment ~1.0 and is
+    rejected before it lands, a genuinely new session scores ~0 and is
+    admitted. The per-window slice semantics (not whole-conversation)
+    are deliberate: admission must not hold back until a session ends.
+
+    Stream side: watermarked turns → md5 fingerprint → stream-static
+    LEFT join against the distinct corpus index on tfp → windowed
+    per-conversation rollup via collect_set (streaming-legal exact
+    distinct; state bounded by fingerprints per open (window, conv)).
+    Callers should ``persist()`` the corpus index side.
+
+    Output: (window_start, conv_col, n_turns, n_known, containment,
+    admitted) — admitted when containment < threshold.
+
+    100 TB posture: the corpus-sized side contributes only its
+    DISTINCT fingerprint column to the join (one narrow shuffle per
+    micro-batch against the persisted index); the stream never joins
+    corpus rows, only fingerprints; window state is one bounded set
+    per open conversation window."""
+    idx = (
+        corpus_turns.filter(F.col(text_col).isNotNull())
+        .select(F.md5(text_col).alias("tfp"))
+        .distinct()
+        .withColumn("_known", F.lit(True))
+    )
+    m = (
+        turns_stream.withWatermark(ts_col, watermark)
+        .filter(F.col(text_col).isNotNull())
+        .select(ts_col, F.col(conv_col), F.md5(text_col).alias("tfp"))
+    )
+    joined = m.join(idx, "tfp", "left")
+    agg = (
+        joined.groupBy(F.window(F.col(ts_col), window).alias("w"), conv_col)
+        .agg(
+            F.size(F.collect_set("tfp")).cast("long").alias("n_turns"),
+            F.size(
+                F.collect_set(F.when(F.col("_known"), F.col("tfp")))
+            ).cast("long").alias("n_known"),
+        )
+    )
+    containment = F.round(F.col("n_known") / F.col("n_turns"), 6)
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        conv_col,
+        "n_turns",
+        "n_known",
+        containment.alias("containment"),
+        (containment < threshold).alias("admitted"),
+    )
+
+
+def duckdb_turn_containment_sql(
+    feed_sql: str,
+    corpus_sql: str,
+    threshold: float = 0.8,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`turn_containment_stream` under the
+    closed-window contract: the caller appends the final-watermark
+    predicate. Window = 1-minute epoch truncation (the engine's
+    tumbling window)."""
+    return f"""
+        WITH idx AS (
+          SELECT DISTINCT md5({text_col}) AS tfp FROM ({corpus_sql})
+          WHERE {text_col} IS NOT NULL
+        ),
+        agg AS (
+          SELECT make_timestamp((epoch_us({ts_col}) // 60000000)
+                   * 60000000) AS window_start,
+                 {conv_col},
+                 count(DISTINCT md5({text_col})) AS n_turns,
+                 count(DISTINCT CASE WHEN md5({text_col}) IN
+                   (SELECT tfp FROM idx) THEN md5({text_col}) END)
+                   AS n_known
+          FROM ({feed_sql}) WHERE {text_col} IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT window_start, {conv_col}, n_turns, n_known,
+               round(n_known / n_turns, 6) AS containment,
+               round(n_known / n_turns, 6) < {threshold} AS admitted
+        FROM agg
     """

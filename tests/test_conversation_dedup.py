@@ -118,3 +118,102 @@ def test_conversation_near_dups_plan_is_jvm_only(spark, transcripts_small):
     df = conversation_near_dups(transcripts_small, threshold=0.8)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def _stage(tmp_path, pdf, n_files, label=""):
+    import os
+    import time as _t
+
+    import numpy as np
+
+    staged = str(tmp_path / f"in{label}{n_files}")
+    os.makedirs(staged)
+    t0 = _t.time() - 100
+    for k, chunk in enumerate(np.array_split(pdf, n_files)):
+        p = f"{staged}/part-{k:03d}.parquet"
+        chunk.to_parquet(p)
+        os.utime(p, (t0 + k, t0 + k))
+    return staged
+
+
+def _containment_run(spark, staged, corpus, tmp_base, max_files):
+    from auto_data_tokenize_spark.operators.conversations import (
+        turn_containment_stream,
+    )
+    from auto_data_tokenize_spark.streaming import pipeline
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    st = (
+        spark.readStream.schema("conv_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(staged)
+    )
+    sink = ExactlyOnceSink(f"{tmp_base}/out{max_files}")
+    pipeline.run_to_sink(
+        turn_containment_stream(st, corpus, threshold=0.8),
+        sink,
+        f"{tmp_base}/ckpt{max_files}",
+        shuffle_partitions=4,
+    )
+    return sink.read_committed(spark)
+
+
+def test_turn_containment_gate_matches_twin_and_slicing(spark, tmp_path):
+    """Re-logged sessions are rejected (containment 1.0), novel ones
+    admitted; different micro-batch slicings agree; and the stream
+    equals the batch twin under the closed-window contract."""
+    import pandas as pd
+
+    corpus = spark.createDataFrame(
+        [(f"known {i}",) for i in range(5)] + [(None,)], "text string"
+    )
+    t0 = pd.Timestamp("2026-01-01")
+    rows = [
+        ("dup", "known 0", t0),
+        ("dup", "known 1", t0 + pd.Timedelta(seconds=5)),
+        ("dup", "known 2", t0 + pd.Timedelta(seconds=10)),
+        ("mix", "known 0", t0 + pd.Timedelta(seconds=15)),
+        ("mix", "novel a", t0 + pd.Timedelta(seconds=20)),
+        ("new", "novel b", t0 + pd.Timedelta(seconds=25)),
+        ("new", "novel c", t0 + pd.Timedelta(seconds=30)),
+        # watermark pusher in a later window (never closes, filtered)
+        ("late", "novel d", t0 + pd.Timedelta(minutes=5)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    from pyspark.sql import functions as F
+
+    final_wm = pd.Timestamp(pdf["ts"].max()) - pd.Timedelta(seconds=30)
+    closed = F.col("window_start") + F.expr("INTERVAL 1 MINUTE") <= F.lit(
+        final_wm
+    )
+    results = {}
+    for max_files in (1, 3):
+        staged = _stage(tmp_path, pdf, 4, label=f"mf{max_files}_")
+        got = _containment_run(
+            spark, staged, corpus, str(tmp_path / f"b{max_files}"), max_files
+        )
+        results[max_files] = {
+            tuple(r) for r in got.filter(closed).collect()
+        }
+    assert results[1] == results[3]
+    by_conv = {r[1]: r for r in results[1]}
+    assert set(by_conv) == {"dup", "mix", "new"}
+    assert by_conv["dup"][2:] == (3, 3, 1.0, False)
+    assert by_conv["mix"][2:] == (2, 1, 0.5, True)
+    assert by_conv["new"][2:] == (2, 0, 0.0, True)
+
+    # batch twin: same op body on the static frame
+    from auto_data_tokenize_spark.operators.conversations import (
+        turn_containment_stream,
+    )
+
+    batch = spark.createDataFrame(pdf)
+    want = {
+        tuple(r)
+        for r in turn_containment_stream(batch, corpus, threshold=0.8)
+        .filter(closed)
+        .collect()
+    }
+    assert results[1] == want
