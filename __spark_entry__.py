@@ -4324,24 +4324,29 @@ def q142_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = tr.groupby("conv_id")["turn_idx"].transform("max")
     rl = tr[tr["turn_idx"] < mx].assign(conv_id=tr["conv_id"] + "_rl")
     new = tr.assign(conv_id=tr["conv_id"] + "_new", text=tr["text"] + " v2")
-    feed = (
-        pd.concat([rl, new])[["conv_id", "text", "ts"]]
-        .sort_values(["ts", "conv_id"], kind="mergesort")
-        .reset_index(drop=True)
-    )
+    # no tie-break needed: _stage_append_log re-sorts by ts and the
+    # windowed rollup is equal-ts-arrival-order invariant
+    feed = pd.concat([rl, new])[["conv_id", "text", "ts"]].reset_index(drop=True)
     feed["ts"] = feed["ts"].astype("datetime64[us]")
-    corpus = _transcripts(spark, sf_dir).select("text")
+    # prebuilt + persisted index: the stream-static join re-evaluates
+    # the static plan every micro-batch, so the md5+distinct must not
+    # be part of it (the operator's production shape)
+    from auto_data_tokenize_spark.operators.conversations import (
+        corpus_fingerprint_index,
+    )
+
+    idx = corpus_fingerprint_index(_transcripts(spark, sf_dir)).persist()
     base = tempfile.mkdtemp(prefix="adt_q142_")
     try:
         staged = _stage_append_log(feed, f"{base}/in", order_col="ts")
         st = _stream_files(spark, staged, "conv_id string, text string, ts timestamp")
-        gated = turn_containment_stream(st, corpus, threshold=0.8)
+        gated = turn_containment_stream(st, threshold=0.8, index=idx)
         result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
     finally:
+        idx.unpersist()
         shutil.rmtree(base, ignore_errors=True)
-    import pandas as _pd
 
-    horizon = _pd.Timestamp(feed["ts"].max()) - _pd.Timedelta(seconds=30)
+    horizon = pd.Timestamp(feed["ts"].max()) - pd.Timedelta(seconds=30)
     return result.filter(
         F.col("window_start") + F.expr("INTERVAL 1 MINUTE") <= F.lit(horizon)
     )

@@ -40,6 +40,7 @@ __all__ = [
     "conversation_fingerprints",
     "conversation_near_dups",
     "conversation_dedup",
+    "corpus_fingerprint_index",
     "turn_containment_stream",
     "duckdb_conversation_audit_sql",
     "duckdb_render_chat_sql",
@@ -529,15 +530,30 @@ def duckdb_conversation_dedup_sql(
     """
 
 
+def corpus_fingerprint_index(
+    corpus_turns: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Distinct turn-fingerprint index of a corpus — build ONCE,
+    ``persist()``, and pass to :func:`turn_containment_stream` via
+    ``index=`` so the md5 + distinct shuffle doesn't re-run on every
+    micro-batch of the stream-static join. Output: (tfp)."""
+    return (
+        corpus_turns.filter(F.col(text_col).isNotNull())
+        .select(F.md5(text_col).alias("tfp"))
+        .distinct()
+    )
+
+
 def turn_containment_stream(
     turns_stream: DataFrame,
-    corpus_turns: DataFrame,
+    corpus_turns: DataFrame | None = None,
     threshold: float = 0.8,
     conv_col: str = "conv_id",
     text_col: str = "text",
     ts_col: str = "ts",
     window: str = "1 minute",
     watermark: str = "30 seconds",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time session-dedup admission gate: for each arriving
     conversation (per event-time window), the fraction of its distinct
@@ -547,11 +563,15 @@ def turn_containment_stream(
     admitted. The per-window slice semantics (not whole-conversation)
     are deliberate: admission must not hold back until a session ends.
 
+    Pass EITHER raw ``corpus_turns`` (the index is derived inline —
+    convenient, but the md5 + distinct re-evaluates per micro-batch)
+    OR a prebuilt, persisted :func:`corpus_fingerprint_index` via
+    ``index=`` (the production shape).
+
     Stream side: watermarked turns → md5 fingerprint → stream-static
     LEFT join against the distinct corpus index on tfp → windowed
     per-conversation rollup via collect_set (streaming-legal exact
     distinct; state bounded by fingerprints per open (window, conv)).
-    Callers should ``persist()`` the corpus index side.
 
     Output: (window_start, conv_col, n_turns, n_known, containment,
     admitted) — admitted when containment < threshold.
@@ -561,12 +581,14 @@ def turn_containment_stream(
     micro-batch against the persisted index); the stream never joins
     corpus rows, only fingerprints; window state is one bounded set
     per open conversation window."""
-    idx = (
-        corpus_turns.filter(F.col(text_col).isNotNull())
-        .select(F.md5(text_col).alias("tfp"))
-        .distinct()
-        .withColumn("_known", F.lit(True))
-    )
+    if (corpus_turns is None) == (index is None):
+        raise ValueError(
+            "pass exactly one of corpus_turns= or index= "
+            "(a corpus_fingerprint_index frame)"
+        )
+    if index is None:
+        index = corpus_fingerprint_index(corpus_turns, text_col)
+    idx = index.select("tfp").withColumn("_known", F.lit(True))
     m = (
         turns_stream.withWatermark(ts_col, watermark)
         .filter(F.col(text_col).isNotNull())

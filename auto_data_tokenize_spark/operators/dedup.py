@@ -564,22 +564,42 @@ def setsim_join(
         F.col(id_col).alias("_id"),
         F.explode_outer(F.array_distinct("_g")).alias("_s"),
     )
-    dfreq = grams.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    cand = _prefix_candidates(grams, threshold, keep_sizes=False)
+    return ngram_jaccard_pairs(df, cand, id_col, text_col, n=k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _prefix_candidates(
+    t: DataFrame, threshold: float, keep_sizes: bool
+) -> DataFrame:
+    """The shared AllPairs prefix-filter candidate kernel of
+    :func:`setsim_join` (text shingles; owns the lemma prose) and
+    :func:`set_jaccard_join` (arbitrary sets). Input: distinct
+    ``(_id, _s)`` membership rows — a NULL ``_s`` row (setsim_join's
+    explode_outer contract) drops in the inner dfreq join below,
+    BEFORE ``_sz`` is counted. Output: candidate pairs ``(a, b)``
+    with ``a < b``, plus their set sizes when ``keep_sizes``.
+
+    Slack rationale: the emission rule is round(J, 6) >= t, and
+    rounding can lift a true J by at most 5e-7 — so the prunes must
+    keep every pair with true J >= t - 5e-7, and that is the EXACT
+    bound: the 5e-7 * |S| term below admits precisely those pairs
+    (a wider 1e-6 slack shipped in round 4 doubled the candidate
+    growth for no correctness gain — the r4 verdict's q43 item). The
+    trailing -1e-9 absorbs float product error in the bound itself.
+    Exactness is pinned by the brute-force-equality and lemma
+    hypothesis tests (tests/test_dedup.py, tests/test_properties.py,
+    tests/test_conversation_dedup.py)."""
+    from pyspark.sql import Window
+
+    dfreq = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("_id")
     ranked = (
-        grams.join(dfreq, "_s")
+        t.join(dfreq, "_s")
         .withColumn("_sz", F.count(F.lit(1)).over(w))
         .withColumn("_rn", F.row_number().over(w.orderBy("_df", "_s")))
     )
-    # Slack rationale: the emission rule is round(J, 6) >= t, and
-    # rounding can lift a true J by at most 5e-7 — so the prunes must
-    # keep every pair with true J >= t - 5e-7, and that is the EXACT
-    # bound: the 5e-7 * |S| term below admits precisely those pairs
-    # (a wider 1e-6 slack shipped in round 4 doubled the candidate
-    # growth for no correctness gain — the r4 verdict's q43 item). The
-    # trailing -1e-9 absorbs float product error in the bound itself.
-    # Exactness is pinned by the brute-force-equality and lemma
-    # hypothesis tests (tests/test_dedup.py, tests/test_properties.py).
     prefix = ranked.filter(
         F.col("_rn")
         <= F.col("_sz")
@@ -588,11 +608,11 @@ def setsim_join(
         )
         + 1
     ).select("_id", "_s", "_sz")
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = int(t.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # REPARTITION_BY_NUM on the join key: exempt from AQE
+    # coalescing, so a small prefix table with a quadratic join
+    # output still expands across cores (the simhash lesson).
     cand = (
-        # REPARTITION_BY_NUM on the join key: exempt from AQE
-        # coalescing, so a small prefix table with a quadratic join
-        # output still expands across cores (the simhash lesson).
         prefix.select(F.col("_id").alias("a"), "_s", F.col("_sz").alias("_sza"))
         .repartition(n_part, "_s")
         .join(
@@ -608,12 +628,12 @@ def setsim_join(
                 - F.lit(1e-9)
             )
         )
-        .select("a", "b")
-        .distinct()
     )
-    return ngram_jaccard_pairs(df, cand, id_col, text_col, n=k).filter(
-        F.col("jaccard") >= threshold
-    )
+    # set sizes are functionally dependent on the ids, so keeping them
+    # through the distinct costs nothing and saves the caller a size
+    # aggregate + two re-joins
+    cols = ["a", "b", "_sza", "_szb"] if keep_sizes else ["a", "b"]
+    return cand.select(*cols).distinct()
 
 
 def set_jaccard_join(
@@ -648,53 +668,12 @@ def set_jaccard_join(
     token keys (AQE-coalesce-exempt); the exact verify is linear in
     candidate-pair set sizes, never corpus-quadratic.
     """
-    from pyspark.sql import Window
-
     t = tokens.select(
         F.col(id_col).alias("_id"), F.col(token_col).alias("_s")
     ).filter(F.col("_s").isNotNull())
     if not assume_distinct:
         t = t.distinct()
-    dfreq = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy("_id")
-    ranked = (
-        t.join(dfreq, "_s")
-        .withColumn("_sz", F.count(F.lit(1)).over(w))
-        .withColumn("_rn", F.row_number().over(w.orderBy("_df", "_s")))
-    )
-    # prefix length + slack: see setsim_join (round(J,6) >= t emission
-    # admits true J >= t - 5e-7; -1e-9 absorbs float product error)
-    prefix = ranked.filter(
-        F.col("_rn")
-        <= F.col("_sz")
-        - F.ceil(
-            (F.lit(threshold) - F.lit(5e-7)) * F.col("_sz") - F.lit(1e-9)
-        )
-        + 1
-    ).select("_id", "_s", "_sz")
-    n_part = int(tokens.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cand = (
-        prefix.select(F.col("_id").alias("a"), "_s", F.col("_sz").alias("_sza"))
-        .repartition(n_part, "_s")
-        .join(
-            prefix.select(F.col("_id").alias("b"), "_s", F.col("_sz").alias("_szb"))
-            .repartition(n_part, "_s"),
-            "_s",
-        )
-        .filter(
-            (F.col("a") < F.col("b"))
-            & (
-                F.least("_sza", "_szb")
-                >= (F.lit(threshold) - F.lit(5e-7)) * F.greatest("_sza", "_szb")
-                - F.lit(1e-9)
-            )
-        )
-        # set sizes ride along with the pair (they are functionally
-        # dependent on the ids), so the verify below needs no extra
-        # size aggregate or re-join
-        .select("a", "b", "_sza", "_szb")
-        .distinct()
-    )
+    cand = _prefix_candidates(t, threshold, keep_sizes=True)
     inter = (
         cand.join(t.select(F.col("_id").alias("a"), "_s"), "a")
         .join(t.select(F.col("_id").alias("b"), "_s"), ["b", "_s"])
