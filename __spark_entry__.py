@@ -4352,6 +4352,45 @@ def q142_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool trajectory aggregates (operators/trajectories.py
+    tool_call_stats): call/result/answered counts and first-following-
+    result latency per tool over the transcript table — the usage
+    profile of the agent's tool catalogue. One window on (conv_id,
+    tool) + one tiny-key groupBy; latency accumulated in whole
+    microseconds so the mean is order-independent. Oracle: join-based
+    first-following-result with the identical integer-microsecond
+    arithmetic."""
+    from auto_data_tokenize_spark.operators.trajectories import tool_call_stats
+
+    return tool_call_stats(_transcripts(spark, sf_dir))
+
+
+def q144_tool_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-chain motifs (operators/trajectories.py
+    tool_sequence_bigrams): consecutive tool-call pairs per
+    conversation — the call-graph edge list a tool-routing policy
+    trains on. One lead window over conv_id on the calls-only subset
+    + one map-side-partial aggregate on the tool-pair key space."""
+    from auto_data_tokenize_spark.operators.trajectories import (
+        tool_sequence_bigrams,
+    )
+
+    return tool_sequence_bigrams(_transcripts(spark, sf_dir))
+
+
+def q145_trajectory_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural-quality flags (operators/
+    trajectories.py trajectory_flags): retry loops (gaps-and-islands
+    longest same-tool call run) and unanswered calls (no later
+    same-tool result) — the two flailing-agent signatures a
+    trajectory-curation pass filters on. Oracle: identical islands
+    construction + anti-join unanswered count."""
+    from auto_data_tokenize_spark.operators.trajectories import trajectory_flags
+
+    return trajectory_flags(_transcripts(spark, sf_dir), loop_threshold=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_tokenize_turns": _with_prep(q01_tokenize_turns),
@@ -4504,6 +4543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_conversation_near_dups": _with_prep(q140_conversation_near_dups),
         "q141_conversation_dedup": _with_prep(q141_conversation_dedup),
         "q142_stream_session_gate": _with_prep(q142_stream_session_gate),
+        "q143_tool_call_stats": _with_prep(q143_tool_call_stats),
+        "q144_tool_bigrams": _with_prep(q144_tool_bigrams),
+        "q145_trajectory_flags": _with_prep(q145_trajectory_flags),
     }
 
 
@@ -5508,6 +5550,30 @@ def _duck_conversation_dedup_sql(turns_sql: str) -> str:
     )
 
     return duckdb_conversation_dedup_sql(turns_sql, threshold=0.8)
+
+
+def _duck_tool_call_stats_sql(turns_sql: str) -> str:
+    from auto_data_tokenize_spark.operators.trajectories import (
+        duckdb_tool_call_stats_sql,
+    )
+
+    return duckdb_tool_call_stats_sql(turns_sql)
+
+
+def _duck_tool_bigrams_sql(turns_sql: str) -> str:
+    from auto_data_tokenize_spark.operators.trajectories import (
+        duckdb_tool_sequence_bigrams_sql,
+    )
+
+    return duckdb_tool_sequence_bigrams_sql(turns_sql)
+
+
+def _duck_trajectory_flags_sql(turns_sql: str, loop_threshold: int = 3) -> str:
+    from auto_data_tokenize_spark.operators.trajectories import (
+        duckdb_trajectory_flags_sql,
+    )
+
+    return duckdb_trajectory_flags_sql(turns_sql, loop_threshold=loop_threshold)
 
 
 def _duck_session_gate_sql(tr: str) -> str:
@@ -6768,4 +6834,11 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             _relog_fixture_sql(tr)
         ),
         "q142_stream_session_gate": _duck_session_gate_sql(tr),
+        "q143_tool_call_stats": _duck_tool_call_stats_sql(
+            f"SELECT * FROM {tr}"
+        ),
+        "q144_tool_bigrams": _duck_tool_bigrams_sql(f"SELECT * FROM {tr}"),
+        "q145_trajectory_flags": _duck_trajectory_flags_sql(
+            f"SELECT * FROM {tr}", loop_threshold=3
+        ),
     }

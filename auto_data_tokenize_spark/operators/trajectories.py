@@ -1,0 +1,409 @@
+"""Agent-trajectory analytics over the ``tool`` column — the
+tool-call layer of the transcripts-to-training-data pipeline.
+
+The reference's demo corpus is agent/customer chat transcripts
+(``sample-data-chats.csv``; pipeline goldens in
+test/pipeline/CsvTokenizationAndOrderingPipelineTest.java:117-219) and
+the north-rule input schema carries a ``tool`` column: agent turns may
+invoke a tool, and ``role='tool'`` turns carry that tool's result.
+Training an agent on those trajectories needs the same curation layer
+documents get from C4-style heuristics, but over CALL STRUCTURE
+rather than text:
+
+* :func:`tool_call_stats` — per-tool call/result/latency aggregates
+  (which tools are used, how often they answer, how fast);
+* :func:`tool_sequence_bigrams` — which tool chains occur (the
+  call-graph motifs a router model would learn);
+* :func:`trajectory_flags` — per-conversation structural quality:
+  retry loops (the same tool called back-to-back >= k times) and
+  unanswered calls (an invocation with no following result), the
+  two classic signatures of a flailing agent;
+* :func:`filter_trajectories` — keep only clean conversations.
+
+Every operator is a window + aggregate over ``(conv_id, turn_idx)``
+and therefore exactly SQL-expressible — each carries a DuckDB twin
+(``duckdb_*_sql``) for the oracle gate.
+
+"First following result" is resolved with ONE window per
+``(conv_id, tool)`` ordered by ``turn_idx``:
+``min(struct(turn_idx, ts))`` over the strictly-following frame picks
+the earliest later result without a self-join. Latency is accumulated
+in WHOLE MICROSECONDS (``unix_micros`` deltas summed as BIGINT) and
+divided once at the end, so the mean is order-independent and the
+oracle's HUGEINT/double widening cannot drift from Spark's
+long-sum-then-divide (the r3 q46 bug class).
+
+100 TB notes: the tool-bearing subset is a narrow codegen filter
+(~20 % of turns, 5 columns) BEFORE any shuffle; the window partitions
+on ``(conv_id, tool)`` — finer than ``conv_id``, so hot conversations
+(the north rule's skew case) split across their tool set; the final
+per-tool aggregates are map-side partial over a key space the size of
+the tool catalogue. Nothing holds more than one conversation-tool run
+in memory; no Python rows anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "tool_call_stats",
+    "tool_sequence_bigrams",
+    "trajectory_flags",
+    "filter_trajectories",
+    "duckdb_tool_call_stats_sql",
+    "duckdb_tool_sequence_bigrams_sql",
+    "duckdb_trajectory_flags_sql",
+]
+
+
+def _epoch_us(col):
+    """Whole-microsecond epoch for TIMESTAMP and TIMESTAMP_NTZ alike,
+    tz-free (the asof.py decomposition: day count + time of day —
+    a session-tz cast would corrupt NTZ differences across DST gaps).
+    ``date_part('SECOND')`` carries the microsecond fraction exactly,
+    so ``* 1e6`` is integral."""
+    return (
+        F.unix_date(col.cast("date")).cast("long") * F.lit(86_400_000_000)
+        + F.hour(col).cast("long") * F.lit(3_600_000_000)
+        + F.minute(col).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast("long")
+    )
+
+
+def _tool_rows(
+    turns: DataFrame,
+    conv_col: str,
+    role_col: str,
+    tool_col: str,
+) -> DataFrame:
+    """Narrow pre-shuffle projection: tool-bearing call/result turns,
+    timestamps pre-lowered to whole-microsecond epoch longs."""
+    return turns.filter(
+        F.col(tool_col).isNotNull() & F.col(role_col).isin("agent", "tool")
+    ).select(
+        conv_col,
+        "turn_idx",
+        role_col,
+        tool_col,
+        _epoch_us(F.col("ts")).alias("_ts_us"),
+    )
+
+
+def _with_next_result(
+    rel: DataFrame, conv_col: str, role_col: str, tool_col: str
+) -> DataFrame:
+    """Attach ``_nxt = struct(turn_idx, ts)`` of the first strictly-
+    later ``role='tool'`` turn for the same ``(conv_id, tool)`` —
+    NULL when the call is never answered. One window, no join."""
+    w = (
+        Window.partitionBy(conv_col, tool_col)
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(
+            F.col(role_col) == "tool", F.struct(F.col("turn_idx"), F.col("_ts_us"))
+        )
+    ).over(w)
+    return rel.withColumn("_nxt", nxt)
+
+
+def tool_call_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-tool usage aggregates over the transcript table.
+
+    A *call* is an ``role='agent'`` turn with ``tool`` set; a *result*
+    is a ``role='tool'`` turn. A call is *answered* by the first later
+    result for the same ``(conv_id, tool)``; latency is that result's
+    ``ts`` minus the call's (may be negative under late-stamped events
+    — reported as-is, both sides compute the same thing).
+
+    Output (one row per tool):
+    ``(tool, n_calls, n_results, n_convs, n_answered, p_answered,
+    mean_latency_s, max_latency_s)`` — latencies rounded to 6 dp,
+    NULL when no call was answered.
+    """
+    rel = _with_next_result(
+        _tool_rows(turns, conv_col, role_col, tool_col), conv_col, role_col, tool_col
+    )
+    is_call = F.col(role_col) == "agent"
+    answered = is_call & F.col("_nxt").isNotNull()
+    lat_us = F.col("_nxt._ts_us") - F.col("_ts_us")
+    agg = rel.groupBy(tool_col).agg(
+        F.count(F.when(is_call, 1)).alias("n_calls"),
+        F.count(F.when(F.col(role_col) == "tool", 1)).alias("n_results"),
+        F.countDistinct(conv_col).alias("n_convs"),
+        F.count(F.when(answered, 1)).alias("n_answered"),
+        F.sum(F.when(answered, lat_us)).alias("_sum_lat_us"),
+        F.max(F.when(answered, lat_us)).alias("_max_lat_us"),
+    )
+    return agg.select(
+        tool_col,
+        "n_calls",
+        "n_results",
+        "n_convs",
+        "n_answered",
+        F.when(
+            F.col("n_calls") > 0,
+            F.round(F.col("n_answered") / F.col("n_calls"), 6),
+        ).alias("p_answered"),
+        F.when(
+            F.col("n_answered") > 0,
+            F.round(
+                (F.col("_sum_lat_us") / F.lit(1e6)) / F.col("n_answered"), 6
+            ),
+        ).alias("mean_latency_s"),
+        F.round(F.col("_max_lat_us") / F.lit(1e6), 6).alias("max_latency_s"),
+    )
+
+
+def duckdb_tool_call_stats_sql(
+    turns_sql: str,
+    conv_col: str = "conv_id",
+) -> str:
+    """DuckDB twin of :func:`tool_call_stats` — join-based first-
+    following-result (min later turn_idx per call), latency summed as
+    integer microseconds then divided once, mirroring Spark's
+    long-sum-then-divide exactly."""
+    c = conv_col
+    return f"""
+        WITH rel AS (
+          SELECT {c}, turn_idx, role, tool, ts FROM ({turns_sql})
+          WHERE tool IS NOT NULL AND role IN ('agent', 'tool')
+        ),
+        calls AS (SELECT {c}, tool, turn_idx, ts FROM rel WHERE role = 'agent'),
+        res   AS (SELECT {c}, tool, turn_idx, ts FROM rel WHERE role = 'tool'),
+        first_res AS (
+          SELECT cl.{c}, cl.tool, cl.turn_idx, MIN(r.turn_idx) AS r_idx
+          FROM calls cl JOIN res r
+            ON r.{c} = cl.{c} AND r.tool = cl.tool AND r.turn_idx > cl.turn_idx
+          GROUP BY 1, 2, 3
+        ),
+        lat AS (
+          SELECT f.tool,
+                 epoch_us(r.ts) - epoch_us(cl.ts) AS lat_us
+          FROM first_res f
+          JOIN calls cl ON cl.{c} = f.{c} AND cl.tool = f.tool
+                       AND cl.turn_idx = f.turn_idx
+          JOIN res r   ON r.{c} = f.{c} AND r.tool = f.tool
+                       AND r.turn_idx = f.r_idx
+        ),
+        base AS (
+          SELECT tool,
+                 COUNT(*) FILTER (WHERE role = 'agent') AS n_calls,
+                 COUNT(*) FILTER (WHERE role = 'tool') AS n_results,
+                 COUNT(DISTINCT {c}) AS n_convs
+          FROM rel GROUP BY tool
+        ),
+        lagg AS (
+          SELECT tool, COUNT(*) AS n_answered,
+                 CAST(SUM(lat_us) AS BIGINT) AS s_us,
+                 CAST(MAX(lat_us) AS BIGINT) AS m_us
+          FROM lat GROUP BY tool
+        )
+        SELECT b.tool, b.n_calls, b.n_results, b.n_convs,
+               CAST(COALESCE(l.n_answered, 0) AS BIGINT) AS n_answered,
+               CASE WHEN b.n_calls > 0 THEN
+                 ROUND(COALESCE(l.n_answered, 0) * 1.0 / b.n_calls, 6)
+               END AS p_answered,
+               CASE WHEN l.n_answered > 0 THEN
+                 ROUND((l.s_us / 1e6) / l.n_answered, 6)
+               END AS mean_latency_s,
+               ROUND(l.m_us / 1e6, 6) AS max_latency_s
+        FROM base b LEFT JOIN lagg l USING (tool)
+    """
+
+
+def tool_sequence_bigrams(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-chain motifs: consecutive pairs of tool CALLS within a
+    conversation (call order = ``turn_idx``; intervening non-call
+    turns are transparent). Output ``(tool_a, tool_b, n_pairs,
+    n_convs)`` — the corpus-wide call-graph edge list a tool-routing
+    policy would be trained on.
+
+    One window over ``conv_id`` on the calls-only subset + one
+    map-side-partial aggregate on the (tiny) tool-pair key space.
+    """
+    calls = turns.filter(
+        (F.col(role_col) == "agent") & F.col(tool_col).isNotNull()
+    ).select(conv_col, "turn_idx", tool_col)
+    w = Window.partitionBy(conv_col).orderBy("turn_idx")
+    pairs = calls.select(
+        F.col(conv_col),
+        F.col(tool_col).alias("tool_a"),
+        F.lead(tool_col).over(w).alias("tool_b"),
+    ).filter(F.col("tool_b").isNotNull())
+    return pairs.groupBy("tool_a", "tool_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct(conv_col).alias("n_convs"),
+    )
+
+
+def duckdb_tool_sequence_bigrams_sql(
+    turns_sql: str, conv_col: str = "conv_id"
+) -> str:
+    """DuckDB twin of :func:`tool_sequence_bigrams` (same lead window)."""
+    c = conv_col
+    return f"""
+        WITH calls AS (
+          SELECT {c}, turn_idx, tool FROM ({turns_sql})
+          WHERE role = 'agent' AND tool IS NOT NULL
+        ),
+        pairs AS (
+          SELECT {c}, tool AS tool_a,
+                 LEAD(tool) OVER (PARTITION BY {c} ORDER BY turn_idx) AS tool_b
+          FROM calls
+        )
+        SELECT tool_a, tool_b, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT {c}) AS n_convs
+        FROM pairs WHERE tool_b IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def trajectory_flags(
+    turns: DataFrame,
+    loop_threshold: int = 3,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation structural-quality flags for trajectory
+    curation:
+
+    * ``max_same_tool_run`` — longest run of CONSECUTIVE calls (in
+      call order) to the same tool; ``>= loop_threshold`` is the
+      retry-loop signature (agent flailing on one tool);
+    * ``n_unanswered`` — calls with no later same-tool result in the
+      conversation (the trajectory teaches "call and ignore");
+    * ``clean`` — no retry loop and no unanswered call.
+
+    Every conversation in ``turns`` gets a row (call-free ones are
+    trivially clean with zero counts).
+
+    Runs are gaps-and-islands: ``row_number`` over the conversation's
+    calls minus ``row_number`` over its per-tool calls is constant
+    exactly within a same-tool run — two windows sharing the
+    ``conv_id`` hash partition, then one aggregate on the same key, so
+    Catalyst plans a single Exchange for the whole flag computation.
+    """
+    if loop_threshold < 1:
+        raise ValueError(f"loop_threshold must be >= 1, got {loop_threshold}")
+    rel = _with_next_result(
+        _tool_rows(turns, conv_col, role_col, tool_col), conv_col, role_col, tool_col
+    )
+    calls = rel.filter(F.col(role_col) == "agent")
+    w_conv = Window.partitionBy(conv_col).orderBy("turn_idx")
+    w_ct = Window.partitionBy(conv_col, tool_col).orderBy("turn_idx")
+    islands = calls.select(
+        F.col(conv_col),
+        F.col(tool_col),
+        F.col("_nxt"),
+        (F.row_number().over(w_conv) - F.row_number().over(w_ct)).alias("_isl"),
+    )
+    per_conv = islands.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.count(F.when(F.col("_nxt").isNull(), 1)).alias("n_unanswered"),
+    )
+    runs = (
+        islands.groupBy(conv_col, tool_col, "_isl")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy(conv_col)
+        .agg(F.max("_run").alias("max_same_tool_run"))
+    )
+    convs = turns.select(conv_col).distinct()
+    out = (
+        convs.join(per_conv, conv_col, "left")
+        .join(runs, conv_col, "left")
+        .select(
+            conv_col,
+            F.coalesce("n_calls", F.lit(0)).cast("long").alias("n_calls"),
+            F.coalesce("max_same_tool_run", F.lit(0))
+            .cast("long")
+            .alias("max_same_tool_run"),
+            F.coalesce("n_unanswered", F.lit(0)).cast("long").alias("n_unanswered"),
+        )
+    )
+    return out.withColumn(
+        "clean",
+        (F.col("max_same_tool_run") < F.lit(int(loop_threshold)))
+        & (F.col("n_unanswered") == 0),
+    )
+
+
+def filter_trajectories(
+    turns: DataFrame,
+    loop_threshold: int = 3,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Keep only turns of conversations :func:`trajectory_flags` marks
+    ``clean`` — a left-semi join on ``conv_id``, so the corpus stays
+    partitioned as-is and the flag side reduces to one row per
+    conversation before the join."""
+    flags = trajectory_flags(turns, loop_threshold, conv_col, role_col, tool_col)
+    keep = flags.filter(F.col("clean")).select(conv_col)
+    return turns.join(keep, conv_col, "left_semi")
+
+
+def duckdb_trajectory_flags_sql(
+    turns_sql: str,
+    loop_threshold: int = 3,
+    conv_col: str = "conv_id",
+) -> str:
+    """DuckDB twin of :func:`trajectory_flags` (same gaps-and-islands
+    construction; unanswered via anti-join instead of the window)."""
+    c = conv_col
+    return f"""
+        WITH rel AS (
+          SELECT {c}, turn_idx, role, tool FROM ({turns_sql})
+          WHERE tool IS NOT NULL AND role IN ('agent', 'tool')
+        ),
+        calls AS (SELECT {c}, tool, turn_idx FROM rel WHERE role = 'agent'),
+        res   AS (SELECT {c}, tool, turn_idx FROM rel WHERE role = 'tool'),
+        isl AS (
+          SELECT {c}, tool, turn_idx,
+                 ROW_NUMBER() OVER (PARTITION BY {c} ORDER BY turn_idx)
+               - ROW_NUMBER() OVER (PARTITION BY {c}, tool ORDER BY turn_idx)
+                 AS g
+          FROM calls
+        ),
+        runs AS (
+          SELECT {c}, MAX(n) AS max_run FROM (
+            SELECT {c}, tool, g, COUNT(*) AS n FROM isl GROUP BY 1, 2, 3
+          ) GROUP BY 1
+        ),
+        unans AS (
+          SELECT cl.{c}, COUNT(*) AS n_un
+          FROM calls cl
+          WHERE NOT EXISTS (
+            SELECT 1 FROM res r
+            WHERE r.{c} = cl.{c} AND r.tool = cl.tool
+              AND r.turn_idx > cl.turn_idx
+          )
+          GROUP BY 1
+        ),
+        ncall AS (SELECT {c}, COUNT(*) AS n_calls FROM calls GROUP BY 1),
+        convs AS (SELECT DISTINCT {c} FROM ({turns_sql}))
+        SELECT v.{c},
+               CAST(COALESCE(n.n_calls, 0) AS BIGINT) AS n_calls,
+               CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_same_tool_run,
+               CAST(COALESCE(u.n_un, 0) AS BIGINT) AS n_unanswered,
+               (COALESCE(r.max_run, 0) < {int(loop_threshold)}
+                AND COALESCE(u.n_un, 0) = 0) AS clean
+        FROM convs v
+        LEFT JOIN ncall n USING ({c})
+        LEFT JOIN runs r USING ({c})
+        LEFT JOIN unans u USING ({c})
+    """
