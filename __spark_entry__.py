@@ -4352,6 +4352,50 @@ def q142_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_stream_trajectory_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time trajectory-quality admission (operators/
+    trajectories.py trajectory_gate_stream): per arriving conversation
+    slice (15-minute event-time window), flag retry loops (>= 2
+    consecutive same-tool calls) and unanswered calls, admit only
+    clean slices — the streaming twin of q145's batch flags, through
+    the exactly-once sink. One windowed collect_list aggregate + a
+    pure higher-order-function projection: no second shuffle, no
+    Python. Oracle replays the same feed with the gaps-and-islands /
+    anti-join construction and the closed-window predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.trajectories import (
+        trajectory_gate_stream,
+    )
+    from auto_data_tokenize_spark import datagen
+
+    dd = datagen.ensure_sf(_sf_name(sf_dir))
+    tr = pd.read_parquet(os.path.join(dd, "transcripts.parquet"))[
+        ["conv_id", "turn_idx", "role", "tool", "ts"]
+    ]
+    tr["ts"] = tr["ts"].astype("datetime64[us]")
+    base = tempfile.mkdtemp(prefix="adt_q146_")
+    try:
+        staged = _stage_append_log(tr, f"{base}/in", order_col="ts")
+        st = _stream_files(
+            spark,
+            staged,
+            "conv_id string, turn_idx int, role string, tool string, ts timestamp",
+        )
+        gated = trajectory_gate_stream(st, loop_threshold=2)
+        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    horizon = pd.Timestamp(tr["ts"].max()) - pd.Timedelta(seconds=30)
+    return result.filter(
+        F.col("window_start") + F.expr("INTERVAL 15 MINUTE") <= F.lit(horizon)
+    )
+
+
 def q143_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool trajectory aggregates (operators/trajectories.py
     tool_call_stats): call/result/answered counts and first-following-
@@ -4546,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_tool_call_stats": _with_prep(q143_tool_call_stats),
         "q144_tool_bigrams": _with_prep(q144_tool_bigrams),
         "q145_trajectory_flags": _with_prep(q145_trajectory_flags),
+        "q146_stream_trajectory_gate": _with_prep(q146_stream_trajectory_gate),
     }
 
 
@@ -5574,6 +5619,25 @@ def _duck_trajectory_flags_sql(turns_sql: str, loop_threshold: int = 3) -> str:
     )
 
     return duckdb_trajectory_flags_sql(turns_sql, loop_threshold=loop_threshold)
+
+
+def _duck_trajectory_gate_sql(tr: str) -> str:
+    """q146 twin: the raw transcript feed, the per-(window, conv)
+    gaps-and-islands / anti-join gate, and the closed-window
+    predicate (only windows the stream's final watermark closed)."""
+    from auto_data_tokenize_spark.operators.trajectories import (
+        duckdb_trajectory_gate_sql,
+    )
+
+    inner = duckdb_trajectory_gate_sql(
+        f"SELECT conv_id, turn_idx, role, tool, ts FROM {tr}",
+        loop_threshold=2,
+    )
+    return f"""
+        SELECT * FROM ({inner})
+        WHERE window_start + INTERVAL 15 MINUTE <=
+              (SELECT max(ts) - INTERVAL 30 SECOND FROM {tr})
+    """
 
 
 def _duck_session_gate_sql(tr: str) -> str:
@@ -6841,4 +6905,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q145_trajectory_flags": _duck_trajectory_flags_sql(
             f"SELECT * FROM {tr}", loop_threshold=3
         ),
+        "q146_stream_trajectory_gate": _duck_trajectory_gate_sql(tr),
     }

@@ -51,9 +51,11 @@ __all__ = [
     "tool_sequence_bigrams",
     "trajectory_flags",
     "filter_trajectories",
+    "trajectory_gate_stream",
     "duckdb_tool_call_stats_sql",
     "duckdb_tool_sequence_bigrams_sql",
     "duckdb_trajectory_flags_sql",
+    "duckdb_trajectory_gate_sql",
 ]
 
 
@@ -355,6 +357,184 @@ def filter_trajectories(
     flags = trajectory_flags(turns, loop_threshold, conv_col, role_col, tool_col)
     keep = flags.filter(F.col("clean")).select(conv_col)
     return turns.join(keep, conv_col, "left_semi")
+
+
+def trajectory_gate_stream(
+    turns_stream: DataFrame,
+    loop_threshold: int = 3,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Ingest-time trajectory-quality admission gate — the streaming
+    twin of :func:`trajectory_flags`: per arriving conversation slice
+    (event-time tumbling window over ``ts``), flag retry loops
+    (>= ``loop_threshold`` consecutive same-tool calls) and unanswered
+    calls (no later same-tool ``role='tool'`` result IN THE SLICE),
+    and admit only clean slices. Per-window-slice semantics (not
+    whole-conversation) are deliberate, matching the session-dedup
+    gate: admission must not hold back until a session ends, and a
+    flailing agent is flagged while it is still flailing.
+
+    Shape: one watermarked windowed aggregate — ``collect_list`` of
+    ``(turn_idx, role, tool)`` per ``(window, conv)`` — then a pure
+    higher-order-function projection (``sort_array`` + ``aggregate``
+    run scan + nested ``filter``/``exists`` for unanswered), so the
+    whole gate is one streaming state operator plus codegen: no second
+    shuffle, no Python, and arrival order within equal ``ts`` cannot
+    change the output (the scan orders by ``turn_idx``).
+
+    Output: ``(window_start, conv_col, n_calls, max_same_tool_run,
+    n_unanswered, admitted)`` — every conversation with ANY turn in
+    the window gets a row (call-free slices are trivially admitted).
+
+    100 TB posture: state per open (window, conv) is one bounded event
+    array (a conversation's turns in one window); the aggregate
+    partitions on the (window, conv) composite so hot conversations
+    split across their window slices rather than pinning one key.
+    """
+    if loop_threshold < 1:
+        raise ValueError(f"loop_threshold must be >= 1, got {loop_threshold}")
+    agg = (
+        turns_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), conv_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("turn_idx"),
+                        F.col(role_col).alias("role"),
+                        F.col(tool_col).alias("tool"),
+                    )
+                )
+            ).alias("_evs")
+        )
+    )
+    calls = F.filter(
+        F.col("_evs"),
+        lambda e: (e["role"] == F.lit("agent")) & e["tool"].isNotNull(),
+    )
+    results = F.filter(
+        F.col("_evs"),
+        lambda e: (e["role"] == F.lit("tool")) & e["tool"].isNotNull(),
+    )
+    # longest same-tool run over the turn_idx-ordered call sequence:
+    # one left-to-right scan with a (prev, run, mx) accumulator
+    max_run = F.aggregate(
+        calls,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+        ),
+        lambda acc, e: F.struct(
+            e["tool"].alias("prev"),
+            F.when(acc["prev"] == e["tool"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(acc["prev"] == e["tool"], acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
+    )
+    n_unanswered = F.size(
+        F.filter(
+            calls,
+            lambda c: ~F.exists(
+                results,
+                lambda r: (r["turn_idx"] > c["turn_idx"])
+                & (r["tool"] == c["tool"]),
+            ),
+        )
+    ).cast("long")
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        conv_col,
+        F.size(calls).cast("long").alias("n_calls"),
+        max_run.alias("max_same_tool_run"),
+        n_unanswered.alias("n_unanswered"),
+    )
+    return out.withColumn(
+        "admitted",
+        (F.col("max_same_tool_run") < F.lit(int(loop_threshold)))
+        & (F.col("n_unanswered") == 0),
+    )
+
+
+def duckdb_trajectory_gate_sql(
+    feed_sql: str,
+    loop_threshold: int = 3,
+    conv_col: str = "conv_id",
+    window_us: int = 15 * 60 * 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`trajectory_gate_stream` over the SAME
+    feed (the caller appends the closed-window predicate): epoch-
+    aligned tumbling bucket, per-(window, conv) gaps-and-islands run
+    scan + anti-join unanswered count — every conversation slice gets
+    a row."""
+    c = conv_col
+    return f"""
+        WITH t AS (
+          SELECT {c}, turn_idx, role, tool,
+                 make_timestamp((epoch_us(ts) // {window_us}) * {window_us})
+                   AS window_start
+          FROM ({feed_sql})
+        ),
+        calls AS (
+          SELECT window_start, {c}, tool, turn_idx FROM t
+          WHERE role = 'agent' AND tool IS NOT NULL
+        ),
+        res AS (
+          SELECT window_start, {c}, tool, turn_idx FROM t
+          WHERE role = 'tool' AND tool IS NOT NULL
+        ),
+        isl AS (
+          SELECT window_start, {c}, tool, turn_idx,
+                 ROW_NUMBER() OVER (PARTITION BY window_start, {c}
+                                    ORDER BY turn_idx)
+               - ROW_NUMBER() OVER (PARTITION BY window_start, {c}, tool
+                                    ORDER BY turn_idx) AS g
+          FROM calls
+        ),
+        runs AS (
+          SELECT window_start, {c}, MAX(n) AS max_run FROM (
+            SELECT window_start, {c}, tool, g, COUNT(*) AS n
+            FROM isl GROUP BY 1, 2, 3, 4
+          ) GROUP BY 1, 2
+        ),
+        unans AS (
+          SELECT cl.window_start, cl.{c}, COUNT(*) AS n_un
+          FROM calls cl
+          WHERE NOT EXISTS (
+            SELECT 1 FROM res r
+            WHERE r.window_start = cl.window_start AND r.{c} = cl.{c}
+              AND r.tool = cl.tool AND r.turn_idx > cl.turn_idx
+          )
+          GROUP BY 1, 2
+        ),
+        ncall AS (
+          SELECT window_start, {c}, COUNT(*) AS n_calls
+          FROM calls GROUP BY 1, 2
+        ),
+        convs AS (SELECT DISTINCT window_start, {c} FROM t)
+        SELECT v.window_start, v.{c},
+               CAST(COALESCE(n.n_calls, 0) AS BIGINT) AS n_calls,
+               CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_same_tool_run,
+               CAST(COALESCE(u.n_un, 0) AS BIGINT) AS n_unanswered,
+               (COALESCE(r.max_run, 0) < {int(loop_threshold)}
+                AND COALESCE(u.n_un, 0) = 0) AS admitted
+        FROM convs v
+        LEFT JOIN ncall n USING (window_start, {c})
+        LEFT JOIN runs r USING (window_start, {c})
+        LEFT JOIN unans u USING (window_start, {c})
+    """
 
 
 def duckdb_trajectory_flags_sql(

@@ -19,10 +19,12 @@ from auto_data_tokenize_spark.operators.trajectories import (
     duckdb_tool_call_stats_sql,
     duckdb_tool_sequence_bigrams_sql,
     duckdb_trajectory_flags_sql,
+    duckdb_trajectory_gate_sql,
     filter_trajectories,
     tool_call_stats,
     tool_sequence_bigrams,
     trajectory_flags,
+    trajectory_gate_stream,
 )
 
 _COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -167,6 +169,60 @@ def test_duckdb_twins_on_handmade(handmade, handmade_pdf):
         _duck_rows(handmade_pdf, duckdb_trajectory_flags_sql("SELECT * FROM turns")),
         ["conv_id"],
     )
+
+
+def test_trajectory_gate_window_slices(spark):
+    """Per-window-slice semantics: a call answered only in the NEXT
+    window counts as unanswered in its own slice; a retry run split
+    across windows does not merge."""
+    rows = [
+        # window 0 (00:00-00:15): two crm calls (run 2), answered in-window
+        ("c1", 1, "agent", "a", "crm", _t(0)),
+        ("c1", 2, "agent", "b", "crm", _t(60)),
+        ("c1", 3, "tool", "ok", "crm", _t(120)),
+        # window 0: billing call answered only in window 1 -> unanswered here
+        ("c1", 4, "agent", "c", "billing", _t(800)),
+        ("c1", 5, "tool", "ok", "billing", _t(1000)),  # window 1 (>= 900s)
+        # window 1: single clean call
+        ("c1", 6, "agent", "d", "crm", _t(1100)),
+        ("c1", 7, "tool", "ok", "crm", _t(1200)),
+    ]
+    pdf = pd.DataFrame(rows, columns=_COLS)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["window_start"].minute: r.asDict()
+        for r in trajectory_gate_stream(df, loop_threshold=2).collect()
+    }
+    w0, w1 = got[0], got[15]
+    assert (w0["n_calls"], w0["max_same_tool_run"], w0["n_unanswered"]) == (3, 2, 1)
+    assert w0["admitted"] is False
+    assert (w1["n_calls"], w1["max_same_tool_run"], w1["n_unanswered"]) == (1, 1, 0)
+    assert w1["admitted"] is True
+    # the SQL twin agrees row-for-row on the same feed
+    want = _duck_rows(
+        pdf,
+        duckdb_trajectory_gate_sql("SELECT * FROM turns", loop_threshold=2),
+    )
+    _cmp(
+        _spark_rows(trajectory_gate_stream(df, loop_threshold=2)),
+        want,
+        ["window_start", "conv_id"],
+    )
+    with pytest.raises(ValueError, match="loop_threshold"):
+        trajectory_gate_stream(df, loop_threshold=0)
+
+
+def test_trajectory_gate_callfree_slice_admitted(spark):
+    df = spark.createDataFrame(
+        [("c9", 1, "customer", "hi", None, _t(5))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    [r] = trajectory_gate_stream(df).collect()
+    assert (r["n_calls"], r["max_same_tool_run"], r["n_unanswered"]) == (0, 0, 0)
+    assert r["admitted"] is True
 
 
 def test_plans_are_python_free(handmade):
