@@ -4396,6 +4396,49 @@ def q146_stream_trajectory_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_tool_latency_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-tool latency/answer-rate SLA monitor (operators/
+    trajectories.py tool_latency_monitor): per 15-minute window and
+    tool, calls / in-window answers / mean+max call-to-result latency
+    — two chained windowed aggregations (window_time pattern), the
+    operational twin of q143's batch stats, through the exactly-once
+    sink. Oracle replays the feed with join-based first-following-
+    result and the same integer-microsecond arithmetic, plus the
+    closed-window predicate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.trajectories import (
+        tool_latency_monitor,
+    )
+    from auto_data_tokenize_spark import datagen
+
+    dd = datagen.ensure_sf(_sf_name(sf_dir))
+    tr = pd.read_parquet(os.path.join(dd, "transcripts.parquet"))[
+        ["conv_id", "turn_idx", "role", "tool", "ts"]
+    ]
+    tr["ts"] = tr["ts"].astype("datetime64[us]")
+    base = tempfile.mkdtemp(prefix="adt_q147_")
+    try:
+        staged = _stage_append_log(tr, f"{base}/in", order_col="ts")
+        st = _stream_files(
+            spark,
+            staged,
+            "conv_id string, turn_idx int, role string, tool string, ts timestamp",
+        )
+        mon = tool_latency_monitor(st)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    horizon = pd.Timestamp(tr["ts"].max()) - pd.Timedelta(seconds=30)
+    return result.filter(
+        F.col("window_start") + F.expr("INTERVAL 15 MINUTE") <= F.lit(horizon)
+    )
+
+
 def q143_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool trajectory aggregates (operators/trajectories.py
     tool_call_stats): call/result/answered counts and first-following-
@@ -4591,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_tool_bigrams": _with_prep(q144_tool_bigrams),
         "q145_trajectory_flags": _with_prep(q145_trajectory_flags),
         "q146_stream_trajectory_gate": _with_prep(q146_stream_trajectory_gate),
+        "q147_tool_latency_monitor": _with_prep(q147_tool_latency_monitor),
     }
 
 
@@ -5632,6 +5676,24 @@ def _duck_trajectory_gate_sql(tr: str) -> str:
     inner = duckdb_trajectory_gate_sql(
         f"SELECT conv_id, turn_idx, role, tool, ts FROM {tr}",
         loop_threshold=2,
+    )
+    return f"""
+        SELECT * FROM ({inner})
+        WHERE window_start + INTERVAL 15 MINUTE <=
+              (SELECT max(ts) - INTERVAL 30 SECOND FROM {tr})
+    """
+
+
+def _duck_tool_latency_sql(tr: str) -> str:
+    """q147 twin: the raw transcript feed through the per-(window,
+    conv, tool) first-following-result construction, rolled up to
+    (window, tool), plus the closed-window predicate."""
+    from auto_data_tokenize_spark.operators.trajectories import (
+        duckdb_tool_latency_monitor_sql,
+    )
+
+    inner = duckdb_tool_latency_monitor_sql(
+        f"SELECT conv_id, turn_idx, role, tool, ts FROM {tr}"
     )
     return f"""
         SELECT * FROM ({inner})
@@ -6906,4 +6968,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
             f"SELECT * FROM {tr}", loop_threshold=3
         ),
         "q146_stream_trajectory_gate": _duck_trajectory_gate_sql(tr),
+        "q147_tool_latency_monitor": _duck_tool_latency_sql(tr),
     }

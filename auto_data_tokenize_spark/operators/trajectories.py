@@ -52,7 +52,9 @@ __all__ = [
     "trajectory_flags",
     "filter_trajectories",
     "trajectory_gate_stream",
+    "tool_latency_monitor",
     "duckdb_tool_call_stats_sql",
+    "duckdb_tool_latency_monitor_sql",
     "duckdb_tool_sequence_bigrams_sql",
     "duckdb_trajectory_flags_sql",
     "duckdb_trajectory_gate_sql",
@@ -466,6 +468,188 @@ def trajectory_gate_stream(
         (F.col("max_same_tool_run") < F.lit(int(loop_threshold)))
         & (F.col("n_unanswered") == 0),
     )
+
+
+def tool_latency_monitor(
+    turns_stream: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming per-tool latency/answer-rate SLA monitor — the
+    operational twin of :func:`tool_call_stats`: per event-time
+    tumbling window and tool, how many calls arrived, how many were
+    answered IN THE WINDOW (first strictly-later same-conversation
+    result), and the mean/max call→result latency. A tool whose
+    answer rate drops or whose latency spikes shows up within one
+    window of the regression.
+
+    Two chained streaming aggregations (Spark >= 3.4 multi-window via
+    ``window_time``, the established q70 pattern):
+
+    1. per ``(window, conv, tool)``: ``collect_list`` of the slice's
+       call/result events, then a pure higher-order-function
+       projection resolves each call's first-following result and its
+       microsecond latency — state per key is one conversation-tool
+       slice, so hot conversations split across their tool set (finer
+       than the gate's per-conv key);
+    2. per ``(window, tool)``: partial-agg sums/max over the tiny
+       tool-catalogue key space.
+
+    Latency is summed in WHOLE MICROSECONDS (BIGINT) and divided once
+    at the end — order-independent, oracle-exact (the r3 q46 lesson).
+
+    Output: ``(window_start, tool, n_calls, n_answered, p_answered,
+    mean_latency_s, max_latency_s)``; latencies NULL when nothing was
+    answered in the window.
+    """
+    evs = (
+        turns_stream.withWatermark(ts_col, watermark)
+        .filter(
+            F.col(tool_col).isNotNull() & F.col(role_col).isin("agent", "tool")
+        )
+        .select(
+            ts_col,
+            conv_col,
+            tool_col,
+            F.col("turn_idx"),
+            F.col(role_col).alias("_role"),
+            _epoch_us(F.col(ts_col)).alias("_ts_us"),
+        )
+    )
+    slice_agg = evs.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), conv_col, tool_col
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "_role", "_ts_us"))
+        ).alias("_evs")
+    )
+    calls = F.filter(F.col("_evs"), lambda e: e["_role"] == F.lit("agent"))
+    results = F.filter(F.col("_evs"), lambda e: e["_role"] == F.lit("tool"))
+    # per call: earliest strictly-later result's ts (struct min orders
+    # by turn_idx first), NULL when unanswered in the slice
+    lats = F.filter(
+        F.transform(
+            calls,
+            lambda c: F.array_min(
+                F.transform(
+                    F.filter(results, lambda r: r["turn_idx"] > c["turn_idx"]),
+                    lambda r: F.struct(
+                        r["turn_idx"].alias("turn_idx"),
+                        r["_ts_us"].alias("_ts_us"),
+                    ),
+                )
+            )["_ts_us"]
+            - c["_ts_us"],
+        ),
+        lambda x: x.isNotNull(),
+    )
+    sliced = slice_agg.select(
+        F.col("w"),
+        tool_col,
+        F.size(calls).cast("long").alias("_n_calls"),
+        F.size(lats).cast("long").alias("_n_answered"),
+        F.aggregate(
+            lats, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("_sum_lat_us"),
+        F.array_max(lats).alias("_max_lat_us"),
+    )
+    rolled = sliced.groupBy(
+        F.window(F.window_time("w"), window).alias("cw"), tool_col
+    ).agg(
+        F.sum("_n_calls").alias("n_calls"),
+        F.sum("_n_answered").alias("n_answered"),
+        F.sum("_sum_lat_us").alias("_s_us"),
+        F.max("_max_lat_us").alias("_m_us"),
+    )
+    return rolled.select(
+        F.col("cw.start").alias("window_start"),
+        tool_col,
+        "n_calls",
+        "n_answered",
+        F.when(
+            F.col("n_calls") > 0,
+            F.round(F.col("n_answered") / F.col("n_calls"), 6),
+        ).alias("p_answered"),
+        F.when(
+            F.col("n_answered") > 0,
+            F.round((F.col("_s_us") / F.lit(1e6)) / F.col("n_answered"), 6),
+        ).alias("mean_latency_s"),
+        F.round(F.col("_m_us") / F.lit(1e6), 6).alias("max_latency_s"),
+    )
+
+
+def duckdb_tool_latency_monitor_sql(
+    feed_sql: str,
+    conv_col: str = "conv_id",
+    window_us: int = 15 * 60 * 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`tool_latency_monitor` over the same feed
+    (caller appends the closed-window predicate): join-based first-
+    following-result within each (window, conv, tool) slice, integer-
+    microsecond latency sums, one division at the end."""
+    c = conv_col
+    return f"""
+        WITH rel AS (
+          SELECT {c}, turn_idx, role, tool, ts,
+                 make_timestamp((epoch_us(ts) // {window_us}) * {window_us})
+                   AS window_start
+          FROM ({feed_sql})
+          WHERE tool IS NOT NULL AND role IN ('agent', 'tool')
+        ),
+        calls AS (
+          SELECT window_start, {c}, tool, turn_idx, ts FROM rel
+          WHERE role = 'agent'
+        ),
+        res AS (
+          SELECT window_start, {c}, tool, turn_idx, ts FROM rel
+          WHERE role = 'tool'
+        ),
+        first_res AS (
+          SELECT cl.window_start, cl.{c}, cl.tool, cl.turn_idx,
+                 MIN(r.turn_idx) AS r_idx
+          FROM calls cl JOIN res r
+            ON r.window_start = cl.window_start AND r.{c} = cl.{c}
+           AND r.tool = cl.tool AND r.turn_idx > cl.turn_idx
+          GROUP BY 1, 2, 3, 4
+        ),
+        lat AS (
+          SELECT f.window_start, f.tool,
+                 epoch_us(r.ts) - epoch_us(cl.ts) AS lat_us
+          FROM first_res f
+          JOIN calls cl ON cl.window_start = f.window_start
+                       AND cl.{c} = f.{c} AND cl.tool = f.tool
+                       AND cl.turn_idx = f.turn_idx
+          JOIN res r ON r.window_start = f.window_start
+                    AND r.{c} = f.{c} AND r.tool = f.tool
+                    AND r.turn_idx = f.r_idx
+        ),
+        base AS (
+          SELECT window_start, tool,
+                 COUNT(*) FILTER (WHERE role = 'agent') AS n_calls
+          FROM rel GROUP BY 1, 2
+        ),
+        lagg AS (
+          SELECT window_start, tool, COUNT(*) AS n_answered,
+                 CAST(SUM(lat_us) AS BIGINT) AS s_us,
+                 CAST(MAX(lat_us) AS BIGINT) AS m_us
+          FROM lat GROUP BY 1, 2
+        )
+        SELECT b.window_start, b.tool,
+               b.n_calls,
+               CAST(COALESCE(l.n_answered, 0) AS BIGINT) AS n_answered,
+               CASE WHEN b.n_calls > 0 THEN
+                 ROUND(COALESCE(l.n_answered, 0) * 1.0 / b.n_calls, 6)
+               END AS p_answered,
+               CASE WHEN l.n_answered > 0 THEN
+                 ROUND((l.s_us / 1e6) / l.n_answered, 6)
+               END AS mean_latency_s,
+               ROUND(l.m_us / 1e6, 6) AS max_latency_s
+        FROM base b LEFT JOIN lagg l USING (window_start, tool)
+    """
 
 
 def duckdb_trajectory_gate_sql(

@@ -19,9 +19,11 @@ from auto_data_tokenize_spark.operators.trajectories import (
     duckdb_tool_call_stats_sql,
     duckdb_tool_sequence_bigrams_sql,
     duckdb_trajectory_flags_sql,
+    duckdb_tool_latency_monitor_sql,
     duckdb_trajectory_gate_sql,
     filter_trajectories,
     tool_call_stats,
+    tool_latency_monitor,
     tool_sequence_bigrams,
     trajectory_flags,
     trajectory_gate_stream,
@@ -225,12 +227,51 @@ def test_trajectory_gate_callfree_slice_admitted(spark):
     assert r["admitted"] is True
 
 
+def test_tool_latency_monitor_slices(spark, handmade, handmade_pdf):
+    """In-window answer semantics: a result in the NEXT window leaves
+    the call unanswered in its own slice; latency means match the
+    batch stats when everything lands in one window."""
+    got = {
+        (r["window_start"].minute, r["tool"]): r.asDict()
+        for r in tool_latency_monitor(handmade).collect()
+    }
+    # handmade fixture is all within one 15-min window
+    crm = got[(0, "crm")]
+    assert (crm["n_calls"], crm["n_answered"]) == (4, 4)
+    assert crm["mean_latency_s"] == 19.5 and crm["max_latency_s"] == 30.0
+    # cross-window: billing answered only in window 1
+    rows = [
+        ("x1", 1, "agent", "a", "billing", _t(800)),
+        ("x1", 2, "tool", "ok", "billing", _t(1000)),  # next window
+    ]
+    pdf = pd.DataFrame(rows, columns=_COLS)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    out = {
+        r["window_start"].minute: r.asDict()
+        for r in tool_latency_monitor(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[0]["n_calls"] == 1 and out[0]["n_answered"] == 0
+    assert out[0]["mean_latency_s"] is None
+    assert out[15]["n_calls"] == 0 and out[15]["n_answered"] == 0
+    # DuckDB twin agrees on the handmade rows
+    _cmp(
+        _spark_rows(tool_latency_monitor(handmade)),
+        _duck_rows(
+            handmade_pdf, duckdb_tool_latency_monitor_sql("SELECT * FROM turns")
+        ),
+        ["window_start", "tool"],
+    )
+
+
 def test_plans_are_python_free(handmade):
     for df in (
         tool_call_stats(handmade),
         tool_sequence_bigrams(handmade),
         trajectory_flags(handmade),
         filter_trajectories(handmade),
+        trajectory_gate_stream(handmade),
+        tool_latency_monitor(handmade),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
