@@ -4433,7 +4433,11 @@ def q147_tool_latency_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
-    horizon = pd.Timestamp(tr["ts"].max()) - pd.Timedelta(seconds=30)
+    # the monitor's watermark advances with TOOL-BEARING turns (the
+    # operator filters before the watermark node), so the closed-window
+    # horizon must use the filtered feed's max ts, not the global one
+    rel = tr[tr["tool"].notna() & tr["role"].isin(["agent", "tool"])]
+    horizon = pd.Timestamp(rel["ts"].max()) - pd.Timedelta(seconds=30)
     return result.filter(
         F.col("window_start") + F.expr("INTERVAL 15 MINUTE") <= F.lit(horizon)
     )
@@ -5698,7 +5702,8 @@ def _duck_tool_latency_sql(tr: str) -> str:
     return f"""
         SELECT * FROM ({inner})
         WHERE window_start + INTERVAL 15 MINUTE <=
-              (SELECT max(ts) - INTERVAL 30 SECOND FROM {tr})
+              (SELECT max(ts) - INTERVAL 30 SECOND FROM {tr}
+               WHERE tool IS NOT NULL AND role IN ('agent', 'tool'))
     """
 
 

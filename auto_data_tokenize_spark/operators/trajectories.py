@@ -506,11 +506,17 @@ def tool_latency_monitor(
     mean_latency_s, max_latency_s)``; latencies NULL when nothing was
     answered in the window.
     """
+    # filter BEFORE the watermark node — deliberately, and explicitly
+    # (Catalyst pushes the predicate below EventTimeWatermark anyway):
+    # the monitor's event stream IS the tool-bearing subset, so its
+    # watermark advances with tool-bearing turns, not chat small talk.
+    # Horizon predicates in callers/oracles must therefore use
+    # max(ts) over the FILTERED feed.
     evs = (
-        turns_stream.withWatermark(ts_col, watermark)
-        .filter(
+        turns_stream.filter(
             F.col(tool_col).isNotNull() & F.col(role_col).isin("agent", "tool")
         )
+        .withWatermark(ts_col, watermark)
         .select(
             ts_col,
             conv_col,
