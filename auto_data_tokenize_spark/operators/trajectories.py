@@ -80,37 +80,59 @@ def _tool_rows(
     conv_col: str,
     role_col: str,
     tool_col: str,
+    with_ts: bool = True,
 ) -> DataFrame:
-    """Narrow pre-shuffle projection: tool-bearing call/result turns,
-    timestamps pre-lowered to whole-microsecond epoch longs."""
+    """Narrow pre-shuffle projection: tool-bearing call/result turns.
+    ``with_ts`` lowers timestamps to whole-microsecond epoch longs;
+    the purely ordinal consumers (flags/filter) skip the ``ts``
+    column — and the requirement to have one — entirely."""
+    cols = [conv_col, "turn_idx", role_col, tool_col]
+    if with_ts:
+        cols.append(_epoch_us(F.col("ts")).alias("_ts_us"))
     return turns.filter(
         F.col(tool_col).isNotNull() & F.col(role_col).isin("agent", "tool")
-    ).select(
-        conv_col,
-        "turn_idx",
-        role_col,
-        tool_col,
-        _epoch_us(F.col("ts")).alias("_ts_us"),
+    ).select(*cols)
+
+
+def _next_result_window(conv_col: str, tool_col: str) -> Window:
+    """Strictly-later-``turn_idx`` frame per ``(conv_id, tool)``.
+    A RANGE frame (not ROWS): the frame is defined by turn_idx VALUES,
+    so rows tying on turn_idx resolve deterministically — a result at
+    the same turn_idx as a call is never "following", regardless of
+    physical row order."""
+    return (
+        Window.partitionBy(conv_col, tool_col)
+        .orderBy("turn_idx")
+        .rangeBetween(1, Window.unboundedFollowing)
     )
 
 
 def _with_next_result(
     rel: DataFrame, conv_col: str, role_col: str, tool_col: str
 ) -> DataFrame:
-    """Attach ``_nxt = struct(turn_idx, ts)`` of the first strictly-
+    """Attach ``_nxt = struct(turn_idx, ts)`` of the earliest strictly-
     later ``role='tool'`` turn for the same ``(conv_id, tool)`` —
-    NULL when the call is never answered. One window, no join."""
-    w = (
-        Window.partitionBy(conv_col, tool_col)
-        .orderBy("turn_idx")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
+    NULL when the call is never answered. One window, no join; the
+    struct min is value-based (min turn_idx, then min ts), so
+    duplicate result turn_idx ties break deterministically."""
     nxt = F.min(
         F.when(
             F.col(role_col) == "tool", F.struct(F.col("turn_idx"), F.col("_ts_us"))
         )
-    ).over(w)
+    ).over(_next_result_window(conv_col, tool_col))
     return rel.withColumn("_nxt", nxt)
+
+
+def _with_answered_flag(
+    rel: DataFrame, conv_col: str, role_col: str, tool_col: str
+) -> DataFrame:
+    """Ordinal-only variant for the flags path: ``_answered`` is true
+    when ANY strictly-later same-``(conv_id, tool)`` result exists —
+    no timestamp required or computed."""
+    ans = F.max(
+        F.when(F.col(role_col) == "tool", F.lit(True))
+    ).over(_next_result_window(conv_col, tool_col))
+    return rel.withColumn("_answered", F.coalesce(ans, F.lit(False)))
 
 
 def tool_call_stats(
@@ -166,51 +188,78 @@ def tool_call_stats(
     )
 
 
-def duckdb_tool_call_stats_sql(
+def _latency_twin_sql(
     turns_sql: str,
-    conv_col: str = "conv_id",
+    conv_col: str,
+    window_us: int | None,
+    with_totals: bool,
 ) -> str:
-    """DuckDB twin of :func:`tool_call_stats` — join-based first-
-    following-result (min later turn_idx per call), latency summed as
-    integer microseconds then divided once, mirroring Spark's
+    """Shared generator for the latency twins (batch stats and
+    windowed monitor are the SAME construction, keyed by ``tool`` vs
+    ``(window_start, tool)`` — one source of truth so a semantics fix
+    cannot drift between them).
+
+    Duplicate-exact vs Spark's value-based ``min(struct(turn_idx,
+    ts))`` over the strictly-later RANGE frame: each call ROW (not
+    each distinct turn_idx) resolves to the single earliest later
+    result ordered by ``(turn_idx, ts)`` — a per-call ``ROW_NUMBER``
+    pick, never a fan-out join — and latency is summed as integer
+    microseconds then divided once, mirroring Spark's
     long-sum-then-divide exactly."""
     c = conv_col
+    if window_us is None:
+        wsel, wkey, wand = "", "", ""
+    else:
+        wsel = (
+            f"make_timestamp((epoch_us(ts) // {window_us}) * {window_us})"
+            " AS window_start, "
+        )
+        wkey = "window_start, "
+        wand = "r.window_start = cl.window_start AND "
+    totals = (
+        f""",
+                 COUNT(*) FILTER (WHERE role = 'tool') AS n_results,
+                 COUNT(DISTINCT {c}) AS n_convs"""
+        if with_totals
+        else ""
+    )
+    totals_out = "b.n_results, b.n_convs," if with_totals else ""
     return f"""
         WITH rel AS (
-          SELECT {c}, turn_idx, role, tool, ts FROM ({turns_sql})
+          SELECT {wsel}{c}, turn_idx, role, tool, ts FROM ({turns_sql})
           WHERE tool IS NOT NULL AND role IN ('agent', 'tool')
         ),
-        calls AS (SELECT {c}, tool, turn_idx, ts FROM rel WHERE role = 'agent'),
-        res   AS (SELECT {c}, tool, turn_idx, ts FROM rel WHERE role = 'tool'),
-        first_res AS (
-          SELECT cl.{c}, cl.tool, cl.turn_idx, MIN(r.turn_idx) AS r_idx
+        calls AS (
+          SELECT *, ROW_NUMBER() OVER () AS rid FROM rel WHERE role = 'agent'
+        ),
+        res AS (SELECT * FROM rel WHERE role = 'tool'),
+        cand AS (
+          SELECT cl.rid, {('cl.window_start, ' if window_us else '')}cl.tool,
+                 cl.ts AS c_ts, r.ts AS r_ts,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cl.rid ORDER BY r.turn_idx, r.ts
+                 ) AS rn
           FROM calls cl JOIN res r
-            ON r.{c} = cl.{c} AND r.tool = cl.tool AND r.turn_idx > cl.turn_idx
-          GROUP BY 1, 2, 3
+            ON {wand}r.{c} = cl.{c} AND r.tool = cl.tool
+           AND r.turn_idx > cl.turn_idx
         ),
         lat AS (
-          SELECT f.tool,
-                 epoch_us(r.ts) - epoch_us(cl.ts) AS lat_us
-          FROM first_res f
-          JOIN calls cl ON cl.{c} = f.{c} AND cl.tool = f.tool
-                       AND cl.turn_idx = f.turn_idx
-          JOIN res r   ON r.{c} = f.{c} AND r.tool = f.tool
-                       AND r.turn_idx = f.r_idx
+          SELECT {wkey}tool, epoch_us(r_ts) - epoch_us(c_ts) AS lat_us
+          FROM cand WHERE rn = 1
         ),
         base AS (
-          SELECT tool,
-                 COUNT(*) FILTER (WHERE role = 'agent') AS n_calls,
-                 COUNT(*) FILTER (WHERE role = 'tool') AS n_results,
-                 COUNT(DISTINCT {c}) AS n_convs
-          FROM rel GROUP BY tool
+          SELECT {wkey}tool,
+                 COUNT(*) FILTER (WHERE role = 'agent') AS n_calls{totals}
+          FROM rel GROUP BY {wkey}tool
         ),
         lagg AS (
-          SELECT tool, COUNT(*) AS n_answered,
+          SELECT {wkey}tool, COUNT(*) AS n_answered,
                  CAST(SUM(lat_us) AS BIGINT) AS s_us,
                  CAST(MAX(lat_us) AS BIGINT) AS m_us
-          FROM lat GROUP BY tool
+          FROM lat GROUP BY {wkey}tool
         )
-        SELECT b.tool, b.n_calls, b.n_results, b.n_convs,
+        SELECT {('b.window_start, ' if window_us else '')}b.tool, b.n_calls,
+               {totals_out}
                CAST(COALESCE(l.n_answered, 0) AS BIGINT) AS n_answered,
                CASE WHEN b.n_calls > 0 THEN
                  ROUND(COALESCE(l.n_answered, 0) * 1.0 / b.n_calls, 6)
@@ -219,8 +268,17 @@ def duckdb_tool_call_stats_sql(
                  ROUND((l.s_us / 1e6) / l.n_answered, 6)
                END AS mean_latency_s,
                ROUND(l.m_us / 1e6, 6) AS max_latency_s
-        FROM base b LEFT JOIN lagg l USING (tool)
+        FROM base b LEFT JOIN lagg l USING ({wkey}tool)
     """
+
+
+def duckdb_tool_call_stats_sql(
+    turns_sql: str,
+    conv_col: str = "conv_id",
+) -> str:
+    """DuckDB twin of :func:`tool_call_stats` (see
+    :func:`_latency_twin_sql` for the duplicate-exact construction)."""
+    return _latency_twin_sql(turns_sql, conv_col, None, with_totals=True)
 
 
 def tool_sequence_bigrams(
@@ -241,7 +299,7 @@ def tool_sequence_bigrams(
     calls = turns.filter(
         (F.col(role_col) == "agent") & F.col(tool_col).isNotNull()
     ).select(conv_col, "turn_idx", tool_col)
-    w = Window.partitionBy(conv_col).orderBy("turn_idx")
+    w = Window.partitionBy(conv_col).orderBy("turn_idx", tool_col)
     pairs = calls.select(
         F.col(conv_col),
         F.col(tool_col).alias("tool_a"),
@@ -265,7 +323,8 @@ def duckdb_tool_sequence_bigrams_sql(
         ),
         pairs AS (
           SELECT {c}, tool AS tool_a,
-                 LEAD(tool) OVER (PARTITION BY {c} ORDER BY turn_idx) AS tool_b
+                 LEAD(tool) OVER (PARTITION BY {c} ORDER BY turn_idx, tool)
+                   AS tool_b
           FROM calls
         )
         SELECT tool_a, tool_b, COUNT(*) AS n_pairs,
@@ -303,21 +362,26 @@ def trajectory_flags(
     """
     if loop_threshold < 1:
         raise ValueError(f"loop_threshold must be >= 1, got {loop_threshold}")
-    rel = _with_next_result(
-        _tool_rows(turns, conv_col, role_col, tool_col), conv_col, role_col, tool_col
+    rel = _with_answered_flag(
+        _tool_rows(turns, conv_col, role_col, tool_col, with_ts=False),
+        conv_col,
+        role_col,
+        tool_col,
     )
     calls = rel.filter(F.col(role_col) == "agent")
-    w_conv = Window.partitionBy(conv_col).orderBy("turn_idx")
+    # tool as tie-break: duplicate turn_idx across tools still yields
+    # one deterministic call order (mirrored in the SQL twin)
+    w_conv = Window.partitionBy(conv_col).orderBy("turn_idx", tool_col)
     w_ct = Window.partitionBy(conv_col, tool_col).orderBy("turn_idx")
     islands = calls.select(
         F.col(conv_col),
         F.col(tool_col),
-        F.col("_nxt"),
+        F.col("_answered"),
         (F.row_number().over(w_conv) - F.row_number().over(w_ct)).alias("_isl"),
     )
     per_conv = islands.groupBy(conv_col).agg(
         F.count(F.lit(1)).alias("n_calls"),
-        F.count(F.when(F.col("_nxt").isNull(), 1)).alias("n_unanswered"),
+        F.count(F.when(~F.col("_answered"), 1)).alias("n_unanswered"),
     )
     runs = (
         islands.groupBy(conv_col, tool_col, "_isl")
@@ -594,67 +658,86 @@ def duckdb_tool_latency_monitor_sql(
     window_us: int = 15 * 60 * 1_000_000,
 ) -> str:
     """DuckDB twin of :func:`tool_latency_monitor` over the same feed
-    (caller appends the closed-window predicate): join-based first-
-    following-result within each (window, conv, tool) slice, integer-
-    microsecond latency sums, one division at the end."""
+    (caller appends the closed-window predicate) — the windowed
+    instance of :func:`_latency_twin_sql`, duplicate-exact."""
+    return _latency_twin_sql(feed_sql, conv_col, window_us, with_totals=False)
+
+
+def _flags_twin_sql(
+    turns_sql: str,
+    loop_threshold: int,
+    conv_col: str,
+    window_us: int | None,
+    verdict_col: str,
+) -> str:
+    """Shared generator for the flags twins: the whole-conversation
+    batch flags and the per-window-slice streaming gate are the SAME
+    gaps-and-islands run scan + anti-join unanswered count, keyed by
+    ``conv`` vs ``(window_start, conv)`` — one source of truth so the
+    constructions cannot drift. Call order ties on ``turn_idx`` break
+    by ``tool`` (mirroring Spark's value-ordered scans); every
+    conversation (slice) in the feed gets a row."""
     c = conv_col
+    if window_us is None:
+        wsel, wkey = "", ""
+    else:
+        wsel = (
+            f"make_timestamp((epoch_us(ts) // {window_us}) * {window_us})"
+            " AS window_start, "
+        )
+        wkey = "window_start, "
     return f"""
-        WITH rel AS (
-          SELECT {c}, turn_idx, role, tool, ts,
-                 make_timestamp((epoch_us(ts) // {window_us}) * {window_us})
-                   AS window_start
-          FROM ({feed_sql})
-          WHERE tool IS NOT NULL AND role IN ('agent', 'tool')
+        WITH t AS (
+          SELECT {wsel}{c}, turn_idx, role, tool FROM ({turns_sql})
         ),
         calls AS (
-          SELECT window_start, {c}, tool, turn_idx, ts FROM rel
-          WHERE role = 'agent'
+          SELECT {wkey}{c}, tool, turn_idx FROM t
+          WHERE role = 'agent' AND tool IS NOT NULL
         ),
         res AS (
-          SELECT window_start, {c}, tool, turn_idx, ts FROM rel
-          WHERE role = 'tool'
+          SELECT {wkey}{c}, tool, turn_idx FROM t
+          WHERE role = 'tool' AND tool IS NOT NULL
         ),
-        first_res AS (
-          SELECT cl.window_start, cl.{c}, cl.tool, cl.turn_idx,
-                 MIN(r.turn_idx) AS r_idx
-          FROM calls cl JOIN res r
-            ON r.window_start = cl.window_start AND r.{c} = cl.{c}
-           AND r.tool = cl.tool AND r.turn_idx > cl.turn_idx
-          GROUP BY 1, 2, 3, 4
+        isl AS (
+          SELECT {wkey}{c}, tool, turn_idx,
+                 ROW_NUMBER() OVER (PARTITION BY {wkey}{c}
+                                    ORDER BY turn_idx, tool)
+               - ROW_NUMBER() OVER (PARTITION BY {wkey}{c}, tool
+                                    ORDER BY turn_idx) AS g
+          FROM calls
         ),
-        lat AS (
-          SELECT f.window_start, f.tool,
-                 epoch_us(r.ts) - epoch_us(cl.ts) AS lat_us
-          FROM first_res f
-          JOIN calls cl ON cl.window_start = f.window_start
-                       AND cl.{c} = f.{c} AND cl.tool = f.tool
-                       AND cl.turn_idx = f.turn_idx
-          JOIN res r ON r.window_start = f.window_start
-                    AND r.{c} = f.{c} AND r.tool = f.tool
-                    AND r.turn_idx = f.r_idx
+        runs AS (
+          SELECT {wkey}{c}, MAX(n) AS max_run FROM (
+            SELECT {wkey}{c}, tool, g, COUNT(*) AS n
+            FROM isl GROUP BY ALL
+          ) GROUP BY ALL
         ),
-        base AS (
-          SELECT window_start, tool,
-                 COUNT(*) FILTER (WHERE role = 'agent') AS n_calls
-          FROM rel GROUP BY 1, 2
+        unans AS (
+          SELECT {('cl.window_start, ' if window_us else '')}cl.{c},
+                 COUNT(*) AS n_un
+          FROM calls cl
+          WHERE NOT EXISTS (
+            SELECT 1 FROM res r
+            WHERE {('r.window_start = cl.window_start AND ' if window_us else '')}
+                  r.{c} = cl.{c} AND r.tool = cl.tool
+              AND r.turn_idx > cl.turn_idx
+          )
+          GROUP BY ALL
         ),
-        lagg AS (
-          SELECT window_start, tool, COUNT(*) AS n_answered,
-                 CAST(SUM(lat_us) AS BIGINT) AS s_us,
-                 CAST(MAX(lat_us) AS BIGINT) AS m_us
-          FROM lat GROUP BY 1, 2
-        )
-        SELECT b.window_start, b.tool,
-               b.n_calls,
-               CAST(COALESCE(l.n_answered, 0) AS BIGINT) AS n_answered,
-               CASE WHEN b.n_calls > 0 THEN
-                 ROUND(COALESCE(l.n_answered, 0) * 1.0 / b.n_calls, 6)
-               END AS p_answered,
-               CASE WHEN l.n_answered > 0 THEN
-                 ROUND((l.s_us / 1e6) / l.n_answered, 6)
-               END AS mean_latency_s,
-               ROUND(l.m_us / 1e6, 6) AS max_latency_s
-        FROM base b LEFT JOIN lagg l USING (window_start, tool)
+        ncall AS (
+          SELECT {wkey}{c}, COUNT(*) AS n_calls FROM calls GROUP BY ALL
+        ),
+        convs AS (SELECT DISTINCT {wkey}{c} FROM t)
+        SELECT {('v.window_start, ' if window_us else '')}v.{c},
+               CAST(COALESCE(n.n_calls, 0) AS BIGINT) AS n_calls,
+               CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_same_tool_run,
+               CAST(COALESCE(u.n_un, 0) AS BIGINT) AS n_unanswered,
+               (COALESCE(r.max_run, 0) < {int(loop_threshold)}
+                AND COALESCE(u.n_un, 0) = 0) AS {verdict_col}
+        FROM convs v
+        LEFT JOIN ncall n USING ({wkey}{c})
+        LEFT JOIN runs r USING ({wkey}{c})
+        LEFT JOIN unans u USING ({wkey}{c})
     """
 
 
@@ -665,66 +748,11 @@ def duckdb_trajectory_gate_sql(
     window_us: int = 15 * 60 * 1_000_000,
 ) -> str:
     """DuckDB twin of :func:`trajectory_gate_stream` over the SAME
-    feed (the caller appends the closed-window predicate): epoch-
-    aligned tumbling bucket, per-(window, conv) gaps-and-islands run
-    scan + anti-join unanswered count — every conversation slice gets
-    a row."""
-    c = conv_col
-    return f"""
-        WITH t AS (
-          SELECT {c}, turn_idx, role, tool,
-                 make_timestamp((epoch_us(ts) // {window_us}) * {window_us})
-                   AS window_start
-          FROM ({feed_sql})
-        ),
-        calls AS (
-          SELECT window_start, {c}, tool, turn_idx FROM t
-          WHERE role = 'agent' AND tool IS NOT NULL
-        ),
-        res AS (
-          SELECT window_start, {c}, tool, turn_idx FROM t
-          WHERE role = 'tool' AND tool IS NOT NULL
-        ),
-        isl AS (
-          SELECT window_start, {c}, tool, turn_idx,
-                 ROW_NUMBER() OVER (PARTITION BY window_start, {c}
-                                    ORDER BY turn_idx)
-               - ROW_NUMBER() OVER (PARTITION BY window_start, {c}, tool
-                                    ORDER BY turn_idx) AS g
-          FROM calls
-        ),
-        runs AS (
-          SELECT window_start, {c}, MAX(n) AS max_run FROM (
-            SELECT window_start, {c}, tool, g, COUNT(*) AS n
-            FROM isl GROUP BY 1, 2, 3, 4
-          ) GROUP BY 1, 2
-        ),
-        unans AS (
-          SELECT cl.window_start, cl.{c}, COUNT(*) AS n_un
-          FROM calls cl
-          WHERE NOT EXISTS (
-            SELECT 1 FROM res r
-            WHERE r.window_start = cl.window_start AND r.{c} = cl.{c}
-              AND r.tool = cl.tool AND r.turn_idx > cl.turn_idx
-          )
-          GROUP BY 1, 2
-        ),
-        ncall AS (
-          SELECT window_start, {c}, COUNT(*) AS n_calls
-          FROM calls GROUP BY 1, 2
-        ),
-        convs AS (SELECT DISTINCT window_start, {c} FROM t)
-        SELECT v.window_start, v.{c},
-               CAST(COALESCE(n.n_calls, 0) AS BIGINT) AS n_calls,
-               CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_same_tool_run,
-               CAST(COALESCE(u.n_un, 0) AS BIGINT) AS n_unanswered,
-               (COALESCE(r.max_run, 0) < {int(loop_threshold)}
-                AND COALESCE(u.n_un, 0) = 0) AS admitted
-        FROM convs v
-        LEFT JOIN ncall n USING (window_start, {c})
-        LEFT JOIN runs r USING (window_start, {c})
-        LEFT JOIN unans u USING (window_start, {c})
-    """
+    feed (the caller appends the closed-window predicate) — the
+    windowed instance of :func:`_flags_twin_sql`."""
+    return _flags_twin_sql(
+        feed_sql, loop_threshold, conv_col, window_us, verdict_col="admitted"
+    )
 
 
 def duckdb_trajectory_flags_sql(
@@ -732,48 +760,8 @@ def duckdb_trajectory_flags_sql(
     loop_threshold: int = 3,
     conv_col: str = "conv_id",
 ) -> str:
-    """DuckDB twin of :func:`trajectory_flags` (same gaps-and-islands
-    construction; unanswered via anti-join instead of the window)."""
-    c = conv_col
-    return f"""
-        WITH rel AS (
-          SELECT {c}, turn_idx, role, tool FROM ({turns_sql})
-          WHERE tool IS NOT NULL AND role IN ('agent', 'tool')
-        ),
-        calls AS (SELECT {c}, tool, turn_idx FROM rel WHERE role = 'agent'),
-        res   AS (SELECT {c}, tool, turn_idx FROM rel WHERE role = 'tool'),
-        isl AS (
-          SELECT {c}, tool, turn_idx,
-                 ROW_NUMBER() OVER (PARTITION BY {c} ORDER BY turn_idx)
-               - ROW_NUMBER() OVER (PARTITION BY {c}, tool ORDER BY turn_idx)
-                 AS g
-          FROM calls
-        ),
-        runs AS (
-          SELECT {c}, MAX(n) AS max_run FROM (
-            SELECT {c}, tool, g, COUNT(*) AS n FROM isl GROUP BY 1, 2, 3
-          ) GROUP BY 1
-        ),
-        unans AS (
-          SELECT cl.{c}, COUNT(*) AS n_un
-          FROM calls cl
-          WHERE NOT EXISTS (
-            SELECT 1 FROM res r
-            WHERE r.{c} = cl.{c} AND r.tool = cl.tool
-              AND r.turn_idx > cl.turn_idx
-          )
-          GROUP BY 1
-        ),
-        ncall AS (SELECT {c}, COUNT(*) AS n_calls FROM calls GROUP BY 1),
-        convs AS (SELECT DISTINCT {c} FROM ({turns_sql}))
-        SELECT v.{c},
-               CAST(COALESCE(n.n_calls, 0) AS BIGINT) AS n_calls,
-               CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_same_tool_run,
-               CAST(COALESCE(u.n_un, 0) AS BIGINT) AS n_unanswered,
-               (COALESCE(r.max_run, 0) < {int(loop_threshold)}
-                AND COALESCE(u.n_un, 0) = 0) AS clean
-        FROM convs v
-        LEFT JOIN ncall n USING ({c})
-        LEFT JOIN runs r USING ({c})
-        LEFT JOIN unans u USING ({c})
-    """
+    """DuckDB twin of :func:`trajectory_flags` — the unwindowed
+    instance of :func:`_flags_twin_sql`."""
+    return _flags_twin_sql(
+        turns_sql, loop_threshold, conv_col, None, verdict_col="clean"
+    )

@@ -264,6 +264,68 @@ def test_tool_latency_monitor_slices(spark, handmade, handmade_pdf):
     )
 
 
+def test_duplicate_turn_idx_ties_match_twins(spark):
+    """Duplicate turn_idx rows (two results at the same index; a call
+    tying with another tool's rows) resolve identically on both sides:
+    value-based RANGE frame + (turn_idx, ts) pick on Spark, per-call
+    ROW_NUMBER pick in the twins — never a fan-out join."""
+    rows = [
+        ("d1", 1, "agent", "go", "crm", _t(0)),
+        ("d1", 2, "tool", "ok-a", "crm", _t(5)),
+        ("d1", 2, "tool", "ok-b", "crm", _t(9)),  # duplicate result idx
+        ("d1", 2, "agent", "also", "billing", _t(6)),
+        ("d1", 3, "tool", "ok", "billing", _t(7)),
+        # a result AT the call's own turn_idx is not "following"
+        ("d2", 4, "agent", "x", "search", _t(20)),
+        ("d2", 4, "tool", "same-idx", "search", _t(21)),
+    ]
+    pdf = pd.DataFrame(rows, columns=_COLS)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf)
+    got = {r["tool"]: r.asDict() for r in tool_call_stats(df).collect()}
+    # crm: single call answered by the EARLIEST (turn_idx, ts) result
+    assert got["crm"]["n_answered"] == 1 and got["crm"]["mean_latency_s"] == 5.0
+    assert got["crm"]["p_answered"] == 1.0
+    # search: same-turn_idx result does not answer the call
+    assert got["search"]["n_answered"] == 0
+    for spark_df, sql, keys in (
+        (
+            tool_call_stats(df),
+            duckdb_tool_call_stats_sql("SELECT * FROM turns"),
+            ["tool"],
+        ),
+        (
+            tool_latency_monitor(df),
+            duckdb_tool_latency_monitor_sql("SELECT * FROM turns"),
+            ["window_start", "tool"],
+        ),
+        (
+            trajectory_flags(df),
+            duckdb_trajectory_flags_sql("SELECT * FROM turns"),
+            ["conv_id"],
+        ),
+        (
+            trajectory_gate_stream(df),
+            duckdb_trajectory_gate_sql("SELECT * FROM turns"),
+            ["window_start", "conv_id"],
+        ),
+    ):
+        _cmp(_spark_rows(spark_df), _duck_rows(pdf, sql), keys)
+
+
+def test_trajectory_flags_without_ts_column(spark):
+    """The flags/filter path is purely ordinal — a frame with no ts
+    column works (the latency ops are the ones that need ts)."""
+    df = spark.createDataFrame(
+        [("c1", 1, "agent", "t", "crm"), ("c1", 2, "tool", "ok", "crm")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    [r] = trajectory_flags(df).collect()
+    assert r["n_unanswered"] == 0 and r["clean"] is True
+    assert filter_trajectories(df).count() == 2
+
+
 def test_plans_are_python_free(handmade):
     for df in (
         tool_call_stats(handmade),
