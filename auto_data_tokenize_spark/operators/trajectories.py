@@ -356,14 +356,26 @@ def trajectory_flags(
 
     Runs are gaps-and-islands: ``row_number`` over the conversation's
     calls minus ``row_number`` over its per-tool calls is constant
-    exactly within a same-tool run — two windows sharing the
-    ``conv_id`` hash partition, then one aggregate on the same key, so
-    Catalyst plans a single Exchange for the whole flag computation.
+    exactly within a same-tool run.
+
+    Plan shape (asserted in tests): ONE explicit hash repartition on
+    ``conv_id`` feeds the whole call path — every window partition
+    key and aggregation key is a superset of ``conv_id``, so
+    Catalyst's subset-satisfaction rule reuses the partitioning for
+    the answered-flag window, both island row_numbers, and BOTH
+    chained aggregations (per-island run counts, then the per-
+    conversation rollup) with zero further Exchanges; the only other
+    shuffle is the distinct-conversations side of the final left join
+    (which then sort-merge-joins without re-shuffling either side).
+    At 100 TB that is two conv-hash shuffles of a narrow projection,
+    total.
     """
     if loop_threshold < 1:
         raise ValueError(f"loop_threshold must be >= 1, got {loop_threshold}")
     rel = _with_answered_flag(
-        _tool_rows(turns, conv_col, role_col, tool_col, with_ts=False),
+        _tool_rows(turns, conv_col, role_col, tool_col, with_ts=False).repartition(
+            F.col(conv_col)
+        ),
         conv_col,
         role_col,
         tool_col,
@@ -379,28 +391,31 @@ def trajectory_flags(
         F.col("_answered"),
         (F.row_number().over(w_conv) - F.row_number().over(w_ct)).alias("_isl"),
     )
-    per_conv = islands.groupBy(conv_col).agg(
-        F.count(F.lit(1)).alias("n_calls"),
-        F.count(F.when(~F.col("_answered"), 1)).alias("n_unanswered"),
-    )
-    runs = (
+    # one chained aggregation pair instead of two branches over the
+    # same lineage (branches re-execute the scan+windows in Spark):
+    # per-island run length + unanswered count, then the conv rollup
+    # (n_calls = sum of run lengths; both stay on the conv_id hash)
+    per_conv = (
         islands.groupBy(conv_col, tool_col, "_isl")
-        .agg(F.count(F.lit(1)).alias("_run"))
+        .agg(
+            F.count(F.lit(1)).alias("_run"),
+            F.count(F.when(~F.col("_answered"), 1)).alias("_un"),
+        )
         .groupBy(conv_col)
-        .agg(F.max("_run").alias("max_same_tool_run"))
+        .agg(
+            F.sum("_run").alias("n_calls"),
+            F.max("_run").alias("max_same_tool_run"),
+            F.sum("_un").alias("n_unanswered"),
+        )
     )
     convs = turns.select(conv_col).distinct()
-    out = (
-        convs.join(per_conv, conv_col, "left")
-        .join(runs, conv_col, "left")
-        .select(
-            conv_col,
-            F.coalesce("n_calls", F.lit(0)).cast("long").alias("n_calls"),
-            F.coalesce("max_same_tool_run", F.lit(0))
-            .cast("long")
-            .alias("max_same_tool_run"),
-            F.coalesce("n_unanswered", F.lit(0)).cast("long").alias("n_unanswered"),
-        )
+    out = convs.join(per_conv, conv_col, "left").select(
+        conv_col,
+        F.coalesce("n_calls", F.lit(0)).cast("long").alias("n_calls"),
+        F.coalesce("max_same_tool_run", F.lit(0))
+        .cast("long")
+        .alias("max_same_tool_run"),
+        F.coalesce("n_unanswered", F.lit(0)).cast("long").alias("n_unanswered"),
     )
     return out.withColumn(
         "clean",

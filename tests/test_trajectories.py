@@ -326,6 +326,21 @@ def test_trajectory_flags_without_ts_column(spark):
     assert filter_trajectories(df).count() == 2
 
 
+def test_flags_plan_is_two_shuffles(transcripts_small):
+    """trajectory_flags' documented plan shape: the explicit conv_id
+    repartition feeds every window and both chained aggregations via
+    Catalyst's subset-satisfaction rule — at most two hash shuffles
+    total (call path + distinct-conversations side); everything else
+    may only be a broadcast."""
+    plan = (
+        trajectory_flags(transcripts_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_plans_are_python_free(handmade):
     for df in (
         tool_call_stats(handmade),
