@@ -4443,6 +4443,24 @@ def q147_tool_latency_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q148_conversation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-aligned context-window chunking (operators/conversations.py
+    conversation_windows): rendered conversations become overlapping
+    16-token training windows advancing 8 tokens, turns never split,
+    over-long/straddling turns quarantined as window_id NULL — the SFT
+    complement to q100's document chunking, composed from the q92
+    loss-mask spans. One conv shuffle + codegen explode(sequence);
+    oracle replays the identical integer window algebra via
+    generate_series."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_windows,
+    )
+
+    return conversation_windows(
+        _transcripts(spark, sf_dir), chunk_tokens=16, stride_tokens=8
+    )
+
+
 def q143_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool trajectory aggregates (operators/trajectories.py
     tool_call_stats): call/result/answered counts and first-following-
@@ -4639,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_trajectory_flags": _with_prep(q145_trajectory_flags),
         "q146_stream_trajectory_gate": _with_prep(q146_stream_trajectory_gate),
         "q147_tool_latency_monitor": _with_prep(q147_tool_latency_monitor),
+        "q148_conversation_windows": _with_prep(q148_conversation_windows),
     }
 
 
@@ -5686,6 +5705,16 @@ def _duck_trajectory_gate_sql(tr: str) -> str:
         WHERE window_start + INTERVAL 15 MINUTE <=
               (SELECT max(ts) - INTERVAL 30 SECOND FROM {tr})
     """
+
+
+def _duck_conversation_windows_sql(tr: str) -> str:
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_conversation_windows_sql,
+    )
+
+    return duckdb_conversation_windows_sql(
+        f"SELECT * FROM {tr}", chunk_tokens=16, stride_tokens=8
+    )
 
 
 def _duck_tool_latency_sql(tr: str) -> str:
@@ -6974,4 +7003,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         ),
         "q146_stream_trajectory_gate": _duck_trajectory_gate_sql(tr),
         "q147_tool_latency_monitor": _duck_tool_latency_sql(tr),
+        "q148_conversation_windows": _duck_conversation_windows_sql(tr),
     }

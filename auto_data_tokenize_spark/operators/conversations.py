@@ -37,6 +37,8 @@ __all__ = [
     "conversation_audit",
     "render_chat",
     "loss_mask_spans",
+    "conversation_windows",
+    "duckdb_conversation_windows_sql",
     "conversation_fingerprints",
     "conversation_near_dups",
     "conversation_dedup",
@@ -383,6 +385,138 @@ def duckdb_loss_mask_sql(
                _cum AS tok_end,
                role = '{trainable_role}' AS trainable
         FROM c
+    """
+
+
+def conversation_windows(
+    turns: DataFrame,
+    chunk_tokens: int = 64,
+    stride_tokens: int = 32,
+    trainable_role: str = "agent",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Turn-aligned context-window chunking of rendered conversations
+    — the SFT complement to ``corpus.chunk_documents``: long
+    conversations become overlapping training windows of at most
+    ``chunk_tokens`` whitespace tokens advancing ``stride_tokens`` per
+    window, but TURNS NEVER SPLIT. A turn belongs to window ``w``
+    exactly when its :func:`loss_mask_spans` span [tok_start, tok_end)
+    fits inside [w*stride, w*stride + chunk):
+
+        w_min = max(0, ceil((tok_end - chunk)/stride))
+        w_max = min(floor(tok_start/stride), W_last)
+
+    with ``W_last = max(0, ceil((n_conv - chunk)/stride))`` capping
+    the trailing near-empty windows (the same census rule as
+    ``chunk_documents``: last window start < n - chunk + stride). A
+    turn with an empty [w_min, w_max] range — longer than the chunk,
+    or straddling every stride boundary near its length — is emitted
+    ONCE with ``window_id NULL`` (explicit quarantine, never silent
+    loss; window assembly treats those as overflow to handle by
+    policy). Token totals are PIECE tokens (``render_chat``'s final
+    ``<|end|>`` sentinel is per emitted window, added downstream).
+
+    Output: (conv_id, window_id, w_start, turn_idx, role,
+    tok_start, tok_end, trainable) — one row per (turn, window)
+    membership; ``tok_start - w_start`` is the turn's offset inside
+    its window.
+
+    All integer arithmetic: ceil(x/s) uses the truncating-div identity
+    on guarded-positive numerators (both engines), so the two sides
+    cannot drift on boundary turns.
+
+    Plan shape: :func:`loss_mask_spans`' single conv Exchange feeds
+    the per-conversation total (groupBy conv — partitioning reused),
+    the self-join on conv (reused again), and a pure-codegen
+    explode(sequence) fan-out. One shuffle of a narrow projection at
+    any scale; the fan-out factor is bounded by ceil(chunk/stride).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (1 <= stride_tokens <= chunk_tokens):
+        raise ValueError(
+            "stride_tokens must satisfy 1 <= stride <= chunk_tokens, "
+            f"got stride={stride_tokens} chunk={chunk_tokens}"
+        )
+    ch, st = int(chunk_tokens), int(stride_tokens)
+    spans = loss_mask_spans(
+        turns, trainable_role=trainable_role, conv_col=conv_col, idx_col=idx_col
+    )
+    tot = spans.groupBy(conv_col).agg(F.max("tok_end").alias("_n"))
+
+    def _ceil_div_pos(x_sql: str):
+        # ceil(x/s) for possibly-negative x, clamped at 0 (s > 0):
+        # guarded-positive numerator makes BIGINT `div` (truncating)
+        # equal floor, hence exact ceil — no doubles anywhere
+        return F.expr(
+            f"CASE WHEN {x_sql} <= 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE ({x_sql} + {st} - 1) div {st} END"
+        )
+
+    j = spans.join(tot, conv_col)
+    w_last = _ceil_div_pos(f"_n - {ch}")
+    w_min = _ceil_div_pos(f"tok_end - {ch}")
+    w_max = F.least(F.expr(f"tok_start div {st}"), w_last)
+    fan = j.withColumn(
+        "window_id",
+        F.explode(
+            F.when(w_min <= w_max, F.sequence(w_min, w_max)).otherwise(
+                F.array(F.lit(None).cast("long"))
+            )
+        ),
+    )
+    return fan.select(
+        conv_col,
+        "window_id",
+        (F.col("window_id") * F.lit(st)).cast("long").alias("w_start"),
+        idx_col,
+        "role",
+        "tok_start",
+        "tok_end",
+        "trainable",
+    )
+
+
+def duckdb_conversation_windows_sql(
+    turns_sql: str,
+    chunk_tokens: int = 64,
+    stride_tokens: int = 32,
+    trainable_role: str = "agent",
+    conv_col: str = "conv_id",
+) -> str:
+    """DuckDB twin of :func:`conversation_windows` (same spans, same
+    integer window algebra, ``generate_series`` fan-out, quarantine
+    rows via the empty-range union)."""
+    c = conv_col
+    ch, st = int(chunk_tokens), int(stride_tokens)
+    spans = duckdb_loss_mask_sql(
+        turns_sql, trainable_role=trainable_role, conv_col=conv_col
+    )
+    return f"""
+        WITH spans AS ({spans}),
+        tot AS (
+          SELECT {c}, MAX(tok_end) AS n FROM spans GROUP BY 1
+        ),
+        lim AS (
+          SELECT s.*,
+                 CASE WHEN s.tok_end - {ch} <= 0 THEN 0
+                      ELSE (s.tok_end - {ch} + {st} - 1) // {st} END AS w_min,
+                 LEAST(s.tok_start // {st},
+                       CASE WHEN t.n - {ch} <= 0 THEN 0
+                            ELSE (t.n - {ch} + {st} - 1) // {st} END) AS w_max
+          FROM spans s JOIN tot t USING ({c})
+        )
+        SELECT {c}, CAST(window_id AS BIGINT) AS window_id,
+               CAST(window_id * {st} AS BIGINT) AS w_start,
+               turn_idx, role, tok_start, tok_end, trainable
+        FROM (
+          SELECT *, unnest(generate_series(w_min, w_max)) AS window_id
+          FROM lim WHERE w_min <= w_max
+        )
+        UNION ALL
+        SELECT {c}, NULL, NULL, turn_idx, role, tok_start, tok_end, trainable
+        FROM lim WHERE w_min > w_max
     """
 
 

@@ -288,3 +288,76 @@ def test_audit_null_roles_are_not_a_three_valued_escape(spark):
     assert int(duck["orphan_tool_results"][0]) == 1
     assert not bool(duck["structurally_valid"][0])
     assert duck["structurally_valid"].notna().all()
+
+
+def test_conversation_windows_algebra(spark):
+    """Pin the turn-aligned window algebra on a 5×4-token
+    conversation at chunk=8 stride=4: memberships, the W_last
+    trailing cap, and per-window budget containment."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_windows,
+        duckdb_conversation_windows_sql,
+    )
+
+    # the template header glues to the first word, so k words => k
+    # piece tokens; 4-word turns => spans advance by exactly 4
+    rows = [("w1", i, "agent", "t1 t2 t3 t4", None) for i in range(1, 6)]
+    df = _mk(spark, rows)
+    out = conversation_windows(df, chunk_tokens=8, stride_tokens=4).toPandas()
+    # spans are [0,4),[4,8),[8,12),[12,16),[16,20); W_last = 3
+    got = {
+        t: sorted(g.window_id.astype(int))
+        for t, g in out.dropna(subset=["window_id"]).groupby("turn_idx")
+    }
+    assert got == {1: [0], 2: [0, 1], 3: [1, 2], 4: [2, 3], 5: [3]}
+    assert out.window_id.notna().all()  # nothing quarantined here
+    # every member turn fits its window's budget
+    ok = out[
+        (out.tok_start >= out.w_start) & (out.tok_end <= out.w_start + 8)
+    ]
+    assert len(ok) == len(out)
+    # DuckDB twin agrees row-for-row
+    duck = _duck_twin(
+        df, duckdb_conversation_windows_sql, chunk_tokens=8, stride_tokens=4
+    )
+    key = ["conv_id", "window_id", "turn_idx"]
+    a = out.sort_values(key, na_position="first").reset_index(drop=True)
+    b = (
+        duck[out.columns]
+        .sort_values(key, na_position="first")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_conversation_windows_quarantine(spark):
+    """Over-chunk turns and straddling turns emit exactly one
+    window_id NULL row (explicit overflow, never silent loss)."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_windows,
+        duckdb_conversation_windows_sql,
+    )
+
+    rows = [
+        # q1: 10-token turn > chunk 8 -> quarantined
+        ("q1", 1, "agent", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", None),
+        # s1: 6-token then 7-token turn: [6,13) has no stride multiple
+        # in [5,6] -> straddle-quarantined though shorter than chunk
+        ("s1", 1, "agent", "a1 a2 a3 a4 a5 a6", None),
+        ("s1", 2, "agent", "b1 b2 b3 b4 b5 b6 b7", None),
+    ]
+    df = _mk(spark, rows)
+    out = conversation_windows(df, chunk_tokens=8, stride_tokens=4).toPandas()
+    quar = out[out.window_id.isna()]
+    assert set(zip(quar.conv_id, quar.turn_idx)) == {("q1", 1), ("s1", 2)}
+    assert len(quar) == 2  # exactly once each
+    s1_t1 = out[(out.conv_id == "s1") & (out.turn_idx == 1)]
+    assert sorted(s1_t1.window_id.astype(int)) == [0]
+    duck = _duck_twin(
+        df, duckdb_conversation_windows_sql, chunk_tokens=8, stride_tokens=4
+    )
+    assert duck.window_id.isna().sum() == 2
+    with pytest.raises(ValueError, match="stride_tokens"):
+        conversation_windows(df, chunk_tokens=8, stride_tokens=9)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        conversation_windows(df, chunk_tokens=0, stride_tokens=1)
