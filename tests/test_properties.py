@@ -389,3 +389,49 @@ def test_ahash_numpy_matches_pure_python_spec(seed, w, h):
     if want >= 1 << 63:
         want -= 1 << 64
     assert got == want
+
+
+# ---- conversation_windows integer algebra ---------------------------------
+# Pure-Python mirror of the window assignment both engines implement
+# (operators/conversations.py conversation_windows and its DuckDB twin);
+# the engine-parity tests pin the implementations to each other, this
+# pins the ALGEBRA: budget-exactness, completeness, and the coverage
+# guarantee for turns of at most chunk - stride + 1 tokens.
+
+
+def _win_range(tok_start, tok_end, n, chunk, stride):
+    def ceil_div_pos(x):
+        return 0 if x <= 0 else (x + stride - 1) // stride
+
+    w_last = ceil_div_pos(n - chunk)
+    w_min = ceil_div_pos(tok_end - chunk)
+    w_max = min(tok_start // stride, w_last)
+    return w_min, w_max, w_last
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),  # chunk
+    st.integers(min_value=1, max_value=200),  # stride (clamped to chunk)
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=30),
+)
+def test_conversation_window_algebra(chunk, stride, lens):
+    stride = min(stride, chunk)
+    starts, n = [], 0
+    for ln in lens:
+        starts.append((n, n + ln))
+        n += ln
+    for tok_start, tok_end in starts:
+        w_min, w_max, w_last = _win_range(tok_start, tok_end, n, chunk, stride)
+        member = list(range(w_min, w_max + 1))
+        # budget: every assigned window fully contains the turn
+        for w in member:
+            assert w * stride <= tok_start
+            assert tok_end <= w * stride + chunk
+        # completeness: no containing window below W_last is missed
+        for w in range(0, w_last + 1):
+            if w * stride <= tok_start and tok_end <= w * stride + chunk:
+                assert w in member
+        # coverage: short-enough turns are never quarantined
+        if tok_end - tok_start <= chunk - stride + 1:
+            assert member, (tok_start, tok_end, n, chunk, stride)
