@@ -4461,6 +4461,55 @@ def q148_conversation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q149_stream_conversation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live SFT window assembly (operators/conversations.py
+    conversation_windows_stream): per-conversation token offsets carry
+    across micro-batches (applyInPandasWithState, two longs per open
+    conversation), then the stateless integer window algebra fans
+    turns into overlapping 16-token/stride-8 windows — q148's
+    streaming twin, minus the W_last trailing cap (unknowable
+    mid-stream), through the exactly-once sink. Feed honors the
+    documented per-conversation turn-order contract by staging in
+    (turn_idx, ts) order — conversations still interleave across
+    micro-batches, exercising the cross-batch state carry. Oracle:
+    the q148 twin with cap_trailing=False over the same feed (the
+    stateful op emits every fed row; no watermark horizon)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_windows_stream,
+    )
+    from auto_data_tokenize_spark import datagen
+
+    dd = datagen.ensure_sf(_sf_name(sf_dir))
+    tr = pd.read_parquet(os.path.join(dd, "transcripts.parquet"))[
+        ["conv_id", "turn_idx", "role", "tool", "text", "ts"]
+    ]
+    tr["ts"] = tr["ts"].astype("datetime64[us]")
+    tr["_arr"] = tr["turn_idx"].astype("int64") * 10_000_000 + (
+        tr["ts"].astype("int64") % 10_000_000
+    )
+    base = tempfile.mkdtemp(prefix="adt_q149_")
+    try:
+        staged = _stage_append_log(tr, f"{base}/in", order_col="_arr")
+        st = _stream_files(
+            spark,
+            staged,
+            "conv_id string, turn_idx int, role string, tool string, "
+            "text string, ts timestamp, _arr long",
+        )
+        wins = conversation_windows_stream(
+            st.drop("_arr"), chunk_tokens=16, stride_tokens=8
+        )
+        result = _run_stream_to_sink(spark, wins, base, shuffle_partitions=8)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q143_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool trajectory aggregates (operators/trajectories.py
     tool_call_stats): call/result/answered counts and first-following-
@@ -4658,6 +4707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_stream_trajectory_gate": _with_prep(q146_stream_trajectory_gate),
         "q147_tool_latency_monitor": _with_prep(q147_tool_latency_monitor),
         "q148_conversation_windows": _with_prep(q148_conversation_windows),
+        "q149_stream_conversation_windows": _with_prep(
+            q149_stream_conversation_windows
+        ),
     }
 
 
@@ -5707,13 +5759,16 @@ def _duck_trajectory_gate_sql(tr: str) -> str:
     """
 
 
-def _duck_conversation_windows_sql(tr: str) -> str:
+def _duck_conversation_windows_sql(tr: str, cap_trailing: bool = True) -> str:
     from auto_data_tokenize_spark.operators.conversations import (
         duckdb_conversation_windows_sql,
     )
 
     return duckdb_conversation_windows_sql(
-        f"SELECT * FROM {tr}", chunk_tokens=16, stride_tokens=8
+        f"SELECT * FROM {tr}",
+        chunk_tokens=16,
+        stride_tokens=8,
+        cap_trailing=cap_trailing,
     )
 
 
@@ -7004,4 +7059,7 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q146_stream_trajectory_gate": _duck_trajectory_gate_sql(tr),
         "q147_tool_latency_monitor": _duck_tool_latency_sql(tr),
         "q148_conversation_windows": _duck_conversation_windows_sql(tr),
+        "q149_stream_conversation_windows": _duck_conversation_windows_sql(
+            tr, cap_trailing=False
+        ),
     }

@@ -38,6 +38,7 @@ __all__ = [
     "render_chat",
     "loss_mask_spans",
     "conversation_windows",
+    "conversation_windows_stream",
     "duckdb_conversation_windows_sql",
     "conversation_fingerprints",
     "conversation_near_dups",
@@ -478,20 +479,169 @@ def conversation_windows(
     )
 
 
+def conversation_windows_stream(
+    turns_stream: DataFrame,
+    chunk_tokens: int = 64,
+    stride_tokens: int = 32,
+    trainable_role: str = "agent",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+):
+    """Live SFT window assembly — the streaming twin of
+    :func:`conversation_windows`: per-conversation token offsets
+    CARRY ACROSS micro-batches (the ``pack_sequences_stream`` state
+    shape: one ``(next_offset, last_idx)`` pair per open
+    conversation), so an append-log ingest assigns every arriving
+    turn the same [tok_start, tok_end) span the batch operator gives
+    it over the completed conversation, then the same stateless
+    integer window algebra fans turns into overlapping windows.
+
+    Two deliberate semantic differences from the batch op, both
+    inherent to liveness:
+
+    * NO ``W_last`` trailing cap — the conversation total is unknown
+      mid-stream, so trailing-window memberships the batch op would
+      cap are emitted; finalization at conversation close applies the
+      cap during window assembly (compare with the batch manifest).
+    * Ordering contract (the ``pack_sequences_stream`` contract, per
+      conversation): each conversation's turns must arrive in
+      ``turn_idx`` order across micro-batches (within a batch the
+      operator sorts). A turn arriving at-or-below the
+      conversation's high-water ``turn_idx`` is emitted ONCE with
+      ``tok_start/tok_end/window_id NULL`` (order-violation
+      quarantine — loud, never a silently corrupted offset) and does
+      not advance the offset.
+
+    Output matches the batch op's schema. The piece token count is
+    the SAME JVM expression as :func:`loss_mask_spans` (computed
+    BEFORE the stateful step — Python only does the offset cumsum),
+    so stream and batch cannot diverge on tokenization.
+
+    Scale: state is two longs per open conversation; one shuffle on
+    ``conv_col`` per micro-batch; the fan-out is pure codegen after
+    the stateful step.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (1 <= stride_tokens <= chunk_tokens):
+        raise ValueError(
+            "stride_tokens must satisfy 1 <= stride <= chunk_tokens, "
+            f"got stride={stride_tokens} chunk={chunk_tokens}"
+        )
+    ch, st = int(chunk_tokens), int(stride_tokens)
+    pieces = (
+        turns_stream.select(
+            conv_col,
+            F.col(idx_col).cast("long").alias(idx_col),
+            "role",
+            _piece_expr().alias("_piece"),
+        )
+        .withColumn(
+            "_n_piece",
+            F.size(
+                F.expr("regexp_extract_all(_piece, '\\\\S+', 0)")
+            ).cast("long"),
+        )
+        .drop("_piece")
+    )
+    out_schema = (
+        f"{conv_col} string, {idx_col} long, role string, "
+        "tok_start long, tok_end long"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        off, last = state.get if state.exists else (0, -1)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((int(off), int(last)))
+            return
+        rows = pd.concat(frames).sort_values(idx_col)
+        idx = rows[idx_col].astype("int64").to_numpy()
+        npi = rows["_n_piece"].astype("int64").to_numpy()
+        starts: list = []
+        ends: list = []
+        o, hi = int(off), int(last)
+        for i in range(len(rows)):
+            if idx[i] <= hi:
+                starts.append(None)  # order violation -> quarantine
+                ends.append(None)
+            else:
+                starts.append(o)
+                o += int(npi[i])
+                ends.append(o)
+                hi = int(idx[i])
+        state.update((int(o), int(hi)))
+        yield pd.DataFrame(
+            {
+                conv_col: key[0],
+                idx_col: idx,
+                "role": rows["role"].to_numpy(),
+                "tok_start": pd.array(starts, dtype="Int64"),
+                "tok_end": pd.array(ends, dtype="Int64"),
+            }
+        )
+
+    spans = pieces.groupBy(conv_col).applyInPandasWithState(
+        fn, out_schema, "off long, last long", "append", GroupStateTimeout.NoTimeout
+    )
+
+    def _ceil_div_pos(x_sql: str):
+        return F.expr(
+            f"CASE WHEN {x_sql} <= 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE ({x_sql} + {st} - 1) div {st} END"
+        )
+
+    w_min = _ceil_div_pos(f"tok_end - {ch}")
+    w_max = F.expr(f"tok_start div {st}")  # no W_last cap mid-stream
+    fan = spans.withColumn(
+        "window_id",
+        F.explode(
+            F.when(
+                F.col("tok_start").isNotNull() & (w_min <= w_max),
+                F.sequence(w_min, w_max),
+            ).otherwise(F.array(F.lit(None).cast("long")))
+        ),
+    )
+    return fan.select(
+        conv_col,
+        "window_id",
+        (F.col("window_id") * F.lit(st)).cast("long").alias("w_start"),
+        idx_col,
+        "role",
+        "tok_start",
+        "tok_end",
+        (F.col("role") == F.lit(trainable_role)).alias("trainable"),
+    )
+
+
 def duckdb_conversation_windows_sql(
     turns_sql: str,
     chunk_tokens: int = 64,
     stride_tokens: int = 32,
     trainable_role: str = "agent",
     conv_col: str = "conv_id",
+    cap_trailing: bool = True,
 ) -> str:
     """DuckDB twin of :func:`conversation_windows` (same spans, same
     integer window algebra, ``generate_series`` fan-out, quarantine
-    rows via the empty-range union)."""
+    rows via the empty-range union). ``cap_trailing=False`` is the
+    :func:`conversation_windows_stream` twin — identical except the
+    ``W_last`` cap is absent, exactly as documented there."""
     c = conv_col
     ch, st = int(chunk_tokens), int(stride_tokens)
     spans = duckdb_loss_mask_sql(
         turns_sql, trainable_role=trainable_role, conv_col=conv_col
+    )
+    w_last = (
+        f"""LEAST(s.tok_start // {st},
+                       CASE WHEN t.n - {ch} <= 0 THEN 0
+                            ELSE (t.n - {ch} + {st} - 1) // {st} END)"""
+        if cap_trailing
+        else f"s.tok_start // {st}"
     )
     return f"""
         WITH spans AS ({spans}),
@@ -502,9 +652,7 @@ def duckdb_conversation_windows_sql(
           SELECT s.*,
                  CASE WHEN s.tok_end - {ch} <= 0 THEN 0
                       ELSE (s.tok_end - {ch} + {st} - 1) // {st} END AS w_min,
-                 LEAST(s.tok_start // {st},
-                       CASE WHEN t.n - {ch} <= 0 THEN 0
-                            ELSE (t.n - {ch} + {st} - 1) // {st} END) AS w_max
+                 {w_last} AS w_max
           FROM spans s JOIN tot t USING ({c})
         )
         SELECT {c}, CAST(window_id AS BIGINT) AS window_id,

@@ -361,3 +361,81 @@ def test_conversation_windows_quarantine(spark):
         conversation_windows(df, chunk_tokens=8, stride_tokens=9)
     with pytest.raises(ValueError, match="chunk_tokens"):
         conversation_windows(df, chunk_tokens=0, stride_tokens=1)
+
+
+def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
+    """Cross-batch offset carry: a conversation split across
+    micro-batches gets the same spans the batch operator assigns;
+    an out-of-order turn (at/below the conversation's high-water
+    turn_idx) is quarantined with NULL spans and does not corrupt
+    the offset."""
+    import os
+    import time
+
+    from auto_data_tokenize_spark.operators.conversations import (
+        conversation_windows_stream,
+    )
+
+    f1 = pd.DataFrame(
+        [
+            ("a", 1, "agent", "a1 a2 a3", None),
+            ("a", 2, "customer", "b1 b2", None),
+            ("b", 2, "agent", "x1 x2 x3 x4", None),
+        ],
+        columns=_COLS,
+    )
+    f2 = pd.DataFrame(
+        [
+            ("a", 3, "agent", "c1 c2 c3 c4 c5", None),
+            ("b", 1, "agent", "late", None),  # violates turn order
+        ],
+        columns=_COLS,
+    )
+    staged = str(tmp_path / "in")
+    os.makedirs(staged)
+    t0 = time.time() - 50
+    for k, pdf in enumerate([f1, f2]):
+        pdf = pdf.assign(
+            turn_idx=pdf.turn_idx.astype("int32"),
+            tool=pdf.tool.astype("string"),  # all-None infers INT32 otherwise
+        )
+        p = f"{staged}/p{k}.parquet"
+        pdf.to_parquet(p)
+        os.utime(p, (t0 + k, t0 + k))
+    st = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, tool string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    wins = conversation_windows_stream(st, chunk_tokens=8, stride_tokens=4)
+    q = (
+        wins.writeStream.format("memory")
+        .queryName("cw_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from cw_stream").toPandas()
+    # conv a spans: [0,3),[3,5),[5,10) — turn 3 crossed the batch
+    spans = {
+        int(t): (int(g.tok_start.iloc[0]), int(g.tok_end.iloc[0]))
+        for t, g in out[out.conv_id == "a"].groupby("turn_idx")
+    }
+    assert spans == {1: (0, 3), 2: (3, 5), 3: (5, 10)}
+    # turn 3 of conv a: [5,10) fits w=... uncapped w_max = 5//4 = 1;
+    # w_min = ceil((10-8)/4) = 1 -> exactly window 1
+    a3 = out[(out.conv_id == "a") & (out.turn_idx == 3)]
+    assert sorted(a3.window_id.astype(int)) == [1]
+    # conv b: turn 2 arrived first and owns [0,4); the late turn 1 is
+    # quarantined (NULL spans AND NULL window) exactly once
+    b = out[out.conv_id == "b"].set_index("turn_idx")
+    assert (int(b.loc[2, "tok_start"]), int(b.loc[2, "tok_end"])) == (0, 4)
+    late = out[(out.conv_id == "b") & (out.turn_idx == 1)]
+    assert len(late) == 1
+    assert late.tok_start.isna().all() and late.window_id.isna().all()
+    with pytest.raises(ValueError, match="stride_tokens"):
+        conversation_windows_stream(st, chunk_tokens=4, stride_tokens=5)
