@@ -337,9 +337,7 @@ def loss_mask_spans(
         _piece_expr().alias("_piece"),
     ).withColumn(
         "n_piece_tokens",
-        F.size(
-            F.expr("regexp_extract_all(_piece, '\\\\S+', 0)")
-        ).cast("long"),
+        _piece_token_count_col().cast("long"),
     )
     return (
         pieces.withColumn(
@@ -389,6 +387,78 @@ def duckdb_loss_mask_sql(
     """
 
 
+_LONG_MIN = -(2**63)
+
+
+def _validate_chunk_stride(chunk_tokens: int, stride_tokens: int) -> tuple[int, int]:
+    """Shared guard for the window operators (one source of truth)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (1 <= stride_tokens <= chunk_tokens):
+        raise ValueError(
+            "stride_tokens must satisfy 1 <= stride <= chunk_tokens, "
+            f"got stride={stride_tokens} chunk={chunk_tokens}"
+        )
+    return int(chunk_tokens), int(stride_tokens)
+
+
+def _ceil_div_pos_expr(x_sql: str, stride: int):
+    """ceil(x/s) for possibly-negative x, clamped at 0 (s > 0):
+    guarded-positive numerator makes BIGINT ``div`` (truncating)
+    equal floor, hence exact ceil — no doubles anywhere. Shared by
+    batch and streaming window assignment so the algebra cannot
+    drift."""
+    return F.expr(
+        f"CASE WHEN {x_sql} <= 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE ({x_sql} + {stride} - 1) div {stride} END"
+    )
+
+
+def _piece_token_count_col():
+    """Whitespace-token count of the ``_piece`` column — THE shared
+    tokenization expression (non-whitespace runs; see
+    :func:`loss_mask_spans` for why runs, not split-after-trim)."""
+    return F.size(F.expr("regexp_extract_all(_piece, '\\\\S+', 0)"))
+
+
+def _fan_out_windows(
+    spans: DataFrame,
+    ch: int,
+    st: int,
+    conv_col: str,
+    idx_col: str,
+    w_max,
+    assignable=None,
+) -> DataFrame:
+    """Shared explode/select tail of the window operators: fan each
+    span into its [w_min, w_max] windows, emitting ONE window_id-NULL
+    quarantine row when the range is empty (or ``assignable`` is
+    false/NULL). Output schema is identical for batch and stream —
+    ``turn_idx`` normalized to BIGINT."""
+    w_min = _ceil_div_pos_expr(f"tok_end - {ch}", st)
+    cond = w_min <= w_max
+    if assignable is not None:
+        cond = assignable & cond
+    fan = spans.withColumn(
+        "window_id",
+        F.explode(
+            F.when(cond, F.sequence(w_min, w_max)).otherwise(
+                F.array(F.lit(None).cast("long"))
+            )
+        ),
+    )
+    return fan.select(
+        conv_col,
+        "window_id",
+        (F.col("window_id") * F.lit(st)).cast("long").alias("w_start"),
+        F.col(idx_col).cast("long").alias(idx_col),
+        "role",
+        "tok_start",
+        "tok_end",
+        "trainable",
+    )
+
+
 def conversation_windows(
     turns: DataFrame,
     chunk_tokens: int = 64,
@@ -421,7 +491,8 @@ def conversation_windows(
     Output: (conv_id, window_id, w_start, turn_idx, role,
     tok_start, tok_end, trainable) — one row per (turn, window)
     membership; ``tok_start - w_start`` is the turn's offset inside
-    its window.
+    its window; ``turn_idx`` is normalized to BIGINT (the streaming
+    twin's schema — the two manifests compare column-for-column).
 
     All integer arithmetic: ceil(x/s) uses the truncating-div identity
     on guarded-positive numerators (both engines), so the two sides
@@ -433,50 +504,15 @@ def conversation_windows(
     explode(sequence) fan-out. One shuffle of a narrow projection at
     any scale; the fan-out factor is bounded by ceil(chunk/stride).
     """
-    if chunk_tokens < 1:
-        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    if not (1 <= stride_tokens <= chunk_tokens):
-        raise ValueError(
-            "stride_tokens must satisfy 1 <= stride <= chunk_tokens, "
-            f"got stride={stride_tokens} chunk={chunk_tokens}"
-        )
-    ch, st = int(chunk_tokens), int(stride_tokens)
+    ch, st = _validate_chunk_stride(chunk_tokens, stride_tokens)
     spans = loss_mask_spans(
         turns, trainable_role=trainable_role, conv_col=conv_col, idx_col=idx_col
     )
     tot = spans.groupBy(conv_col).agg(F.max("tok_end").alias("_n"))
-
-    def _ceil_div_pos(x_sql: str):
-        # ceil(x/s) for possibly-negative x, clamped at 0 (s > 0):
-        # guarded-positive numerator makes BIGINT `div` (truncating)
-        # equal floor, hence exact ceil — no doubles anywhere
-        return F.expr(
-            f"CASE WHEN {x_sql} <= 0 THEN CAST(0 AS BIGINT)"
-            f" ELSE ({x_sql} + {st} - 1) div {st} END"
-        )
-
     j = spans.join(tot, conv_col)
-    w_last = _ceil_div_pos(f"_n - {ch}")
-    w_min = _ceil_div_pos(f"tok_end - {ch}")
+    w_last = _ceil_div_pos_expr(f"_n - {ch}", st)
     w_max = F.least(F.expr(f"tok_start div {st}"), w_last)
-    fan = j.withColumn(
-        "window_id",
-        F.explode(
-            F.when(w_min <= w_max, F.sequence(w_min, w_max)).otherwise(
-                F.array(F.lit(None).cast("long"))
-            )
-        ),
-    )
-    return fan.select(
-        conv_col,
-        "window_id",
-        (F.col("window_id") * F.lit(st)).cast("long").alias("w_start"),
-        idx_col,
-        "role",
-        "tok_start",
-        "tok_end",
-        "trainable",
-    )
+    return _fan_out_windows(j, ch, st, conv_col, idx_col, w_max)
 
 
 def conversation_windows_stream(
@@ -486,6 +522,7 @@ def conversation_windows_stream(
     trainable_role: str = "agent",
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
+    state_timeout_ms: int | None = None,
 ):
     """Live SFT window assembly — the streaming twin of
     :func:`conversation_windows`: per-conversation token offsets
@@ -507,32 +544,38 @@ def conversation_windows_stream(
       conversation): each conversation's turns must arrive in
       ``turn_idx`` order across micro-batches (within a batch the
       operator sorts). A turn arriving at-or-below the
-      conversation's high-water ``turn_idx`` is emitted ONCE with
-      ``tok_start/tok_end/window_id NULL`` (order-violation
-      quarantine — loud, never a silently corrupted offset) and does
-      not advance the offset.
+      conversation's high-water ``turn_idx`` — or with a NULL
+      ``turn_idx``, which cannot be ordered live — is emitted ONCE
+      with ``tok_start/tok_end/window_id NULL`` (loud quarantine,
+      never a crash or a silently corrupted offset) and does not
+      advance the offset. The high-water mark starts at LONG_MIN, so
+      any real first index (0, 1, negative preamble turns) is
+      accepted.
 
-    Output matches the batch op's schema. The piece token count is
-    the SAME JVM expression as :func:`loss_mask_spans` (computed
-    BEFORE the stateful step — Python only does the offset cumsum),
-    so stream and batch cannot diverge on tokenization.
+    Output schema is identical to the batch op's (``turn_idx``
+    normalized to BIGINT on both). The piece token count and the
+    window algebra are the SAME shared expressions as the batch
+    operator (``_piece_token_count_col`` / ``_ceil_div_pos_expr`` /
+    ``_fan_out_windows`` — computed BEFORE or AFTER the stateful
+    step; Python only does the offset cumsum), so stream and batch
+    cannot diverge on tokenization or assignment.
 
-    Scale: state is two longs per open conversation; one shuffle on
+    Scale: state is two longs per conversation; one shuffle on
     ``conv_col`` per micro-batch; the fan-out is pure codegen after
-    the stateful step.
+    the stateful step. State lives for the stream's lifetime under
+    the default ``state_timeout_ms=None`` (NoTimeout — right for
+    finite/append-log runs and the exactly-once harness); for a
+    forever-stream over short-lived conversations pass an idle
+    ``state_timeout_ms`` so closed conversations evict
+    (ProcessingTimeTimeout) — a turn arriving after eviction restarts
+    its conversation's offsets at 0, the documented
+    late-after-close tradeoff.
     """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if chunk_tokens < 1:
-        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    if not (1 <= stride_tokens <= chunk_tokens):
-        raise ValueError(
-            "stride_tokens must satisfy 1 <= stride <= chunk_tokens, "
-            f"got stride={stride_tokens} chunk={chunk_tokens}"
-        )
-    ch, st = int(chunk_tokens), int(stride_tokens)
+    ch, st = _validate_chunk_stride(chunk_tokens, stride_tokens)
     pieces = (
         turns_stream.select(
             conv_col,
@@ -540,81 +583,71 @@ def conversation_windows_stream(
             "role",
             _piece_expr().alias("_piece"),
         )
-        .withColumn(
-            "_n_piece",
-            F.size(
-                F.expr("regexp_extract_all(_piece, '\\\\S+', 0)")
-            ).cast("long"),
-        )
+        .withColumn("_n_piece", _piece_token_count_col().cast("long"))
         .drop("_piece")
     )
     out_schema = (
         f"{conv_col} string, {idx_col} long, role string, "
         "tok_start long, tok_end long"
     )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fn(key, pdfs, state: GroupState):
-        off, last = state.get if state.exists else (0, -1)
-        frames = [p for p in pdfs if len(p)]
-        if not frames:
-            state.update((int(off), int(last)))
+        if state_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
             return
-        rows = pd.concat(frames).sort_values(idx_col)
-        idx = rows[idx_col].astype("int64").to_numpy()
-        npi = rows["_n_piece"].astype("int64").to_numpy()
-        starts: list = []
-        ends: list = []
-        o, hi = int(off), int(last)
-        for i in range(len(rows)):
-            if idx[i] <= hi:
-                starts.append(None)  # order violation -> quarantine
-                ends.append(None)
-            else:
-                starts.append(o)
-                o += int(npi[i])
-                ends.append(o)
-                hi = int(idx[i])
-        state.update((int(o), int(hi)))
-        yield pd.DataFrame(
-            {
-                conv_col: key[0],
-                idx_col: idx,
-                "role": rows["role"].to_numpy(),
-                "tok_start": pd.array(starts, dtype="Int64"),
-                "tok_end": pd.array(ends, dtype="Int64"),
-            }
-        )
+        off, last = state.get if state.exists else (0, _LONG_MIN)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            rows = pd.concat(frames).sort_values(idx_col).reset_index(drop=True)
+            idx = rows[idx_col].astype("Int64")  # nullable: NULL idx quarantines
+            npi = rows["_n_piece"].astype("int64").to_numpy()
+            starts: list = []
+            ends: list = []
+            o, hi = int(off), int(last)
+            for i, idx_i in enumerate(idx):
+                if idx_i is pd.NA or int(idx_i) <= hi:
+                    starts.append(None)  # unordered/unorderable -> quarantine
+                    ends.append(None)
+                else:
+                    starts.append(o)
+                    o += int(npi[i])
+                    ends.append(o)
+                    hi = int(idx_i)
+            out = pd.DataFrame(
+                {
+                    conv_col: key[0],
+                    idx_col: idx,
+                    "role": rows["role"].to_numpy(),
+                    "tok_start": pd.array(starts, dtype="Int64"),
+                    "tok_end": pd.array(ends, dtype="Int64"),
+                }
+            )
+            state.update((int(o), int(hi)))
+            yield out
+        else:
+            state.update((int(off), int(last)))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(int(state_timeout_ms))
 
     spans = pieces.groupBy(conv_col).applyInPandasWithState(
-        fn, out_schema, "off long, last long", "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, "off long, last long", "append", timeout
     )
-
-    def _ceil_div_pos(x_sql: str):
-        return F.expr(
-            f"CASE WHEN {x_sql} <= 0 THEN CAST(0 AS BIGINT)"
-            f" ELSE ({x_sql} + {st} - 1) div {st} END"
-        )
-
-    w_min = _ceil_div_pos(f"tok_end - {ch}")
     w_max = F.expr(f"tok_start div {st}")  # no W_last cap mid-stream
-    fan = spans.withColumn(
-        "window_id",
-        F.explode(
-            F.when(
-                F.col("tok_start").isNotNull() & (w_min <= w_max),
-                F.sequence(w_min, w_max),
-            ).otherwise(F.array(F.lit(None).cast("long")))
+    return _fan_out_windows(
+        spans.withColumn(
+            "trainable", F.col("role") == F.lit(trainable_role)
         ),
-    )
-    return fan.select(
+        ch,
+        st,
         conv_col,
-        "window_id",
-        (F.col("window_id") * F.lit(st)).cast("long").alias("w_start"),
         idx_col,
-        "role",
-        "tok_start",
-        "tok_end",
-        (F.col("role") == F.lit(trainable_role)).alias("trainable"),
+        w_max,
+        assignable=F.col("tok_start").isNotNull(),
     )
 
 
@@ -636,34 +669,38 @@ def duckdb_conversation_windows_sql(
     spans = duckdb_loss_mask_sql(
         turns_sql, trainable_role=trainable_role, conv_col=conv_col
     )
-    w_last = (
-        f"""LEAST(s.tok_start // {st},
+    if cap_trailing:
+        w_last = f"""LEAST(s.tok_start // {st},
                        CASE WHEN t.n - {ch} <= 0 THEN 0
                             ELSE (t.n - {ch} + {st} - 1) // {st} END)"""
-        if cap_trailing
-        else f"s.tok_start // {st}"
-    )
+        src = f"""spans s JOIN (
+            SELECT {c}, MAX(tok_end) AS n FROM spans GROUP BY 1
+          ) t USING ({c})"""
+    else:
+        # streaming twin: no W_last cap, so the per-conversation
+        # total (and its aggregation + join) is not computed at all
+        w_last = f"s.tok_start // {st}"
+        src = "spans s"
     return f"""
         WITH spans AS ({spans}),
-        tot AS (
-          SELECT {c}, MAX(tok_end) AS n FROM spans GROUP BY 1
-        ),
         lim AS (
           SELECT s.*,
                  CASE WHEN s.tok_end - {ch} <= 0 THEN 0
                       ELSE (s.tok_end - {ch} + {st} - 1) // {st} END AS w_min,
                  {w_last} AS w_max
-          FROM spans s JOIN tot t USING ({c})
+          FROM {src}
         )
         SELECT {c}, CAST(window_id AS BIGINT) AS window_id,
                CAST(window_id * {st} AS BIGINT) AS w_start,
-               turn_idx, role, tok_start, tok_end, trainable
+               CAST(turn_idx AS BIGINT) AS turn_idx,
+               role, tok_start, tok_end, trainable
         FROM (
           SELECT *, unnest(generate_series(w_min, w_max)) AS window_id
           FROM lim WHERE w_min <= w_max
         )
         UNION ALL
-        SELECT {c}, NULL, NULL, turn_idx, role, tok_start, tok_end, trainable
+        SELECT {c}, NULL, NULL, CAST(turn_idx AS BIGINT),
+               role, tok_start, tok_end, trainable
         FROM lim WHERE w_min > w_max
     """
 

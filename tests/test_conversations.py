@@ -381,6 +381,8 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
             ("a", 1, "agent", "a1 a2 a3", None),
             ("a", 2, "customer", "b1 b2", None),
             ("b", 2, "agent", "x1 x2 x3 x4", None),
+            # negative preamble index is a legitimate first turn
+            ("n", -1, "agent", "sys", None),
         ],
         columns=_COLS,
     )
@@ -388,6 +390,9 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
         [
             ("a", 3, "agent", "c1 c2 c3 c4 c5", None),
             ("b", 1, "agent", "late", None),  # violates turn order
+            ("n", 0, "customer", "hi there", None),
+            # NULL turn_idx cannot be ordered live -> quarantined
+            ("n", None, "agent", "lost", None),
         ],
         columns=_COLS,
     )
@@ -396,7 +401,7 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
     t0 = time.time() - 50
     for k, pdf in enumerate([f1, f2]):
         pdf = pdf.assign(
-            turn_idx=pdf.turn_idx.astype("int32"),
+            turn_idx=pdf.turn_idx.astype("Int32"),
             tool=pdf.tool.astype("string"),  # all-None infers INT32 otherwise
         )
         p = f"{staged}/p{k}.parquet"
@@ -437,5 +442,16 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
     late = out[(out.conv_id == "b") & (out.turn_idx == 1)]
     assert len(late) == 1
     assert late.tok_start.isna().all() and late.window_id.isna().all()
+    # negative first index accepted (LONG_MIN high-water sentinel);
+    # the NULL-idx turn quarantines instead of crashing the query
+    nrows = out[out.conv_id == "n"]
+    nspans = {
+        int(t): (int(g.tok_start.iloc[0]), int(g.tok_end.iloc[0]))
+        for t, g in nrows.dropna(subset=["turn_idx"]).groupby("turn_idx")
+    }
+    assert nspans == {-1: (0, 1), 0: (1, 3)}
+    lost = nrows[nrows.turn_idx.isna()]
+    assert len(lost) == 1
+    assert lost.tok_start.isna().all() and lost.window_id.isna().all()
     with pytest.raises(ValueError, match="stride_tokens"):
         conversation_windows_stream(st, chunk_tokens=4, stride_tokens=5)
