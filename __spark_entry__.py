@@ -4502,7 +4502,7 @@ def q149_stream_conversation_windows(spark: SparkSession, sf_dir: str) -> DataFr
             "text string, ts timestamp, _arr long",
         )
         wins = conversation_windows_stream(
-            st.drop("_arr"), chunk_tokens=16, stride_tokens=8
+            st.drop("_arr"), chunk_tokens=16, stride_tokens=8, state_buckets=32
         )
         result = _run_stream_to_sink(spark, wins, base, shuffle_partitions=8)
     finally:

@@ -523,6 +523,7 @@ def conversation_windows_stream(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     state_timeout_ms: int | None = None,
+    state_buckets: int | None = None,
 ):
     """Live SFT window assembly — the streaming twin of
     :func:`conversation_windows`: per-conversation token offsets
@@ -570,12 +571,28 @@ def conversation_windows_stream(
     (ProcessingTimeTimeout) — a turn arriving after eviction restarts
     its conversation's offsets at 0, the documented
     late-after-close tradeoff.
+
+    ``state_buckets``: the per-conversation state key means one
+    Python-side group invocation per LIVE CONVERSATION per
+    micro-batch — measured dominant when thousands of conversations
+    interleave in every batch (the realistic arrival shape). Setting
+    ``state_buckets=N`` keys the state on ``xxhash64(conv) % N``
+    instead: per batch the operator runs N vectorized invocations,
+    each carrying its bucket's ``conv -> (offset, high-water)`` map
+    as three parallel state arrays, and the per-turn cumsum/violation
+    scan is a pandas groupby transform (no Python row loop). Output
+    is IDENTICAL to the per-conversation mode (pinned by test).
+    Trade-off: ``state_timeout_ms`` then evicts only whole IDLE
+    buckets, so use bucketing for throughput and per-conversation
+    keys when fine-grained eviction matters.
     """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ch, st = _validate_chunk_stride(chunk_tokens, stride_tokens)
+    if state_buckets is not None and state_buckets < 1:
+        raise ValueError(f"state_buckets must be >= 1, got {state_buckets}")
     pieces = (
         turns_stream.select(
             conv_col,
@@ -596,47 +613,137 @@ def conversation_windows_stream(
         else GroupStateTimeout.NoTimeout
     )
 
-    def fn(key, pdfs, state: GroupState):
-        if state_timeout_ms is not None and state.hasTimedOut:
-            state.remove()
-            return
-        off, last = state.get if state.exists else (0, _LONG_MIN)
-        frames = [p for p in pdfs if len(p)]
-        if frames:
-            rows = pd.concat(frames).sort_values(idx_col).reset_index(drop=True)
-            idx = rows[idx_col].astype("Int64")  # nullable: NULL idx quarantines
-            npi = rows["_n_piece"].astype("int64").to_numpy()
-            starts: list = []
-            ends: list = []
-            o, hi = int(off), int(last)
-            for i, idx_i in enumerate(idx):
-                if idx_i is pd.NA or int(idx_i) <= hi:
-                    starts.append(None)  # unordered/unorderable -> quarantine
-                    ends.append(None)
-                else:
-                    starts.append(o)
-                    o += int(npi[i])
-                    ends.append(o)
-                    hi = int(idx_i)
-            out = pd.DataFrame(
-                {
-                    conv_col: key[0],
-                    idx_col: idx,
-                    "role": rows["role"].to_numpy(),
-                    "tok_start": pd.array(starts, dtype="Int64"),
-                    "tok_end": pd.array(ends, dtype="Int64"),
-                }
-            )
-            state.update((int(o), int(hi)))
-            yield out
-        else:
-            state.update((int(off), int(last)))
-        if state_timeout_ms is not None:
-            state.setTimeoutDuration(int(state_timeout_ms))
+    def _assign(rows, off_of, hi_of):
+        """Vectorized span assignment over a (possibly multi-conv)
+        frame: sort by (conv, idx); a row quarantines when its idx is
+        NULL, duplicates its sorted predecessor, or is at/below the
+        conversation's entering high-water mark — otherwise spans are
+        the carried offset plus the accepted-row running sum. Returns
+        (out_frame, new_off: dict, new_hi: dict)."""
+        rows = rows.sort_values([conv_col, idx_col]).reset_index(drop=True)
+        idx = rows[idx_col].astype("Int64")
+        npi = rows["_n_piece"].astype("int64")
+        conv = rows[conv_col]
+        hi0 = conv.map(hi_of).fillna(_LONG_MIN).astype("int64")
+        off0 = conv.map(off_of).fillna(0).astype("int64")
+        prev = idx.groupby(conv, sort=False).shift()
+        # sorted per conv => idx >= prev; ok iff not NULL, not a
+        # duplicate of the predecessor, and above the high-water mark
+        ok = (
+            (idx.notna() & (prev.isna() | (idx > prev)) & (idx > hi0))
+            .fillna(False)
+            .astype(bool)
+        )
+        contrib = npi.where(ok, 0)
+        cum = contrib.groupby(conv, sort=False).cumsum()
+        starts = (off0 + cum - contrib).where(ok)
+        ends = (off0 + cum).where(ok)
+        g_sum = contrib.groupby(conv, sort=False).sum()
+        g_hi = idx.where(ok).groupby(conv, sort=False).max()
+        new_off = {
+            c: int(off_of.get(c, 0)) + int(s) for c, s in g_sum.items()
+        }
+        new_hi = {}
+        for c in g_sum.index:
+            h = g_hi.get(c)
+            prior = hi_of.get(c, _LONG_MIN)
+            new_hi[c] = int(h) if h is not pd.NA and h == h else int(prior)
+            new_hi[c] = max(new_hi[c], int(prior))
+        out = pd.DataFrame(
+            {
+                conv_col: conv.to_numpy(),
+                idx_col: idx,
+                "role": rows["role"].to_numpy(),
+                "tok_start": starts.astype("Int64"),
+                "tok_end": ends.astype("Int64"),
+            }
+        )
+        return out, new_off, new_hi
 
-    spans = pieces.groupBy(conv_col).applyInPandasWithState(
-        fn, out_schema, "off long, last long", "append", timeout
-    )
+    if state_buckets is None:
+        # scalar fast path: a single-conversation frame is a handful
+        # of rows, where the vectorized groupby machinery costs more
+        # than a plain loop (pinned equal to the bucketed/vectorized
+        # path by test_conversation_windows_stream_modes_agree)
+
+        def fn(key, pdfs, state: GroupState):
+            if state_timeout_ms is not None and state.hasTimedOut:
+                state.remove()
+                return
+            off, last = state.get if state.exists else (0, _LONG_MIN)
+            frames = [p for p in pdfs if len(p)]
+            if frames:
+                rows = (
+                    pd.concat(frames).sort_values(idx_col).reset_index(drop=True)
+                )
+                idx = rows[idx_col].astype("Int64")
+                npi = rows["_n_piece"].astype("int64").to_numpy()
+                starts: list = []
+                ends: list = []
+                o, hi = int(off), int(last)
+                for i, idx_i in enumerate(idx):
+                    if idx_i is pd.NA or int(idx_i) <= hi:
+                        starts.append(None)  # unorderable -> quarantine
+                        ends.append(None)
+                    else:
+                        starts.append(o)
+                        o += int(npi[i])
+                        ends.append(o)
+                        hi = int(idx_i)
+                state.update((int(o), int(hi)))
+                yield pd.DataFrame(
+                    {
+                        conv_col: key[0],
+                        idx_col: idx,
+                        "role": rows["role"].to_numpy(),
+                        "tok_start": pd.array(starts, dtype="Int64"),
+                        "tok_end": pd.array(ends, dtype="Int64"),
+                    }
+                )
+            else:
+                state.update((int(off), int(last)))
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(int(state_timeout_ms))
+
+        spans = pieces.groupBy(conv_col).applyInPandasWithState(
+            fn, out_schema, "off long, last long", "append", timeout
+        )
+    else:
+
+        def fn_bucket(key, pdfs, state: GroupState):
+            if state_timeout_ms is not None and state.hasTimedOut:
+                state.remove()
+                return
+            if state.exists:
+                convs, offs, his = state.get
+                off_of = dict(zip(convs, offs))
+                hi_of = dict(zip(convs, his))
+            else:
+                off_of, hi_of = {}, {}
+            frames = [p.drop(columns=["_bkt"]) for p in pdfs if len(p)]
+            if frames:
+                out, new_off, new_hi = _assign(pd.concat(frames), off_of, hi_of)
+                off_of.update(new_off)
+                hi_of.update(new_hi)
+                yield out
+            ks = list(off_of)
+            state.update(
+                (ks, [int(off_of[k]) for k in ks], [int(hi_of[k]) for k in ks])
+            )
+            if state_timeout_ms is not None:
+                state.setTimeoutDuration(int(state_timeout_ms))
+
+        bucketed = pieces.withColumn(
+            "_bkt",
+            F.pmod(F.xxhash64(F.col(conv_col)), F.lit(int(state_buckets))),
+        )
+        spans = bucketed.groupBy("_bkt").applyInPandasWithState(
+            fn_bucket,
+            out_schema,
+            "convs array<string>, offs array<long>, his array<long>",
+            "append",
+            timeout,
+        )
     w_max = F.expr(f"tok_start div {st}")  # no W_last cap mid-stream
     return _fan_out_windows(
         spans.withColumn(

@@ -407,24 +407,39 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
         p = f"{staged}/p{k}.parquet"
         pdf.to_parquet(p)
         os.utime(p, (t0 + k, t0 + k))
-    st = (
-        spark.readStream.schema(
-            "conv_id string, turn_idx int, role string, text string, tool string"
+    def run(name, **kw):
+        st = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
+        wins = conversation_windows_stream(
+            st, chunk_tokens=8, stride_tokens=4, **kw
+        )
+        q = (
+            wins.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}").toPandas()
+
+    out = run("cw_stream")
+    # the bucketed/vectorized state mode is output-identical on the
+    # same feed — violations, NULL idx, and negative idx included
+    bucketed = run("cw_stream_b", state_buckets=3)
+    key = ["conv_id", "window_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key, na_position="first").reset_index(drop=True),
+        bucketed.sort_values(key, na_position="first").reset_index(drop=True),
+        check_dtype=False,
     )
-    wins = conversation_windows_stream(st, chunk_tokens=8, stride_tokens=4)
-    q = (
-        wins.writeStream.format("memory")
-        .queryName("cw_stream")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    out = spark.sql("select * from cw_stream").toPandas()
     # conv a spans: [0,3),[3,5),[5,10) — turn 3 crossed the batch
     spans = {
         int(t): (int(g.tok_start.iloc[0]), int(g.tok_end.iloc[0]))
@@ -453,5 +468,10 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
     lost = nrows[nrows.turn_idx.isna()]
     assert len(lost) == 1
     assert lost.tok_start.isna().all() and lost.window_id.isna().all()
+    dummy = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string"
+    ).parquet(staged)
     with pytest.raises(ValueError, match="stride_tokens"):
-        conversation_windows_stream(st, chunk_tokens=4, stride_tokens=5)
+        conversation_windows_stream(dummy, chunk_tokens=4, stride_tokens=5)
+    with pytest.raises(ValueError, match="state_buckets"):
+        conversation_windows_stream(dummy, state_buckets=0)
