@@ -4510,6 +4510,25 @@ def q149_stream_conversation_windows(spark: SparkSession, sf_dir: str) -> DataFr
     return result
 
 
+def q150_assemble_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized SFT training samples (operators/conversations.py
+    assemble_windows): each (conversation, window) of the q148
+    manifest rendered to its window document (pieces joined in
+    turn_idx order + <|end|>) with WINDOW-LOCAL trainable spans —
+    the table a trainer consumes. The local base is the first
+    member's tok_start; the text's whitespace tokens tile
+    [0, n_tokens-1) exactly (loss-mask invariant). One conv shuffle
+    + the (conv, window) rollup; oracle: ordered string_agg render +
+    per-window MIN base, list-of-pair spans."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        assemble_windows,
+    )
+
+    return assemble_windows(
+        _transcripts(spark, sf_dir), chunk_tokens=16, stride_tokens=8
+    )
+
+
 def q143_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool trajectory aggregates (operators/trajectories.py
     tool_call_stats): call/result/answered counts and first-following-
@@ -4710,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_stream_conversation_windows": _with_prep(
             q149_stream_conversation_windows
         ),
+        "q150_assemble_windows": _with_prep(q150_assemble_windows),
     }
 
 
@@ -5769,6 +5789,16 @@ def _duck_conversation_windows_sql(tr: str, cap_trailing: bool = True) -> str:
         chunk_tokens=16,
         stride_tokens=8,
         cap_trailing=cap_trailing,
+    )
+
+
+def _duck_assemble_windows_sql(tr: str) -> str:
+    from auto_data_tokenize_spark.operators.conversations import (
+        duckdb_assemble_windows_sql,
+    )
+
+    return duckdb_assemble_windows_sql(
+        f"SELECT * FROM {tr}", chunk_tokens=16, stride_tokens=8
     )
 
 
@@ -7062,4 +7092,5 @@ def oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
         "q149_stream_conversation_windows": _duck_conversation_windows_sql(
             tr, cap_trailing=False
         ),
+        "q150_assemble_windows": _duck_assemble_windows_sql(tr),
     }

@@ -39,6 +39,8 @@ __all__ = [
     "loss_mask_spans",
     "conversation_windows",
     "conversation_windows_stream",
+    "assemble_windows",
+    "duckdb_assemble_windows_sql",
     "duckdb_conversation_windows_sql",
     "conversation_fingerprints",
     "conversation_near_dups",
@@ -297,6 +299,7 @@ def loss_mask_spans(
     trainable_role: str = "agent",
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
+    keep_piece: bool = False,
 ) -> DataFrame:
     """Per-turn TOKEN spans of the rendered conversation, with the
     SFT loss mask: only ``trainable_role`` turns carry loss.
@@ -339,37 +342,40 @@ def loss_mask_spans(
         "n_piece_tokens",
         _piece_token_count_col().cast("long"),
     )
-    return (
-        pieces.withColumn(
-            "_cum", F.sum("n_piece_tokens").over(w).cast("long")
-        )
-        .select(
-            conv_col,
-            idx_col,
-            "role",
-            "n_piece_tokens",
-            (F.col("_cum") - F.col("n_piece_tokens")).alias("tok_start"),
-            F.col("_cum").alias("tok_end"),
-            (F.col("role") == trainable_role).alias("trainable"),
-        )
-    )
+    cols = [
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col("role"),
+        F.col("n_piece_tokens"),
+        (F.col("_cum") - F.col("n_piece_tokens")).alias("tok_start"),
+        F.col("_cum").alias("tok_end"),
+        (F.col("role") == trainable_role).alias("trainable"),
+    ]
+    if keep_piece:
+        cols.append(F.col("_piece"))
+    return pieces.withColumn(
+        "_cum", F.sum("n_piece_tokens").over(w).cast("long")
+    ).select(*cols)
 
 
 def duckdb_loss_mask_sql(
     turns_sql: str,
     trainable_role: str = "agent",
     conv_col: str = "conv_id",
+    keep_piece: bool = False,
 ) -> str:
     """DuckDB twin of :func:`loss_mask_spans`."""
     piece = (
         f"'{_HDR_OPEN}' || concat_ws(':', coalesce(role, ''), tool) "
         f"|| '{_HDR_CLOSE}' || coalesce(text, '')"
     )
+    piece_out = ", _piece" if keep_piece else ""
     return f"""
         WITH p AS (
           SELECT {conv_col}, turn_idx, role,
                  CAST(length(regexp_extract_all({piece}, '\\S+'))
-                      AS BIGINT) AS n_piece_tokens
+                      AS BIGINT) AS n_piece_tokens,
+                 {piece} AS _piece
           FROM ({turns_sql})
         ),
         c AS (
@@ -382,7 +388,7 @@ def duckdb_loss_mask_sql(
         SELECT {conv_col}, turn_idx, role, n_piece_tokens,
                _cum - n_piece_tokens AS tok_start,
                _cum AS tok_end,
-               role = '{trainable_role}' AS trainable
+               role = '{trainable_role}' AS trainable{piece_out}
         FROM c
     """
 
@@ -513,6 +519,152 @@ def conversation_windows(
     w_last = _ceil_div_pos_expr(f"_n - {ch}", st)
     w_max = F.least(F.expr(f"tok_start div {st}"), w_last)
     return _fan_out_windows(j, ch, st, conv_col, idx_col, w_max)
+
+
+def assemble_windows(
+    turns: DataFrame,
+    chunk_tokens: int = 64,
+    stride_tokens: int = 32,
+    trainable_role: str = "agent",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Materialize the actual SFT training samples from the
+    :func:`conversation_windows` manifest: each (conversation,
+    window) becomes one rendered document — member pieces joined on
+    ``\\n`` in ``turn_idx`` order plus the ``<|end|>`` sentinel — with
+    its loss mask as WINDOW-LOCAL token spans. The local base is the
+    window's FIRST MEMBER's ``tok_start`` (not ``w_start``: a turn
+    straddling the window boundary is excluded, so the first member
+    may start after the boundary); the assembled text's whitespace
+    tokens tile ``[0, n_tokens - 1)`` exactly by the
+    :func:`loss_mask_spans` invariant, with the final token being the
+    sentinel.
+
+    Quarantined turns (no containing window) are by construction
+    absent here — their explicit ``window_id NULL`` rows live in the
+    manifest, which is the overflow-policy surface.
+
+    Output: ``(conv_id, window_id, w_start, n_turns, n_tokens, text,
+    trainable_spans array<array<bigint>>)`` — each inner pair is a
+    half-open local [s, e) of one trainable turn; empty array when
+    the window holds none.
+
+    Plan shape: the spans' single conv Exchange feeds the total, the
+    join, the codegen fan-out, and the (conv, window) aggregate —
+    the aggregate key extends conv, so the whole operator still runs
+    on the one conv-hash partitioning plus the tot side.
+    """
+    ch, st = _validate_chunk_stride(chunk_tokens, stride_tokens)
+    spans = loss_mask_spans(
+        turns,
+        trainable_role=trainable_role,
+        conv_col=conv_col,
+        idx_col=idx_col,
+        keep_piece=True,
+    )
+    tot = spans.groupBy(conv_col).agg(F.max("tok_end").alias("_n"))
+    j = spans.join(tot, conv_col)
+    w_last = _ceil_div_pos_expr(f"_n - {ch}", st)
+    w_min = _ceil_div_pos_expr(f"tok_end - {ch}", st)
+    w_max = F.least(F.expr(f"tok_start div {st}"), w_last)
+    fan = j.withColumn(
+        "window_id", F.explode(F.when(w_min <= w_max, F.sequence(w_min, w_max)))
+    )
+    asm = fan.groupBy(conv_col, "window_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(idx_col).cast("long").alias("turn_idx"),
+                    "tok_start",
+                    "tok_end",
+                    "trainable",
+                    "_piece",
+                )
+            )
+        ).alias("_evs")
+    )
+    base = F.col("_evs")[0]["tok_start"]
+    return asm.select(
+        conv_col,
+        "window_id",
+        (F.col("window_id") * F.lit(st)).cast("long").alias("w_start"),
+        F.size("_evs").cast("long").alias("n_turns"),
+        (
+            F.aggregate(
+                "_evs",
+                F.lit(0).cast("long"),
+                lambda a, e: a + e["tok_end"] - e["tok_start"],
+            )
+            + F.lit(1)
+        ).alias("n_tokens"),
+        F.concat(
+            F.concat_ws(
+                "\n", F.transform("_evs", lambda e: e["_piece"])
+            ),
+            F.lit("\n" + _HDR_OPEN + "end" + _HDR_CLOSE),
+        ).alias("text"),
+        F.transform(
+            F.filter("_evs", lambda e: e["trainable"]),
+            lambda e: F.array(e["tok_start"] - base, e["tok_end"] - base),
+        ).alias("trainable_spans"),
+    )
+
+
+def duckdb_assemble_windows_sql(
+    turns_sql: str,
+    chunk_tokens: int = 64,
+    stride_tokens: int = 32,
+    trainable_role: str = "agent",
+    conv_col: str = "conv_id",
+) -> str:
+    """DuckDB twin of :func:`assemble_windows` (same spans + window
+    algebra; ordered ``string_agg`` render; window-local spans via a
+    per-(conv, window) MIN window function)."""
+    c = conv_col
+    ch, st = int(chunk_tokens), int(stride_tokens)
+    spans = duckdb_loss_mask_sql(
+        turns_sql,
+        trainable_role=trainable_role,
+        conv_col=conv_col,
+        keep_piece=True,
+    )
+    return f"""
+        WITH spans AS ({spans}),
+        tot AS (SELECT {c}, MAX(tok_end) AS n FROM spans GROUP BY 1),
+        lim AS (
+          SELECT s.*,
+                 CASE WHEN s.tok_end - {ch} <= 0 THEN 0
+                      ELSE (s.tok_end - {ch} + {st} - 1) // {st} END AS w_min,
+                 LEAST(s.tok_start // {st},
+                       CASE WHEN t.n - {ch} <= 0 THEN 0
+                            ELSE (t.n - {ch} + {st} - 1) // {st} END) AS w_max
+          FROM spans s JOIN tot t USING ({c})
+        ),
+        fan AS (
+          SELECT *, unnest(generate_series(w_min, w_max)) AS window_id
+          FROM lim WHERE w_min <= w_max
+        ),
+        fb AS (
+          SELECT *, MIN(tok_start) OVER (PARTITION BY {c}, window_id)
+                   AS base
+          FROM fan
+        )
+        SELECT {c}, CAST(window_id AS BIGINT) AS window_id,
+               CAST(window_id * {st} AS BIGINT) AS w_start,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(tok_end - tok_start) + 1 AS BIGINT) AS n_tokens,
+               string_agg(_piece, chr(10)
+                          ORDER BY turn_idx, tok_start, _piece)
+                 || chr(10) || '{_HDR_OPEN}end{_HDR_CLOSE}' AS text,
+               COALESCE(
+                 list(list_value(tok_start - base, tok_end - base)
+                      ORDER BY turn_idx, tok_start)
+                   FILTER (WHERE trainable),
+                 []) AS trainable_spans
+        FROM fb
+        GROUP BY {c}, window_id
+    """
 
 
 def conversation_windows_stream(

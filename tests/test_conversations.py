@@ -475,3 +475,67 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
         conversation_windows_stream(dummy, chunk_tokens=4, stride_tokens=5)
     with pytest.raises(ValueError, match="state_buckets"):
         conversation_windows_stream(dummy, state_buckets=0)
+
+
+def test_assemble_windows_samples(spark):
+    """The materialized SFT sample: window text is the member pieces
+    in turn order + <|end|>, whitespace tokens tile [0, n_tokens-1),
+    and trainable spans are window-local (base = FIRST MEMBER's
+    tok_start, not w_start)."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        assemble_windows,
+        duckdb_assemble_windows_sql,
+    )
+
+    rows = [  # 4-token turns, spans [0,4),[4,8),[8,12),[12,16),[16,20)
+        ("w1", i, role, "t1 t2 t3 t4", None)
+        for i, role in enumerate(
+            ["customer", "agent", "customer", "agent", "agent"], start=1
+        )
+    ]
+    df = _mk(spark, rows)
+    out = {
+        int(r["window_id"]): r.asDict()
+        for r in assemble_windows(df, chunk_tokens=8, stride_tokens=4).collect()
+    }
+    # windows 0..3 (W_last = 3); window 1 holds turns 2,3 (spans 4..12)
+    assert sorted(out) == [0, 1, 2, 3]
+    w1 = out[1]
+    assert w1["n_turns"] == 2 and w1["n_tokens"] == 9
+    assert w1["text"] == (
+        "<|agent|>t1 t2 t3 t4\n<|customer|>t1 t2 t3 t4\n<|end|>"
+    )
+    assert len(w1["text"].split()) == w1["n_tokens"]
+    # local base is turn 2's tok_start (4): agent turn -> local [0,4)
+    assert [list(s) for s in w1["trainable_spans"]] == [[0, 4]]
+    # window 2 holds turns 3,4 (customer, agent) -> agent local [4,8)
+    assert [list(s) for s in out[2]["trainable_spans"]] == [[4, 8]]
+    # window 0 holds turns 1,2 -> agent turn 2 local [4,8)
+    assert [list(s) for s in out[0]["trainable_spans"]] == [[4, 8]]
+    # DuckDB twin agrees row-for-row
+    duck = _duck_twin(
+        df, duckdb_assemble_windows_sql, chunk_tokens=8, stride_tokens=4
+    )
+    got = (
+        assemble_windows(df, chunk_tokens=8, stride_tokens=4)
+        .toPandas()
+        .sort_values("window_id")
+        .reset_index(drop=True)
+    )
+    duck = duck[got.columns].sort_values("window_id").reset_index(drop=True)
+    def canon(v):
+        return [[int(x) for x in p] for p in (list(v) if v is not None and len(v) else [])]
+    got["trainable_spans"] = got.trainable_spans.map(canon)
+    duck["trainable_spans"] = duck.trainable_spans.map(canon)
+    pd.testing.assert_frame_equal(got, duck, check_dtype=False)
+
+
+def test_assemble_windows_no_trainable_is_empty_list(spark):
+    rows = [("c1", 1, "customer", "a b", None), ("c1", 2, "tool", "c", "t")]
+    from auto_data_tokenize_spark.operators.conversations import (
+        assemble_windows,
+    )
+
+    [r] = assemble_windows(_mk(spark, rows), 8, 4).collect()
+    assert list(r["trainable_spans"]) == []
+    assert r["n_tokens"] == 4  # 2 + 1 + <|end|>
