@@ -226,9 +226,9 @@ def duckdb_conversation_audit_sql(
                  lag(tool) OVER w AS _prev_tool,
                  row_number() OVER w AS _rn,
                  row_number() OVER (PARTITION BY {conv_col}, role
-                                    ORDER BY turn_idx) AS _rr
+                                    ORDER BY turn_idx NULLS FIRST) AS _rr
           FROM ({turns_sql})
-          WINDOW w AS (PARTITION BY {conv_col} ORDER BY turn_idx)
+          WINDOW w AS (PARTITION BY {conv_col} ORDER BY turn_idx NULLS FIRST)
         ),
         runs AS (
           SELECT {conv_col}, role, _rn - _rr AS _grp,
@@ -283,7 +283,7 @@ def duckdb_render_chat_sql(turns_sql: str, conv_col: str = "conv_id") -> str:
     return f"""
         WITH r AS (
           SELECT {conv_col},
-                 string_agg({piece}, chr(10) ORDER BY turn_idx)
+                 string_agg({piece}, chr(10) ORDER BY turn_idx NULLS FIRST)
                    || chr(10) || '{_EOC}' AS text,
                  count(*) AS n_turns
           FROM ({turns_sql}) GROUP BY 1
@@ -381,7 +381,7 @@ def duckdb_loss_mask_sql(
         c AS (
           SELECT *,
                  CAST(sum(n_piece_tokens)
-                        OVER (PARTITION BY {conv_col} ORDER BY turn_idx
+                        OVER (PARTITION BY {conv_col} ORDER BY turn_idx NULLS FIRST
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum
           FROM p
         )
@@ -418,6 +418,40 @@ def _ceil_div_pos_expr(x_sql: str, stride: int):
         f"CASE WHEN {x_sql} <= 0 THEN CAST(0 AS BIGINT)"
         f" ELSE ({x_sql} + {stride} - 1) div {stride} END"
     )
+
+
+def _capped_spans(spans: DataFrame, ch: int, st: int, conv_col: str):
+    """The CAPPED batch window algebra — ONE implementation shared by
+    the manifest (:func:`conversation_windows`) and the materializer
+    (:func:`assemble_windows`) so the two cannot drift: join each
+    span row to its conversation total and bound the upper window at
+    ``W_last = ceil((N - chunk)/stride)``. Returns ``(joined,
+    w_max)``; callers derive ``w_min`` from the shared
+    :func:`_ceil_div_pos_expr` primitive. DuckDB twin:
+    :func:`_duckdb_capped_lim_cte`."""
+    tot = spans.groupBy(conv_col).agg(F.max("tok_end").alias("_n"))
+    j = spans.join(tot, conv_col)
+    w_last = _ceil_div_pos_expr(f"_n - {ch}", st)
+    w_max = F.least(F.expr(f"tok_start div {st}"), w_last)
+    return j, w_max
+
+
+def _duckdb_capped_lim_cte(ch: int, st: int, c: str) -> str:
+    """``lim`` CTE over a ``spans`` CTE with the same capped bounds —
+    the SQL twin of :func:`_capped_spans`, shared by
+    :func:`duckdb_conversation_windows_sql` (cap_trailing mode) and
+    :func:`duckdb_assemble_windows_sql`."""
+    return f"""lim AS (
+          SELECT s.*,
+                 CASE WHEN s.tok_end - {ch} <= 0 THEN 0
+                      ELSE (s.tok_end - {ch} + {st} - 1) // {st} END AS w_min,
+                 LEAST(s.tok_start // {st},
+                       CASE WHEN t.n - {ch} <= 0 THEN 0
+                            ELSE (t.n - {ch} + {st} - 1) // {st} END) AS w_max
+          FROM spans s JOIN (
+            SELECT {c}, MAX(tok_end) AS n FROM spans GROUP BY 1
+          ) t USING ({c})
+        )"""
 
 
 def _piece_token_count_col():
@@ -514,10 +548,7 @@ def conversation_windows(
     spans = loss_mask_spans(
         turns, trainable_role=trainable_role, conv_col=conv_col, idx_col=idx_col
     )
-    tot = spans.groupBy(conv_col).agg(F.max("tok_end").alias("_n"))
-    j = spans.join(tot, conv_col)
-    w_last = _ceil_div_pos_expr(f"_n - {ch}", st)
-    w_max = F.least(F.expr(f"tok_start div {st}"), w_last)
+    j, w_max = _capped_spans(spans, ch, st, conv_col)
     return _fan_out_windows(j, ch, st, conv_col, idx_col, w_max)
 
 
@@ -563,11 +594,8 @@ def assemble_windows(
         idx_col=idx_col,
         keep_piece=True,
     )
-    tot = spans.groupBy(conv_col).agg(F.max("tok_end").alias("_n"))
-    j = spans.join(tot, conv_col)
-    w_last = _ceil_div_pos_expr(f"_n - {ch}", st)
+    j, w_max = _capped_spans(spans, ch, st, conv_col)
     w_min = _ceil_div_pos_expr(f"tok_end - {ch}", st)
-    w_max = F.least(F.expr(f"tok_start div {st}"), w_last)
     fan = j.withColumn(
         "window_id", F.explode(F.when(w_min <= w_max, F.sequence(w_min, w_max)))
     )
@@ -631,16 +659,7 @@ def duckdb_assemble_windows_sql(
     )
     return f"""
         WITH spans AS ({spans}),
-        tot AS (SELECT {c}, MAX(tok_end) AS n FROM spans GROUP BY 1),
-        lim AS (
-          SELECT s.*,
-                 CASE WHEN s.tok_end - {ch} <= 0 THEN 0
-                      ELSE (s.tok_end - {ch} + {st} - 1) // {st} END AS w_min,
-                 LEAST(s.tok_start // {st},
-                       CASE WHEN t.n - {ch} <= 0 THEN 0
-                            ELSE (t.n - {ch} + {st} - 1) // {st} END) AS w_max
-          FROM spans s JOIN tot t USING ({c})
-        ),
+        {_duckdb_capped_lim_cte(ch, st, c)},
         fan AS (
           SELECT *, unnest(generate_series(w_min, w_max)) AS window_id
           FROM lim WHERE w_min <= w_max
@@ -655,11 +674,11 @@ def duckdb_assemble_windows_sql(
                CAST(COUNT(*) AS BIGINT) AS n_turns,
                CAST(SUM(tok_end - tok_start) + 1 AS BIGINT) AS n_tokens,
                string_agg(_piece, chr(10)
-                          ORDER BY turn_idx, tok_start, _piece)
+                          ORDER BY turn_idx NULLS FIRST, tok_start, _piece)
                  || chr(10) || '{_HDR_OPEN}end{_HDR_CLOSE}' AS text,
                COALESCE(
                  list(list_value(tok_start - base, tok_end - base)
-                      ORDER BY turn_idx, tok_start)
+                      ORDER BY turn_idx NULLS FIRST, tok_start)
                    FILTER (WHERE trainable),
                  []) AS trainable_spans
         FROM fb
@@ -767,18 +786,26 @@ def conversation_windows_stream(
 
     def _assign(rows, off_of, hi_of):
         """Vectorized span assignment over a (possibly multi-conv)
-        frame: sort by (conv, idx); a row quarantines when its idx is
-        NULL, duplicates its sorted predecessor, or is at/below the
+        frame: sort by (conv, idx, n_piece, role) — the trailing keys
+        make duplicate-idx acceptance deterministic in CONTENT, not
+        arrival order; a row quarantines when its idx is NULL,
+        duplicates its sorted predecessor, or is at/below the
         conversation's entering high-water mark — otherwise spans are
-        the carried offset plus the accepted-row running sum. Returns
-        (out_frame, new_off: dict, new_hi: dict)."""
-        rows = rows.sort_values([conv_col, idx_col]).reset_index(drop=True)
+        the carried offset plus the accepted-row running sum. NULL
+        conv_id is a real group (``dropna=False`` everywhere; pandas
+        surfaces its key as NaN, normalized back to ``None`` so state
+        lookups round-trip) — the scalar mode's ``groupBy(conv)``
+        keeps the NULL key too, so the modes stay identical on it.
+        Returns (out_frame, new_off: dict, new_hi: dict)."""
+        rows = rows.sort_values(
+            [conv_col, idx_col, "_n_piece", "role"], kind="stable"
+        ).reset_index(drop=True)
         idx = rows[idx_col].astype("Int64")
         npi = rows["_n_piece"].astype("int64")
         conv = rows[conv_col]
         hi0 = conv.map(hi_of).fillna(_LONG_MIN).astype("int64")
         off0 = conv.map(off_of).fillna(0).astype("int64")
-        prev = idx.groupby(conv, sort=False).shift()
+        prev = idx.groupby(conv, sort=False, dropna=False).shift()
         # sorted per conv => idx >= prev; ok iff not NULL, not a
         # duplicate of the predecessor, and above the high-water mark
         ok = (
@@ -787,20 +814,22 @@ def conversation_windows_stream(
             .astype(bool)
         )
         contrib = npi.where(ok, 0)
-        cum = contrib.groupby(conv, sort=False).cumsum()
+        cum = contrib.groupby(conv, sort=False, dropna=False).cumsum()
         starts = (off0 + cum - contrib).where(ok)
         ends = (off0 + cum).where(ok)
-        g_sum = contrib.groupby(conv, sort=False).sum()
-        g_hi = idx.where(ok).groupby(conv, sort=False).max()
-        new_off = {
-            c: int(off_of.get(c, 0)) + int(s) for c, s in g_sum.items()
-        }
+        g_sum = contrib.groupby(conv, sort=False, dropna=False).sum()
+        g_hi = idx.where(ok).groupby(conv, sort=False, dropna=False).max()
+        new_off = {}
         new_hi = {}
-        for c in g_sum.index:
-            h = g_hi.get(c)
-            prior = hi_of.get(c, _LONG_MIN)
-            new_hi[c] = int(h) if h is not pd.NA and h == h else int(prior)
-            new_hi[c] = max(new_hi[c], int(prior))
+        # g_sum/g_hi share one groupby key order (sort=False); walk
+        # them positionally — .get() on a NaN-keyed index is fragile
+        for c, s, h in zip(g_sum.index, g_sum.to_numpy(), g_hi.to_numpy()):
+            key = None if c != c else c  # NaN group key -> None conv
+            new_off[key] = int(off_of.get(key, 0)) + int(s)
+            prior = int(hi_of.get(key, _LONG_MIN))
+            new_hi[key] = (
+                max(int(h), prior) if h is not pd.NA and h == h else prior
+            )
         out = pd.DataFrame(
             {
                 conv_col: conv.to_numpy(),
@@ -816,7 +845,7 @@ def conversation_windows_stream(
         # scalar fast path: a single-conversation frame is a handful
         # of rows, where the vectorized groupby machinery costs more
         # than a plain loop (pinned equal to the bucketed/vectorized
-        # path by test_conversation_windows_stream_modes_agree)
+        # path by test_conversation_windows_stream_carry_and_quarantine)
 
         def fn(key, pdfs, state: GroupState):
             if state_timeout_ms is not None and state.hasTimedOut:
@@ -826,7 +855,11 @@ def conversation_windows_stream(
             frames = [p for p in pdfs if len(p)]
             if frames:
                 rows = (
-                    pd.concat(frames).sort_values(idx_col).reset_index(drop=True)
+                    pd.concat(frames)
+                    .sort_values(  # same content tie-break as _assign
+                        [idx_col, "_n_piece", "role"], kind="stable"
+                    )
+                    .reset_index(drop=True)
                 )
                 idx = rows[idx_col].astype("Int64")
                 npi = rows["_n_piece"].astype("int64").to_numpy()
@@ -929,26 +962,20 @@ def duckdb_conversation_windows_sql(
         turns_sql, trainable_role=trainable_role, conv_col=conv_col
     )
     if cap_trailing:
-        w_last = f"""LEAST(s.tok_start // {st},
-                       CASE WHEN t.n - {ch} <= 0 THEN 0
-                            ELSE (t.n - {ch} + {st} - 1) // {st} END)"""
-        src = f"""spans s JOIN (
-            SELECT {c}, MAX(tok_end) AS n FROM spans GROUP BY 1
-          ) t USING ({c})"""
+        lim = _duckdb_capped_lim_cte(ch, st, c)
     else:
         # streaming twin: no W_last cap, so the per-conversation
         # total (and its aggregation + join) is not computed at all
-        w_last = f"s.tok_start // {st}"
-        src = "spans s"
-    return f"""
-        WITH spans AS ({spans}),
-        lim AS (
+        lim = f"""lim AS (
           SELECT s.*,
                  CASE WHEN s.tok_end - {ch} <= 0 THEN 0
                       ELSE (s.tok_end - {ch} + {st} - 1) // {st} END AS w_min,
-                 {w_last} AS w_max
-          FROM {src}
-        )
+                 s.tok_start // {st} AS w_max
+          FROM spans s
+        )"""
+    return f"""
+        WITH spans AS ({spans}),
+        {lim}
         SELECT {c}, CAST(window_id AS BIGINT) AS window_id,
                CAST(window_id * {st} AS BIGINT) AS w_start,
                CAST(turn_idx AS BIGINT) AS turn_idx,

@@ -383,6 +383,9 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
             ("b", 2, "agent", "x1 x2 x3 x4", None),
             # negative preamble index is a legitimate first turn
             ("n", -1, "agent", "sys", None),
+            # NULL conv_id is a real (if degenerate) group in BOTH
+            # state modes — offsets carry across batches under it
+            (None, 1, "agent", "n1 n2", None),
         ],
         columns=_COLS,
     )
@@ -393,6 +396,12 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
             ("n", 0, "customer", "hi there", None),
             # NULL turn_idx cannot be ordered live -> quarantined
             ("n", None, "agent", "lost", None),
+            (None, 2, "customer", "n3", None),
+            # same-batch duplicate turn_idx with DIFFERENT payloads:
+            # the (n_piece, role) content tie-break accepts the same
+            # row in both modes (shorter piece first)
+            ("d", 1, "agent", "t1 t2 t3", None),
+            ("d", 1, "agent", "t1 t2", None),
         ],
         columns=_COLS,
     )
@@ -468,6 +477,16 @@ def test_conversation_windows_stream_carry_and_quarantine(spark, tmp_path):
     lost = nrows[nrows.turn_idx.isna()]
     assert len(lost) == 1
     assert lost.tok_start.isna().all() and lost.window_id.isna().all()
+    # NULL conv_id: real spans, offsets carried across batches
+    nc = out[out.conv_id.isna()].set_index("turn_idx")
+    assert (int(nc.loc[1, "tok_start"]), int(nc.loc[1, "tok_end"])) == (0, 2)
+    assert (int(nc.loc[2, "tok_start"]), int(nc.loc[2, "tok_end"])) == (2, 3)
+    # duplicate turn_idx, different payloads: the 2-token piece wins
+    # the (n_piece, role) tie-break; its twin quarantines
+    d = out[out.conv_id == "d"]
+    acc = d[d.tok_start.notna()]
+    assert len(acc) == 1 and len(d) == 2
+    assert (int(acc.tok_start.iloc[0]), int(acc.tok_end.iloc[0])) == (0, 2)
     dummy = spark.readStream.schema(
         "conv_id string, turn_idx int, role string, text string, tool string"
     ).parquet(staged)
@@ -525,6 +544,50 @@ def test_assemble_windows_samples(spark):
     duck = duck[got.columns].sort_values("window_id").reset_index(drop=True)
     def canon(v):
         return [[int(x) for x in p] for p in (list(v) if v is not None and len(v) else [])]
+    got["trainable_spans"] = got.trainable_spans.map(canon)
+    duck["trainable_spans"] = duck.trainable_spans.map(canon)
+    pd.testing.assert_frame_equal(got, duck, check_dtype=False)
+
+
+def test_assemble_windows_null_idx_matches_twin(spark):
+    """Spark sorts ascending NULLS FIRST while DuckDB defaults to
+    NULLS LAST — the twins pin turn_idx ordering to NULLS FIRST
+    explicitly, so a NULL turn_idx lands in the same position (and
+    the same windows) on both engines."""
+    from auto_data_tokenize_spark.operators.conversations import (
+        assemble_windows,
+        duckdb_assemble_windows_sql,
+    )
+
+    rows = [
+        ("c1", None, "agent", "s1 s2 s3", None),  # NULL idx: FIRST
+        ("c1", 1, "customer", "t1 t2 t3 t4", None),
+        ("c1", 2, "agent", "u1 u2 u3 u4", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=_COLS).assign(
+        turn_idx=lambda d: d.turn_idx.astype("Int32"),
+        tool=lambda d: d.tool.astype("string"),
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        assemble_windows(df, chunk_tokens=8, stride_tokens=4)
+        .toPandas()
+        .sort_values("window_id")
+        .reset_index(drop=True)
+    )
+    # NULL-idx turn renders first: window 0's text opens with it
+    assert got.text.iloc[0].startswith("<|agent|>s1 s2 s3")
+    duck = _duck_twin(
+        df, duckdb_assemble_windows_sql, chunk_tokens=8, stride_tokens=4
+    )
+    duck = duck[got.columns].sort_values("window_id").reset_index(drop=True)
+
+    def canon(v):
+        return [
+            [int(x) for x in p]
+            for p in (list(v) if v is not None and len(v) else [])
+        ]
+
     got["trainable_spans"] = got.trainable_spans.map(canon)
     duck["trainable_spans"] = duck.trainable_spans.map(canon)
     pd.testing.assert_frame_equal(got, duck, check_dtype=False)
