@@ -1328,9 +1328,14 @@ def q28_stream_escalation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     st = spark.readStream.schema(schema).parquet(det_in)
-    alerts = escalation_alerts_stream(st, min_distinct=3)
+    # bucketed state (the q149 pattern): ~19k live conversations per
+    # batch would otherwise each pay a Python group invocation + a
+    # state-store row write per micro-batch — measured 17.6 s vs 2.9 s
+    # at sf0.1 (OPTIMIZATION_r06.md); 8 state partitions sized to
+    # state volume, not cores (the q26 rationale)
+    alerts = escalation_alerts_stream(st, min_distinct=3, state_buckets=8)
     sink = ExactlyOnceSink(f"{base}/out")
-    spipe.run_to_sink(alerts, sink, f"{base}/ckpt")
+    spipe.run_to_sink(alerts, sink, f"{base}/ckpt", shuffle_partitions=8)
     out = sink.read_committed(spark)
     result = spark.createDataFrame(out.toPandas(), out.schema)
     shutil.rmtree(base, ignore_errors=True)

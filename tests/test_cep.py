@@ -77,7 +77,39 @@ def test_stream_matches_batch_single_trigger(spark, det_small, tmp_path):
     )
 
 
-def test_stream_state_expires_after_retention(spark, tmp_path):
+def test_stream_bucketed_matches_per_key(spark, det_small, tmp_path):
+    """state_buckets mode (one invocation per bucket, conv maps as
+    parallel state arrays) must emit the identical alert set as the
+    per-conversation mode — the q28 entry relies on this equality."""
+    det_in = str(tmp_path / "in_b")
+    os.makedirs(det_in)
+    src = det_small.toPandas()
+    src["ts"] = src["ts"].astype("datetime64[us]")
+    src.to_parquet(f"{det_in}/d.parquet", index=False)
+    schema = (
+        "conv_id string, turn_idx int, info_type string, "
+        "start int, end int, token string, ts timestamp"
+    )
+    frames = {}
+    for label, buckets in (("per_key", None), ("bucketed", 3)):
+        st = spark.readStream.schema(schema).parquet(det_in)
+        alerts = cep.escalation_alerts_stream(
+            st, min_distinct=3, state_buckets=buckets
+        )
+        sink = ExactlyOnceSink(str(tmp_path / f"out_{label}"))
+        pipeline.run_to_sink(alerts, sink, str(tmp_path / f"ckpt_{label}"))
+        frames[label] = (
+            sink.read_committed(spark)
+            .orderBy("conv_id")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    assert len(frames["per_key"]) > 0
+    pd.testing.assert_frame_equal(frames["per_key"], frames["bucketed"])
+
+
+@pytest.mark.parametrize("buckets", [None, 2])
+def test_stream_state_expires_after_retention(spark, tmp_path, buckets):
     """Event-time state expiry: a conversation idle past
     last-activity + retention loses its seen-infoType set (a later
     detection starts a FRESH count), while recently-active state is
@@ -105,7 +137,11 @@ def test_stream_state_expires_after_retention(spark, tmp_path):
         st = spark.readStream.schema(schema).parquet(in_dir)
         pipeline.run_to_sink(
             cep.escalation_alerts_stream(
-                st, min_distinct=3, watermark="10 minutes", retention="1 hour"
+                st,
+                min_distinct=3,
+                watermark="10 minutes",
+                retention="1 hour",
+                state_buckets=buckets,
             ),
             sink,
             ckpt,
