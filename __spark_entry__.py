@@ -430,11 +430,8 @@ def _run_stream_query(spark: SparkSession, sf_dir: str, mode: str):
     pipeline.run_to_sink(
         stream_df, sink, f"{base}/ckpt", shuffle_partitions=state_parts
     )
-    out = sink.read_committed(spark)
-    # materialize before the tmp dir can disappear
-    import pandas as pd  # noqa: F401
-
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    # adopt the committed files before the tmp dir disappears
+    result = _adopt_sink_output(spark, sink)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -582,12 +579,11 @@ def q36_stream_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated = gate.apply(st)
         sink = ExactlyOnceSink(f"{base}/out")
         spipe.run_to_sink(gated, sink, f"{base}/ckpt")
-        out = (
-            sink.read_committed(spark)
+        result = (
+            _adopt_sink_output(spark, sink)
             .select(F.col("id").alias("doc_id"))
             .distinct()
         )
-        result = spark.createDataFrame(out.toPandas(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -617,8 +613,19 @@ def q37_avro_tokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = tokenize_columns(loaded, ["c_name", "c_acctbal"], scope_col="c_custkey")
     dec = detokenize_columns(enc, ["c_name", "c_acctbal"], scope_col="c_custkey")
     write_avro(dec.select("c_custkey", "c_name", "c_acctbal"), f"{base}/out")
-    out = read_avro(spark, f"{base}/out")
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    # adopt the written container files (same keep-dir pattern as the
+    # stream sinks) and return the LAZY distributed avro read instead
+    # of a driver toPandas round trip of every row
+    import tempfile
+
+    keep = tempfile.mkdtemp(prefix="adt_stream_keep_")
+    if not _STREAM_KEEP:
+        import atexit
+
+        atexit.register(_cleanup_stream_keep)
+    _STREAM_KEEP.append(keep)
+    shutil.move(f"{base}/out", f"{keep}/out")
+    result = read_avro(spark, f"{keep}/out")
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -687,8 +694,7 @@ def q40_stream_infotype_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = infotype_rollup(st, watermark="10 minutes")
     sink = ExactlyOnceSink(f"{base}/out")
     spipe.run_to_sink(rollup, sink, f"{base}/ckpt", shuffle_partitions=8)
-    out = sink.read_committed(spark)
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    result = _adopt_sink_output(spark, sink)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -835,6 +841,49 @@ def _stream_files(spark: SparkSession, staged: str, schema, max_files: int = 2):
     )
 
 
+_STREAM_KEEP: list[str] = []
+
+
+def _cleanup_stream_keep() -> None:
+    import shutil
+
+    for d in _STREAM_KEEP:
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_KEEP.clear()
+
+
+def _adopt_sink_output(spark: SparkSession, sink) -> DataFrame:
+    """Move the sink's committed table OUT of the query's tempdir (one
+    same-FS rename) and return the lazy committed-batches reader over
+    the moved files. Replaces the old read→toPandas→createDataFrame
+    round trip, which pulled every committed row through the driver
+    and re-shipped it as a LocalRelation on every downstream execution
+    (guide §5: the driver should do almost no data work) — measured
+    0.3-1.5 s per streaming query at sf0.1. Moved dirs are reaped at
+    process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from auto_data_tokenize_spark.streaming.sink import ExactlyOnceSink
+
+    keep = tempfile.mkdtemp(prefix="adt_stream_keep_")
+    if not _STREAM_KEEP:
+        atexit.register(_cleanup_stream_keep)
+    _STREAM_KEEP.append(keep)
+    dest = os.path.join(keep, "table")
+    shutil.move(sink.table_path, dest)
+    adopted = ExactlyOnceSink(
+        dest,
+        partition_by=sink.partition_by,
+        key_cols=sink.key_cols,
+        version_col=sink.version_col,
+        tombstone_col=sink.tombstone_col,
+        merge_schema=sink.merge_schema,
+    )
+    return adopted.read_committed(spark)
+
+
 def _run_stream_to_sink(
     spark: SparkSession,
     stream_df,
@@ -852,8 +901,7 @@ def _run_stream_to_sink(
     pipeline.run_to_sink(
         stream_df, sink, f"{base}/ckpt", shuffle_partitions=shuffle_partitions
     )
-    out = sink.read_committed(spark)
-    return spark.createDataFrame(out.toPandas(), out.schema)
+    return _adopt_sink_output(spark, sink)
 
 
 def q48_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,8 +1320,7 @@ def q26_token_dictionary_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost dominates at this rate (8.5 s -> 3.9 s measured at sf0.1);
     # production sizes this to state volume, not cores
     spipe.run_to_sink(joined, sink, f"{base}/ckpt", shuffle_partitions=8)
-    out = sink.read_committed(spark)
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    result = _adopt_sink_output(spark, sink)
     shutil.rmtree(base, ignore_errors=True)
     return result.select(
         "conv_id", "turn_idx", "info_type", "token", "ts", "dict_ts"
@@ -1336,8 +1383,7 @@ def q28_stream_escalation_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts = escalation_alerts_stream(st, min_distinct=3, state_buckets=8)
     sink = ExactlyOnceSink(f"{base}/out")
     spipe.run_to_sink(alerts, sink, f"{base}/ckpt", shuffle_partitions=8)
-    out = sink.read_committed(spark)
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    result = _adopt_sink_output(spark, sink)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -1641,8 +1687,7 @@ def q70_stream_k_anon_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = ExactlyOnceSink(f"{base}/out")
     spipe.run_to_sink(hist, sink, f"{base}/ckpt", shuffle_partitions=8)
-    out = sink.read_committed(spark)
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    result = _adopt_sink_output(spark, sink)
     shutil.rmtree(base, ignore_errors=True)
     return result
 
@@ -2057,10 +2102,9 @@ def q82_stream_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink = ExactlyOnceSink(f"{base}/out")
         with IngestAdmissionPipeline(corpus_banded, ev, sink) as pipe:
             pipe.run(st, f"{base}/ckpt")
-        out = sink.read_committed(spark).select(
+        result = _adopt_sink_output(spark, sink).select(
             "doc_id", F.md5("text").alias("text_md5")
         )
-        result = spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -2234,10 +2278,9 @@ def q93_stream_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             census, sink, max_covered_frac=0.5, k=8
         ) as gate:
             gate.run(st, f"{base}/ckpt")
-        out = sink.read_committed(spark).select(
+        result = _adopt_sink_output(spark, sink).select(
             "doc_id", "n_tokens", "n_covered", "covered_frac"
         )
-        result = spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -2353,10 +2396,9 @@ def q95_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_buckets=4096,
         ) as gate:
             gate.run(st, f"{base}/ckpt")
-        out = sink.read_committed(spark).select(
+        result = _adopt_sink_output(spark, sink).select(
             "doc_id", "n_grams", "logw_micro6"
         )
-        result = spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -2510,10 +2552,9 @@ def q87_stream_fluency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink = ExactlyOnceSink(f"{base}/out")
         with FluencyGate(lm, sink, min_avg_logp=-7.0) as gate:
             gate.run(st, f"{base}/ckpt")
-        out = sink.read_committed(spark).select(
+        result = _adopt_sink_output(spark, sink).select(
             "doc_id", "n_tokens", "n_hit3", "n_hit2", "n_hit1", "avg_logp"
         )
-        result = spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -2649,8 +2690,7 @@ def q98_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, sink, threshold=0.9, nlist=16, nprobe=4, vec_col="v"
         ) as gate:
             gate.run(st, f"{base}/ckpt")
-        out = sink.read_committed(spark).select("vec_id")
-        result = spark.createDataFrame(out.toPandas(), out.schema)
+        result = _adopt_sink_output(spark, sink).select("vec_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3295,8 +3335,7 @@ def q119_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim, sink, on="user_id", right_cols=["tier"]
         ) as gate:
             gate.run(st, f"{base}/ckpt")
-        out = sink.read_committed(spark)
-        result = spark.createDataFrame(out.toPandas(), out.schema)
+        result = _adopt_sink_output(spark, sink)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result.select(
@@ -3341,8 +3380,7 @@ def q120_stream_assemble_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         pipeline.run_to_sink(
             stream_df, sink, f"{base}/ckpt", shuffle_partitions=8
         )
-        out = sink.read_committed(spark)
-        result = spark.createDataFrame(out.toPandas(), out.schema)
+        result = _adopt_sink_output(spark, sink)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result.select(
@@ -3384,10 +3422,9 @@ def q101_stream_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             model, sink, min_score_micro6=NB_GATE_MIN_SCORE_MICRO6
         ) as gate:
             gate.run(st, f"{base}/ckpt")
-        out = sink.read_committed(spark).select(
+        result = _adopt_sink_output(spark, sink).select(
             "doc_id", "n_tokens", "score_micro6"
         )
-        result = spark.createDataFrame(out.toPandas(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -4345,7 +4382,9 @@ def q142_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         staged = _stage_append_log(feed, f"{base}/in", order_col="ts")
         st = _stream_files(spark, staged, "conv_id string, text string, ts timestamp")
-        gated = turn_containment_stream(st, threshold=0.8, index=idx)
+        gated = turn_containment_stream(
+            st, threshold=0.8, index=idx, broadcast_index=True
+        )
         result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
     finally:
         idx.unpersist()

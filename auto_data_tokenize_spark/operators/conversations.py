@@ -1159,6 +1159,7 @@ def turn_containment_stream(
     window: str = "1 minute",
     watermark: str = "30 seconds",
     index: DataFrame | None = None,
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """Ingest-time session-dedup admission gate: for each arriving
     conversation (per event-time window), the fraction of its distinct
@@ -1171,7 +1172,11 @@ def turn_containment_stream(
     Pass EITHER raw ``corpus_turns`` (the index is derived inline —
     convenient, but the md5 + distinct re-evaluates per micro-batch)
     OR a prebuilt, persisted :func:`corpus_fingerprint_index` via
-    ``index=`` (the production shape).
+    ``index=`` (the production shape). ``broadcast_index=True`` hints
+    the join build side when the index fits executor memory (it is one
+    md5 per DISTINCT corpus turn, count-bounded); leave False for an
+    index too large to broadcast — the join then shuffles per batch,
+    or co-locate via a bucketed index table at real scale.
 
     Stream side: watermarked turns → md5 fingerprint → stream-static
     LEFT join against the distinct corpus index on tfp → windowed
@@ -1194,6 +1199,13 @@ def turn_containment_stream(
     if index is None:
         index = corpus_fingerprint_index(corpus_turns, text_col)
     idx = index.select("tfp").withColumn("_known", F.lit(True))
+    if broadcast_index:
+        # stateful streaming disables AQE, so without the hint the
+        # stream-static join sort-merges BOTH sides every micro-batch —
+        # re-shuffling the full index per trigger (guide §3.1). With the
+        # hint only the bounded-size index ships once per batch and the
+        # stream side never shuffles for the join.
+        idx = F.broadcast(idx)
     m = (
         turns_stream.withWatermark(ts_col, watermark)
         .filter(F.col(text_col).isNotNull())

@@ -217,3 +217,19 @@ def test_turn_containment_gate_matches_twin_and_slicing(spark, tmp_path):
         .collect()
     }
     assert results[1] == want
+
+    # broadcast_index (the q142 plan shape) must not change the rows
+    from auto_data_tokenize_spark.operators.conversations import (
+        corpus_fingerprint_index,
+    )
+
+    idx = corpus_fingerprint_index(corpus)
+    got_b = {
+        tuple(r)
+        for r in turn_containment_stream(
+            batch, threshold=0.8, index=idx, broadcast_index=True
+        )
+        .filter(closed)
+        .collect()
+    }
+    assert got_b == want
