@@ -276,9 +276,12 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_connected_components_matches_union_find(spark):
+@pytest.mark.parametrize("gate", [1_000_000, 0])
+def test_connected_components_matches_union_find(spark, gate):
     """Random-ish deterministic graph vs an independent pure-Python
-    union-find."""
+    union-find — on BOTH kernels: the size-gated driver fast path
+    (gate=default) and the iterative pointer-jumping scale path
+    (gate=0 forces it)."""
     import random
 
     rng = random.Random(7)
@@ -301,8 +304,24 @@ def test_connected_components_matches_union_find(spark):
 
     df = spark.createDataFrame(edges, "a long, b long")
     got = {r["id"]: r["cluster_id"]
-           for r in dedup.connected_components(df).collect()}
+           for r in dedup.connected_components(
+               df, driver_max_edges=gate).collect()}
     assert got == want
+
+
+def test_connected_components_kernels_agree_on_string_ids(spark):
+    """Driver and iterative kernels must agree on STRING node ids
+    (the q141 conversation graph shape), including schema/dtypes."""
+    edges = spark.createDataFrame(
+        [("c2", "c9"), ("c9", "c4"), ("x1", "x0"), ("c10", "c2")],
+        "a string, b string",
+    )
+    fast = dedup.connected_components(edges)
+    slow = dedup.connected_components(edges, driver_max_edges=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
 
 
 def test_dup_clusters_groups_transitively(spark):
