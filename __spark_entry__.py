@@ -693,7 +693,7 @@ def q40_stream_infotype_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = spark.readStream.schema(schema).parquet(det_in)
     rollup = infotype_rollup(st, watermark="10 minutes")
     sink = ExactlyOnceSink(f"{base}/out")
-    spipe.run_to_sink(rollup, sink, f"{base}/ckpt", shuffle_partitions=8)
+    spipe.run_to_sink(rollup, sink, f"{base}/ckpt", shuffle_partitions=2)
     result = _adopt_sink_output(spark, sink)
     shutil.rmtree(base, ignore_errors=True)
     return result
@@ -924,7 +924,7 @@ def q48_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_df = pack_sequences_stream(
             st.select("doc_id", "lang", "text"), target_tokens=512
         )
-        result = _run_stream_to_sink(spark, stream_df, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, stream_df, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result.select("doc_id", "lang", "n_tokens", "offset", "pack_id")
@@ -1686,7 +1686,7 @@ def q70_stream_k_anon_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         deid, ["event_type", "value_bucket"], watermark="10 minutes"
     )
     sink = ExactlyOnceSink(f"{base}/out")
-    spipe.run_to_sink(hist, sink, f"{base}/ckpt", shuffle_partitions=8)
+    spipe.run_to_sink(hist, sink, f"{base}/ckpt", shuffle_partitions=2)
     result = _adopt_sink_output(spark, sink)
     shutil.rmtree(base, ignore_errors=True)
     return result
@@ -2006,7 +2006,7 @@ def q79_stream_corpus_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang", "n_docs", "total_tokens", "max_tokens",
             )
         )
-        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3059,7 +3059,7 @@ def q112_stream_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark="30 seconds",
             min_count=TREND_MIN_COUNT,
         )
-        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3233,7 +3233,7 @@ def q117_stream_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = distinct_tokens_stream(
             st, duration="1 minute", watermark="30 seconds"
         )
-        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, agg, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3497,7 +3497,7 @@ def q122_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             window="1 minute",
             watermark="30 seconds",
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3579,7 +3579,7 @@ def q125_stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark="10 minutes",
             min_count=HOT_KEY_MIN,
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3637,7 +3637,7 @@ def q126_stream_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             window="1 minute",
             watermark="30 seconds",
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3690,7 +3690,7 @@ def q127_stream_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         mon = oov_rate_monitor(
             st, vocab, window="1 minute", watermark="30 seconds"
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3736,7 +3736,7 @@ def q128_stream_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         mon = completeness_monitor(
             st, ["text", "lang"], window="1 minute", watermark="30 seconds"
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3780,7 +3780,7 @@ def q129_stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         mon = dup_rate_monitor(
             st, window="1 minute", watermark="30 seconds"
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3880,7 +3880,7 @@ def q132_stream_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             epsilon=DP_EPS,
             seed=DP_SEED,
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -3981,7 +3981,7 @@ def q134_stream_token_scope_monitor(
         mon = token_scope_monitor(
             st, window="1 minute", watermark="30 seconds"
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
@@ -4267,7 +4267,7 @@ def q139_stream_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = _stage_append_log(feed, f"{base}/in", order_col="ts")
         st = _stream_files(spark, staged, "mention string, ts timestamp")
         matched = ed1_match_stream(st, catalog)
-        result = _run_stream_to_sink(spark, matched, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, matched, base, shuffle_partitions=2)
     finally:
         catalog.unpersist()
         shutil.rmtree(base, ignore_errors=True)
@@ -4385,7 +4385,7 @@ def q142_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated = turn_containment_stream(
             st, threshold=0.8, index=idx, broadcast_index=True
         )
-        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=2)
     finally:
         idx.unpersist()
         shutil.rmtree(base, ignore_errors=True)
@@ -4430,7 +4430,7 @@ def q146_stream_trajectory_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_id string, turn_idx int, role string, tool string, ts timestamp",
         )
         gated = trajectory_gate_stream(st, loop_threshold=2)
-        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -4473,7 +4473,7 @@ def q147_tool_latency_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_id string, turn_idx int, role string, tool string, ts timestamp",
         )
         mon = tool_latency_monitor(st)
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=8)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -673,6 +673,11 @@ def set_jaccard_join(
     ).filter(F.col("_s").isNotNull())
     if not assume_distinct:
         t = t.distinct()
+    # NOTE (round 6): materializing t here (localCheckpoint) was tried
+    # and REGRESSED 8.3 s -> 30 s at sf0.1 — the checkpoint erases
+    # catalyst size estimates, so the dfreq/verify joins lose their
+    # broadcast builds; Spark's ReusedExchange already shares the
+    # distinct's shuffle across the four references of t.
     cand = _prefix_candidates(t, threshold, keep_sizes=True)
     inter = (
         cand.join(t.select(F.col("_id").alias("a"), "_s"), "a")

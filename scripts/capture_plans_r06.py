@@ -1,0 +1,93 @@
+"""Capture .explain('formatted') evidence for the round-6 touched
+queries into plans/r06/ (the judge checks plan claims against these).
+
+For stream-backed queries the returned DataFrame is just the committed-
+files reader, so the meaningful plan is the INTERNAL streaming/batch
+DataFrame; this script reconstructs those with the touched knob off
+(_before) and on (_after). Batch queries are captured whole.
+
+Usage: python scripts/capture_plans_r06.py [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(REPO, "plans", "r06")
+
+
+def _w(name: str, df) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, f"{name}.txt"), "w") as f:
+        f.write(df._jdf.queryExecution().explainString("formatted"))
+    print(f"wrote plans/r06/{name}.txt")
+
+
+def main() -> None:
+    only = set(sys.argv[1:]) or None
+    import __spark_entry__ as em
+    from auto_data_tokenize_spark.session import get_spark
+
+    spark = get_spark("plan-capture-r06", cores=32, shuffle_partitions=32)
+
+    def want(name: str) -> bool:
+        return only is None or any(name.startswith(o) for o in only)
+
+    # --- q28: per-key vs bucketed CEP state -------------------------------
+    if want("q28"):
+        from auto_data_tokenize_spark.streaming.cep import (
+            escalation_alerts_stream,
+        )
+
+        det = em._detections(spark, SF_DIR)
+        _w("q28_cep_before", escalation_alerts_stream(det, min_distinct=3))
+        _w(
+            "q28_cep_after",
+            escalation_alerts_stream(det, min_distinct=3, state_buckets=8),
+        )
+
+    # --- q142: unhinted vs broadcast stream-static index join -------------
+    if want("q142"):
+        from auto_data_tokenize_spark.operators.conversations import (
+            corpus_fingerprint_index,
+            turn_containment_stream,
+        )
+
+        tr = em._transcripts(spark, SF_DIR)
+        idx = corpus_fingerprint_index(tr)
+        feed = tr.select("conv_id", "text", "ts")
+        _w(
+            "q142_containment_before",
+            turn_containment_stream(feed, threshold=0.8, index=idx),
+        )
+        _w(
+            "q142_containment_after",
+            turn_containment_stream(
+                feed, threshold=0.8, index=idx, broadcast_index=True
+            ),
+        )
+
+    # --- whole-query batch plans ------------------------------------------
+    batch = [
+        "q38_dup_clusters",
+        "q39_corpus_prep",
+        "q138_entity_clusters",
+        "q140_conversation_near_dups",
+        "q141_conversation_dedup",
+        "q37_avro_tokenize_roundtrip",
+    ]
+    qs = em.queries()
+    for name in batch:
+        if want(name.split("_")[0]):
+            _w(name, qs[name](spark, SF_DIR))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
