@@ -2495,9 +2495,7 @@ def q86_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     mix = docs.unionByName(rev).unionByName(gib)
-    # the count-pruned tables are broadcast-sized at every gate SF;
-    # measured 9.2 s -> 5.2 s vs five shuffle joins (guide §3.1)
-    return score_stupid_backoff(mix, lm, broadcast_model=True).select(
+    return score_stupid_backoff(mix, lm).select(
         "doc_id",
         "n_tokens",
         "n_hit3",

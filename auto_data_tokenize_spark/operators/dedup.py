@@ -301,6 +301,7 @@ class NearDupGate:
         bands: int = 16,
         rows_per_band: int = 4,
         persist_corpus: bool = True,
+        broadcast_corpus: bool = False,
     ):
         self.id_col = id_col
         self.text_col = text_col
@@ -312,7 +313,14 @@ class NearDupGate:
         self._persisted = bool(persist_corpus and not corpus_banded.isStreaming)
         if self._persisted:
             corpus_keys = corpus_keys.persist()
-        self.corpus_keys = corpus_keys
+        # a continuous (non-foreachBatch) streaming plan has no AQE, so
+        # the semi join otherwise sort-merges BOTH sides every micro-
+        # batch; the hint ships the distinct band keys once per batch.
+        # Opt-in: a 100 TB corpus' band universe outgrows a broadcast —
+        # there the bucketed-index co-location path applies instead.
+        self.corpus_keys = (
+            F.broadcast(corpus_keys) if broadcast_corpus else corpus_keys
+        )
 
     def apply(self, incoming: DataFrame) -> DataFrame:
         parallelism = incoming.sparkSession.sparkContext.defaultParallelism
@@ -697,16 +705,28 @@ def set_jaccard_join(
     )
 
 
-def _cc_driver(sym: DataFrame) -> DataFrame | None:
+def _cc_driver(ed: DataFrame) -> DataFrame | None:
     """Driver union-find over an already-size-gated edge sample: the
     standard small-graph fast path (the same estimate-then-pick logic
     as a broadcast-join threshold). Pointer jumping pays ~4 Spark jobs
     per round and O(log n) rounds — pure fixed cost once the edge set
     fits in driver memory (guide §1.2: fix the distributed algorithm
-    first; a bounded collect of an edge LIST is not corpus-sized data).
-    Returns None when an endpoint is NULL (the iterative path's
-    join-equality semantics own that case)."""
-    rows = sym.collect()
+    first; a bounded Arrow collect of an edge LIST is not corpus-sized
+    data). Returns None when an endpoint is NULL or an id dtype is not
+    a plain long/string (the iterative path's join-equality semantics
+    own those cases)."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    t = ed.schema[0].dataType
+    if not isinstance(t, (LongType, IntegerType, StringType)):
+        return None
+    pdf = ed.toPandas()
+    if pdf.isna().any().any():
+        return None
+    # .tolist() converts numpy scalars back to plain Python ints/strs,
+    # so comparisons and createDataFrame round-trip the exact dtype
+    srcs = pdf.iloc[:, 0].tolist()
+    dsts = pdf.iloc[:, 1].tolist()
     parent: dict = {}
 
     def find(x):
@@ -717,10 +737,7 @@ def _cc_driver(sym: DataFrame) -> DataFrame | None:
             parent[x], x = root, parent[x]
         return root
 
-    for row in rows:
-        s, d = row[0], row[1]
-        if s is None or d is None:
-            return None
+    for s, d in zip(srcs, dsts):
         parent.setdefault(s, s)
         parent.setdefault(d, d)
         rs, rd = find(s), find(d)
@@ -730,11 +747,10 @@ def _cc_driver(sym: DataFrame) -> DataFrame | None:
             lo, hi = (rs, rd) if rs < rd else (rd, rs)
             parent[hi] = lo
     out = [(x, find(x)) for x in parent]
-    t = sym.schema[0].dataType
     schema = StructType(
         [StructField("id", t), StructField("cluster_id", t)]
     )
-    return sym.sparkSession.createDataFrame(out, schema)
+    return ed.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -788,20 +804,23 @@ def connected_components(
     immediately, and a JVM GC hint on exit makes reclamation prompt —
     measured: repeated clusterings hold a steady ~3-4 live block sets,
     no growth per run (pinned by test)."""
-    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    )
-    sym = sym.localCheckpoint(eager=True)
+    ed = edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).localCheckpoint(eager=True)
     # size-gated driver fast path: the blocks are already materialized,
     # so the count is a cached-block scan; below the gate a union-find
     # replaces O(log n) pointer-jumping rounds (~4 jobs each) with one
-    # bounded collect — measured 5.4 s -> 0.2 s on the sf0.1 near-dup
-    # graph. Above the gate (or NULL endpoints) the iterative kernel
+    # bounded Arrow collect of the single-direction edge list —
+    # measured 5.4 s -> 0.2 s on the sf0.1 near-dup graph. Above the
+    # gate (or NULL endpoints / exotic id dtypes) the iterative kernel
     # below remains the scale path.
-    if sym.count() <= int(driver_max_edges):
-        direct = _cc_driver(sym)
+    if ed.count() <= int(driver_max_edges):
+        direct = _cc_driver(ed)
         if direct is not None:
             return direct
+    sym = ed.unionAll(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -54,17 +54,17 @@ class FluencyGate:
         min_avg_logp: float,
         id_col: str = "doc_id",
         text_col: str = "text",
-        broadcast_model: bool = True,
+        broadcast_model: bool = False,
     ):
         self.lm = lm
         self.sink = sink
         self.min_avg_logp = float(min_avg_logp)
         self.id_col = id_col
         self.text_col = text_col
-        # broadcast by default: re-shuffling the batch's position grams
-        # five times per trigger dwarfs shipping the count-pruned
-        # tables (q87 15.8 s -> 10.9 s measured); pass False when an
-        # unpruned model outgrows executor memory
+        # off by default: foreachBatch batch jobs run with AQE, which
+        # already picks broadcast builds from the persisted tables'
+        # REAL sizes (ABAB-measured neutral at sf0.1); the knob exists
+        # for continuous plans or misestimated tables
         self.broadcast_model = bool(broadcast_model)
         for t in (lm.uni, lm.bi, lm.tri, lm.total):
             t.persist()
