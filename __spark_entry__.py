@@ -4385,7 +4385,7 @@ def q142_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated = turn_containment_stream(
             st, threshold=0.8, index=idx, broadcast_index=True
         )
-        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=2)
+        result = _run_stream_to_sink(spark, gated, base, shuffle_partitions=8)
     finally:
         idx.unpersist()
         shutil.rmtree(base, ignore_errors=True)
