@@ -991,12 +991,21 @@ def q50_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         st = _stream_files(spark, staged, "doc_id long, text string")
         survivors = st.filter(bloom_maybe_expr("text", words, m_bits=2048))
-        verified = survivors.join(
-            F.broadcast(corpus.select(F.col("text").alias("_cv")).distinct()),
-            survivors["text"] == F.col("_cv"),
-            "left",
-        ).select("doc_id", F.col("_cv").isNotNull().alias("is_dup"))
-        result = _run_stream_to_sink(spark, verified, base)
+        # persisted: the static verify side of a stream-static join
+        # re-executes its full plan (scan + distinct shuffle) on EVERY
+        # micro-batch otherwise (the q142 prebuilt-index rationale)
+        corpus_texts = (
+            corpus.select(F.col("text").alias("_cv")).distinct().persist()
+        )
+        try:
+            verified = survivors.join(
+                F.broadcast(corpus_texts),
+                survivors["text"] == F.col("_cv"),
+                "left",
+            ).select("doc_id", F.col("_cv").isNotNull().alias("is_dup"))
+            result = _run_stream_to_sink(spark, verified, base)
+        finally:
+            corpus_texts.unpersist()
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result.select("doc_id", "is_dup")
@@ -3981,7 +3990,7 @@ def q134_stream_token_scope_monitor(
         mon = token_scope_monitor(
             st, window="1 minute", watermark="30 seconds"
         )
-        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=2)
+        result = _run_stream_to_sink(spark, mon, base, shuffle_partitions=4)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return result
