@@ -59,10 +59,16 @@ def main() -> None:
         for name in names:
             q = qs[name]
             if explain_only:
+                import contextlib
+                import io
+
                 df = q(spark, SF_DIR)
                 os.makedirs("plans/r06", exist_ok=True)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
                 with open(f"plans/r06/{name}.txt", "w") as f:
-                    f.write(df._jdf.queryExecution().explainString("formatted"))
+                    f.write(buf.getvalue())
                 print(f"wrote plans/r06/{name}.txt")
                 continue
             spark.sparkContext.setJobDescription(name)

@@ -22,9 +22,15 @@ OUT = os.path.join(REPO, "plans", "r06")
 
 
 def _w(name: str, df) -> None:
+    import contextlib
+    import io
+
     os.makedirs(OUT, exist_ok=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
     with open(os.path.join(OUT, f"{name}.txt"), "w") as f:
-        f.write(df._jdf.queryExecution().explainString("formatted"))
+        f.write(buf.getvalue())
     print(f"wrote plans/r06/{name}.txt")
 
 
@@ -40,15 +46,29 @@ def main() -> None:
 
     # --- q28: per-key vs bucketed CEP state -------------------------------
     if want("q28"):
+        import tempfile
+
+        import pandas as pd
+
         from auto_data_tokenize_spark.streaming.cep import (
             escalation_alerts_stream,
         )
 
-        det = em._detections(spark, SF_DIR)
-        _w("q28_cep_before", escalation_alerts_stream(det, min_distinct=3))
+        d = tempfile.mkdtemp(prefix="plancap_")
+        pd.DataFrame(
+            {
+                "conv_id": ["c"],
+                "info_type": ["EMAIL_ADDRESS"],
+                "ts": pd.to_datetime(["2026-01-01"]).astype("datetime64[us]"),
+            }
+        ).to_parquet(f"{d}/x.parquet", index=False)
+        st = spark.readStream.schema(
+            "conv_id string, info_type string, ts timestamp"
+        ).parquet(d)
+        _w("q28_cep_before", escalation_alerts_stream(st, min_distinct=3))
         _w(
             "q28_cep_after",
-            escalation_alerts_stream(det, min_distinct=3, state_buckets=8),
+            escalation_alerts_stream(st, min_distinct=3, state_buckets=8),
         )
 
     # --- q142: unhinted vs broadcast stream-static index join -------------
@@ -58,9 +78,23 @@ def main() -> None:
             turn_containment_stream,
         )
 
+        import tempfile
+
+        import pandas as pd
+
         tr = em._transcripts(spark, SF_DIR)
         idx = corpus_fingerprint_index(tr)
-        feed = tr.select("conv_id", "text", "ts")
+        d2 = tempfile.mkdtemp(prefix="plancap_")
+        pd.DataFrame(
+            {
+                "conv_id": ["c"],
+                "text": ["t"],
+                "ts": pd.to_datetime(["2026-01-01"]).astype("datetime64[us]"),
+            }
+        ).to_parquet(f"{d2}/x.parquet", index=False)
+        feed = spark.readStream.schema(
+            "conv_id string, text string, ts timestamp"
+        ).parquet(d2)
         _w(
             "q142_containment_before",
             turn_containment_stream(feed, threshold=0.8, index=idx),
