@@ -106,6 +106,72 @@ def main() -> None:
             ),
         )
 
+    # --- q129: state-partition sizing (Exchange partitioning arity) -------
+    if want("q129"):
+        import tempfile
+
+        import pandas as pd
+
+        from auto_data_tokenize_spark.operators.dedup import dup_rate_monitor
+
+        d3 = tempfile.mkdtemp(prefix="plancap_")
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["t"],
+                "ts": pd.to_datetime(["2026-01-01"]).astype("datetime64[us]"),
+            }
+        ).to_parquet(f"{d3}/x.parquet", index=False)
+        st = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(d3)
+        mon = dup_rate_monitor(st, window="1 minute", watermark="30 seconds")
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        _w("q129_monitor_before_8parts", mon)
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        _w("q129_monitor_after_2parts", mon)
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    # --- q50: persisted static verify side --------------------------------
+    if want("q50"):
+        import tempfile
+
+        import pandas as pd
+
+        from auto_data_tokenize_spark.operators.sketches import (
+            bloom_maybe_expr,
+            bloom_words_array,
+        )
+
+        docs = em._documents(spark, SF_DIR)
+        corpus = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+        words = bloom_words_array(corpus, m_bits=2048)
+        d4 = tempfile.mkdtemp(prefix="plancap_")
+        pd.DataFrame({"doc_id": [1], "text": ["t"]}).to_parquet(
+            f"{d4}/x.parquet", index=False
+        )
+        st = spark.readStream.schema("doc_id long, text string").parquet(d4)
+        survivors = st.filter(bloom_maybe_expr("text", words, m_bits=2048))
+        from pyspark.sql import functions as F
+
+        plain = corpus.select(F.col("text").alias("_cv")).distinct()
+        _w(
+            "q50_verify_before_unpersisted",
+            survivors.join(
+                F.broadcast(plain), survivors["text"] == F.col("_cv"), "left"
+            ).select("doc_id", F.col("_cv").isNotNull().alias("is_dup")),
+        )
+        pers = plain.persist()
+        pers.count()
+        _w(
+            "q50_verify_after_persisted",
+            survivors.join(
+                F.broadcast(pers), survivors["text"] == F.col("_cv"), "left"
+            ).select("doc_id", F.col("_cv").isNotNull().alias("is_dup")),
+        )
+        pers.unpersist()
+
     # --- whole-query batch plans ------------------------------------------
     batch = [
         "q38_dup_clusters",
